@@ -1,0 +1,52 @@
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_wall", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is executed to completion (collect) so the number is end-to-end
+wall clock including scan, shuffle, and result fetch — comparable to the
+reference's published job wall-clocks (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bigdata2016w_spark import get_spark  # noqa: E402
+from bigdata2016w_spark.registry import all_specs  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bigdata2016w-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        # full materialization: every registered query returns a small
+        # (grouped / top-k) result, so collect() is the honest end-to-end cost
+        _ = spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""Relational query library — the reference's assignment-5 surface (Q1–Q7).
+
+Semantics follow the reference queries (cited per function); the physical
+strategy is Catalyst's, not hand-rolled:
+
+- The reference hand-broadcasts dimensions via ``collectAsMap`` +
+  ``sc.broadcast`` (``SCALA/assignment5/Q3.scala:42-57``); here small dims
+  get a ``broadcast()`` hint and AQE can also switch strategies at runtime.
+- The reference cogroups fact-fact joins (``Q2.scala:63-68``); here Catalyst
+  picks sort-merge/shuffled-hash on the join key.
+- Date-prefix filters (``Q1.scala:42-51``) compile to sargable timestamp
+  ranges so they push down to the Parquet scan (see functions/dates.py).
+- Money math runs in DECIMAL(18,2) — exact, order-independent aggregation
+  that fixes the reference's float-precision bug class (``Q6.scala:55-57``)
+  and makes results bit-stable across engines and partitionings.
+
+Each query is parameterized (mirroring the reference's ``--date`` Scallop
+option, ``SCALA/assignment5/Conf.scala:12-17``) with defaults matched to the
+registered DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from bigdata2016w_spark.functions.dates import date_prefix_filter, date_prefix_sql
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+# Default parameters shared by Spark fns and oracle SQL.
+Q1_PREFIX = "1996-03"
+Q2_PREFIX = "1996-03"
+Q3_PREFIX = "1996-03"
+Q4_PREFIX = "1996"
+Q5_NATIONS = ("NATION_3", "NATION_7")
+Q6_PREFIX = "1996"
+Q7_DATE = "1997-06-30"
+
+_DEC = "decimal(18,2)"
+
+
+def _dec(col):
+    return F.col(col).cast(_DEC)
+
+
+def q1(spark: SparkSession, sf_dir: str, date: str = Q1_PREFIX) -> DataFrame:
+    """Q1: count lineitems shipped in a date prefix.
+
+    Parity: scan → prefix filter → global count
+    (``SCALA/assignment5/Q1.scala:39-53``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .agg(F.count("*").alias("count_shipped"))
+    )
+
+
+def q2(spark: SparkSession, sf_dir: str, date: str = Q2_PREFIX) -> DataFrame:
+    """Q2: order status + key of orders with a lineitem shipped in the prefix.
+
+    Parity: orders ⋈ lineitem cogroup, first-20 by orderkey
+    (``SCALA/assignment5/Q2.scala:42-74``). The reference reads ``o_clerk``,
+    absent from the driver testdata; ``o_orderstatus`` substitutes
+    (documented in FIXTURES.md). Distinct gives the cogroup's
+    one-row-per-order behavior deterministically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderstatus").alias("clerk"), F.col("o_orderkey"))
+        .distinct()
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+def q3(spark: SparkSession, sf_dir: str, date: str = Q3_PREFIX) -> DataFrame:
+    """Q3: (orderkey, part name, supplier name) for lineitems in the prefix.
+
+    Parity: broadcast map-side hash join of part & supplier dims
+    (``SCALA/assignment5/Q3.scala:42-75``) — here an explicit
+    ``broadcast()`` hint on both dims.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(broadcast(part.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "p_name", "s_name")
+        .orderBy("l_orderkey", "p_name", "s_name")
+        .limit(20)
+    )
+
+
+def q4(spark: SparkSession, sf_dir: str, date: str = Q4_PREFIX) -> DataFrame:
+    """Q4: lineitems shipped in the prefix, counted per customer nation.
+
+    Parity: orders ⋈ lineitem ⋈ broadcast(custkey→nationkey) ⋈ nation,
+    grouped count sorted by nationkey
+    (``SCALA/assignment5/Q4.scala:43-97``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .select("l_orderkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("count_lineitem"))
+        .orderBy("n_nationkey")
+    )
+
+
+def q5(spark: SparkSession, sf_dir: str,
+       nations: tuple[str, str] = Q5_NATIONS) -> DataFrame:
+    """Q5: monthly lineitem counts for two nations' customers.
+
+    Parity: Q4's join path, no date filter, month key via string prefix
+    ``substring(0,7)`` (``SCALA/assignment5/Q5.scala:66-121``) — here
+    ``date_format('yyyy-MM')``; nation-name value filter
+    (``Q5.scala:82-84``; testdata has NATION_* names, not CANADA/US).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(broadcast(nation.where(F.col("n_name").isin(*nations))
+                        .select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.select("l_orderkey", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name", "ship_month")
+        .agg(F.count("*").alias("count_lineitem"))
+        .orderBy("n_name", "ship_month")
+    )
+
+
+def q6(spark: SparkSession, sf_dir: str, date: str = Q6_PREFIX) -> DataFrame:
+    """Q6: TPC-H Q1-shape multi-aggregate over (returnflag, linestatus).
+
+    Parity: the reference folds a 6-element list elementwise
+    (``SCALA/assignment5/Q6.scala:53-64``) in Float — a precision bug class.
+    Here one hash-aggregate pass with DECIMAL(18,2) money math (exact and
+    partition-order-independent), cast to double at the edge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q7(spark: SparkSession, sf_dir: str, date: str = Q7_DATE) -> DataFrame:
+    """Q7: TPC-H Q3 shape — top-10 unshipped-revenue orders.
+
+    Parity: broadcast customer, o_orderdate < D, l_shipdate > D, revenue =
+    sum(extprice·(1−disc)), top-10 by revenue
+    (``SCALA/assignment5/Q7.scala:44-90``). The reference reads
+    ``o_shippriority``; driver testdata substitutes ``o_orderpriority``.
+    DECIMAL revenue; deterministic tiebreak on orderkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") > F.lit(date).cast("timestamp"))
+        .select("l_orderkey", revenue.alias("rev"))
+        .join(orders.where(F.col("o_orderdate") < F.lit(date).cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- DuckDB oracle SQL (same constants, same aliases, same decimal math) ---
+
+_Q1_SQL = f"""
+SELECT count(*) AS count_shipped
+FROM lineitem
+WHERE {date_prefix_sql('l_shipdate', Q1_PREFIX)}
+"""
+
+_Q2_SQL = f"""
+SELECT DISTINCT o.o_orderstatus AS clerk, o.o_orderkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE {date_prefix_sql('l.l_shipdate', Q2_PREFIX)}
+ORDER BY o.o_orderkey
+LIMIT 20
+"""
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey, p.p_name, s.s_name
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE {date_prefix_sql('l.l_shipdate', Q3_PREFIX)}
+ORDER BY l.l_orderkey, p.p_name, s.s_name
+LIMIT 20
+"""
+
+_Q4_SQL = f"""
+SELECT n.n_nationkey, n.n_name, count(*) AS count_lineitem
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE {date_prefix_sql('l.l_shipdate', Q4_PREFIX)}
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey
+"""
+
+_Q5_SQL = f"""
+SELECT n.n_name, strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+       count(*) AS count_lineitem
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name IN ('{Q5_NATIONS[0]}', '{Q5_NATIONS[1]}')
+GROUP BY n.n_name, ship_month
+ORDER BY n.n_name, ship_month
+"""
+
+_Q6_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE {date_prefix_sql('l_shipdate', Q6_PREFIX)}
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q7_SQL = f"""
+SELECT c.c_name, l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_shipdate > TIMESTAMP '{Q7_DATE} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q7_DATE} 00:00:00'
+GROUP BY c.c_name, l.l_orderkey, orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+register(QuerySpec("q1_count_shipped", q1, _Q1_SQL, doc=q1.__doc__))
+register(QuerySpec("q2_order_status", q2, _Q2_SQL, doc=q2.__doc__))
+register(QuerySpec("q3_part_supplier", q3, _Q3_SQL, doc=q3.__doc__))
+register(QuerySpec("q4_nation_counts", q4, _Q4_SQL, doc=q4.__doc__))
+register(QuerySpec("q5_monthly_nation", q5, _Q5_SQL, doc=q5.__doc__))
+register(QuerySpec("q6_lineitem_agg", q6, _Q6_SQL, doc=q6.__doc__))
+register(QuerySpec("q7_top_revenue", q7, _Q7_SQL, doc=q7.__doc__))

@@ -1,0 +1,60 @@
+"""Central query registry.
+
+Every implemented operator/query registers a ``QuerySpec`` here:
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark implementation,
+- ``oracle`` — equivalent ANSI SQL for the DuckDB correctness oracle
+  (``None`` only for genuinely non-SQL-expressible ops: iterative
+  algorithms, sequential ML, custom stateful streaming).
+
+``__spark_entry__.py`` (the driver contract) is a thin view over this.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register specs on import (order = SURVEY §2 build order).
+_SPEC_MODULES = [
+    "bigdata2016w_spark.plans.relational",
+    "bigdata2016w_spark.plans.text_analytics",
+    "bigdata2016w_spark.plans.retrieval",
+    "bigdata2016w_spark.plans.graph",
+    "bigdata2016w_spark.plans.ml",
+    "bigdata2016w_spark.plans.pipeline",
+    "bigdata2016w_spark.plans.events",
+]
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name {spec.name!r}")
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Import all plan modules (idempotent) and return the full registry."""
+    for mod in _SPEC_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not built yet (incremental rounds) — skip only if it is
+            # the plan module itself that is missing.
+            if mod not in str(e):
+                raise
+    return dict(REGISTRY)

@@ -1,0 +1,76 @@
+"""Table catalog: explicit schemas + loaders for the engine's tables.
+
+The reference is schema-less — every record is a text line, columns are
+recovered positionally (``line.split('|')(10)`` = ``l_shipdate``,
+``src/main/scala/.../assignment5/Q1.scala:39-41``). Here every table has a
+declared ``StructType`` once, in one registry; loaders produce DataFrames
+whose scans benefit from Parquet column pruning + predicate pushdown.
+
+Tables follow the driver testdata layout: ``{sf_dir}/{name}.parquet``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_S = T.StringType()
+_I = T.IntegerType()
+_L = T.LongType()
+_D = T.DoubleType()
+_TS = T.TimestampType()
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", _I), ("r_name", _S)),
+    "nation": _st(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
+    "customer": _st(
+        ("c_custkey", _L), ("c_name", _S), ("c_nationkey", _I),
+        ("c_acctbal", _D), ("c_mktsegment", _S),
+    ),
+    "supplier": _st(
+        ("s_suppkey", _L), ("s_name", _S), ("s_nationkey", _I), ("s_acctbal", _D),
+    ),
+    "part": _st(
+        ("p_partkey", _L), ("p_name", _S), ("p_brand", _S), ("p_type", _S),
+        ("p_size", _I), ("p_retailprice", _D),
+    ),
+    "orders": _st(
+        ("o_orderkey", _L), ("o_custkey", _L), ("o_orderstatus", _S),
+        ("o_totalprice", _D), ("o_orderdate", _TS), ("o_orderpriority", _S),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", _L), ("l_partkey", _L), ("l_suppkey", _L),
+        ("l_linenumber", _I), ("l_quantity", _D), ("l_extendedprice", _D),
+        ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
+        ("l_linestatus", _S), ("l_shipdate", _TS),
+    ),
+    "events": _st(
+        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
+        ("value", _D), ("props", _S),
+    ),
+    "documents": _st(
+        ("doc_id", _L), ("text", _S), ("lang", _S), ("source", _S), ("n_chars", _L),
+    ),
+    "embeddings": _st(
+        ("vec_id", _L), ("embedding", T.ArrayType(T.FloatType())), ("label", _I),
+    ),
+}
+
+TABLES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every catalog table (lazy — scans happen per-query)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
