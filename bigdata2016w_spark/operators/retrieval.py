@@ -1,0 +1,103 @@
+"""Inverted index + boolean retrieval — the reference's a3/a7 surface.
+
+Reference shape: MR job builds ``term → VInt gap-encoded (docid, tf) list``
+into MapFile/HBase (``JAVA/assignment3/BuildInvertedIndexCompressed.java:61-175``,
+``JAVA/assignment7/BuildInvertedIndexHBase.java:87-109``), then an
+interactive CLI evaluates postfix (RPN) boolean queries with a TreeSet
+stack machine (``BooleanRetrievalCompressed.java:58-133``) and fetches
+matching lines by byte-offset seek (``:147-152``).
+
+Spark-first design: the postings live in a DataFrame — flat
+``(term, docid, tf)`` for query-time filtering (Parquet min/max + optional
+bloom filter on ``term`` replace the MapFile index) and a grouped
+``(term, df, postings array<struct>)`` form (Parquet dictionary/delta
+encoding subsumes the hand-rolled VInt gap compression,
+``BuildInvertedIndexCompressed.java:151-161``). The RPN evaluator compiles
+the query to set ops on docid DataFrames (``intersect``/``union`` — the
+TreeSet AND/OR at ``:83-113``), and document display is a join against
+``documents`` instead of a raw seek. The a7 HBase variant collapses into
+the same table — the capability is a keyed postings store, not HBase.
+
+docids are the ``doc_id`` column (the reference used the line's byte
+offset as docid, ``BuildInvertedIndexCompressed.java:67,89``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.functions.tokenizer import tokenize
+
+RPN_OPS = ("AND", "OR")
+
+
+def postings_flat(docs: DataFrame) -> DataFrame:
+    """(term, docid, tf): per-document term frequencies.
+
+    The per-doc TF histogram of BuildInvertedIndexCompressed.java:80-85 as
+    one explode + hash aggregate.
+    """
+    return (
+        docs.select(F.col("doc_id").alias("docid"),
+                    F.explode(tokenize("text")).alias("term"))
+        .groupBy("term", "docid")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def postings_grouped(docs: DataFrame) -> DataFrame:
+    """(term, df, postings sorted array<struct<docid,tf>>).
+
+    The reducer-side posting accumulation of
+    BuildInvertedIndexCompressed.java:107-175; the secondary sort on
+    (term, docid) (:89-91) becomes sort_array on the collected structs.
+    """
+    return (
+        postings_flat(docs)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list(F.struct("docid", "tf"))).alias("postings"),
+        )
+    )
+
+
+def eval_rpn(postings: DataFrame, query: str) -> DataFrame:
+    """Evaluate a postfix boolean query → DataFrame[docid].
+
+    Stack machine of BooleanRetrievalCompressed.java:58-77: operands push
+    the term's docid set; AND = set intersection (:83-96), OR = set union
+    (:98-113). Here the stack holds DataFrames and the set ops are
+    relational ``intersect``/``union.distinct`` — distributed, no driver
+    materialization.
+    """
+    stack: list[DataFrame] = []
+    for tok in query.split():
+        if tok == "AND":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a.intersect(b))
+        elif tok == "OR":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a.union(b).distinct())
+        else:
+            stack.append(
+                postings.where(F.col("term") == tok).select("docid").distinct()
+            )
+    if len(stack) != 1:
+        raise ValueError(f"malformed RPN query {query!r}")
+    return stack[0]
+
+
+def retrieve(docs: DataFrame, query: str) -> DataFrame:
+    """RPN boolean retrieval returning (doc_id, text).
+
+    Replaces the reference's fetchLine byte-seek
+    (BooleanRetrievalCompressed.java:147-152) with a join back to the
+    documents table.
+    """
+    hits = eval_rpn(postings_flat(docs), query)
+    return (
+        hits.join(docs, hits.docid == docs.doc_id)
+        .select("doc_id", "text")
+    )

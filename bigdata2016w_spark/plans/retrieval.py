@@ -1,0 +1,103 @@
+"""Registered index/retrieval queries (a3/a7) with DuckDB oracles.
+
+Driver-facing results are flat columns (term stats, term postings rows,
+retrieval hits) so value-hash comparison never depends on nested-type
+normalization; the nested postings-array form is covered by pytest
+(tests/test_retrieval.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.functions.tokenizer import tokenize_sql
+from bigdata2016w_spark.operators.retrieval import postings_flat, retrieve
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+# Fixed demo queries over the synthetic corpus vocabulary.
+RPN_AND = "table part AND"
+RPN_OR_AND = "query stream OR table AND"
+POSTINGS_TERMS = ("table", "stream", "vector")
+
+
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document frequency + collection frequency
+    (the df/postings accumulation of BuildInvertedIndexCompressed.java:107-175)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        postings_flat(docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat postings rows for a fixed term set — the point-lookup path that
+    replaces MapFile/HBase gets (BooleanRetrievalHBase.java:124-141)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return postings_flat(docs).where(F.col("term").isin(*POSTINGS_TERMS))
+
+
+def retrieval_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPN 'table part AND' (BooleanRetrievalCompressed.java:83-96)."""
+    return retrieve(load_table(spark, sf_dir, "documents"), RPN_AND)
+
+
+def retrieval_or_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPN '(query OR stream) AND table' (BooleanRetrievalCompressed.java:58-113)."""
+    return retrieve(load_table(spark, sf_dir, "documents"), RPN_OR_AND)
+
+
+_TOK = tokenize_sql("text")
+
+_FLAT = f"""
+flat AS (
+  SELECT term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY term, doc_id
+)
+"""
+
+_INDEX_STATS_SQL = f"""
+WITH {_FLAT}
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM flat GROUP BY term
+"""
+
+_TERM_POSTINGS_SQL = f"""
+WITH {_FLAT}
+SELECT term, docid, tf FROM flat
+WHERE term IN ('{POSTINGS_TERMS[0]}', '{POSTINGS_TERMS[1]}', '{POSTINGS_TERMS[2]}')
+"""
+
+_RETRIEVAL_AND_SQL = f"""
+WITH x AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+SELECT d.doc_id, d.text
+FROM (
+  SELECT doc_id FROM x WHERE term = 'table'
+  INTERSECT
+  SELECT doc_id FROM x WHERE term = 'part'
+) r JOIN documents d USING (doc_id)
+"""
+
+_RETRIEVAL_OR_AND_SQL = f"""
+WITH x AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS term FROM documents)
+SELECT d.doc_id, d.text
+FROM (
+  (SELECT doc_id FROM x WHERE term = 'query'
+   UNION
+   SELECT doc_id FROM x WHERE term = 'stream')
+  INTERSECT
+  SELECT doc_id FROM x WHERE term = 'table'
+) r JOIN documents d USING (doc_id)
+"""
+
+register(QuerySpec("index_stats", index_stats, _INDEX_STATS_SQL,
+                   doc=index_stats.__doc__))
+register(QuerySpec("term_postings", term_postings, _TERM_POSTINGS_SQL,
+                   doc=term_postings.__doc__))
+register(QuerySpec("retrieval_and", retrieval_and, _RETRIEVAL_AND_SQL,
+                   doc=retrieval_and.__doc__))
+register(QuerySpec("retrieval_or_and", retrieval_or_and, _RETRIEVAL_OR_AND_SQL,
+                   doc=retrieval_or_and.__doc__))

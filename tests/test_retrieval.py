@@ -1,0 +1,53 @@
+"""Tests for inverted index + RPN boolean retrieval (SURVEY §2, a3/a7)."""
+
+import pytest
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+NAMES = ["index_stats", "term_postings", "retrieval_and", "retrieval_or_and"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_retrieval_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_grouped_postings_sorted_and_consistent(spark, sf_dir):
+    """Nested postings form: df == len(postings), docids strictly sorted
+    (the secondary-sort invariant of BuildInvertedIndexCompressed.java:89-91)."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.operators.retrieval import postings_grouped
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    g = postings_grouped(load_table(spark, sf_dir, "documents"))
+    bad = g.where(
+        (F.size("postings") != F.col("df"))
+        | (F.size("postings") != F.size(F.array_distinct("postings.docid")))
+        | (F.col("postings") != F.sort_array("postings"))
+    )
+    assert bad.count() == 0
+    assert g.count() > 0
+
+
+def test_rpn_evaluator_semantics(spark):
+    """AND/OR stack semantics on a tiny corpus with known postings."""
+    from bigdata2016w_spark.operators.retrieval import eval_rpn, postings_flat
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat bird"), (3, "dog bird"), (4, "cat dog bird")],
+        ["doc_id", "text"],
+    )
+    p = postings_flat(docs)
+
+    def ids(q):
+        return sorted(r[0] for r in eval_rpn(p, q).collect())
+
+    assert ids("cat dog AND") == [1, 4]
+    assert ids("cat dog OR") == [1, 2, 3, 4]
+    assert ids("cat bird AND dog OR") == [1, 2, 3, 4]
+    assert ids("dog bird AND cat AND") == [4]
+    with pytest.raises(ValueError):
+        eval_rpn(p, "cat dog")
