@@ -1,0 +1,139 @@
+"""Multi-source personalized PageRank — the reference's a4 surface.
+
+Reference shape: an iterative chain of paired Hadoop MR jobs
+(``JAVA/assignment4/RunPersonalizedPageRankBasic.java``): phase 1
+distributes ``rank/deg`` mass along adjacency lists in log space
+(``:92-129``), combiners/reducers fold messages with ``sumLogProbs``
+(``:146-175,196-265``), reducers write per-task mass totals to HDFS side
+files the driver reads back (``:267-286,559-573``); phase 2 redistributes
+the missing (dangling) mass and applies the α=0.15 jump restricted to each
+personalization source (``:338-373``). State between iterations is a
+SequenceFile dir per iteration; multi-source runs keep one float slot per
+source (``PageRankNode.java:40``).
+
+Spark-first design: one Python driver loop over a cached DataFrame with one
+rank column per source (codegen-friendly; no array shuffling):
+
+- mass distribution = ``ranks ⋈ edges on src`` + ``groupBy(dst).sum`` —
+  Catalyst's shuffled join/agg replaces the hand-partitioned MR shuffle
+  (partition alignment via ``repartition(n, 'id')`` replaces
+  ``NonSplitableSequenceFileInputFormat``/``PartitionGraph``);
+- dangling mass = ``1 − agg(sum).collect()`` per source in the driver —
+  replaces the HDFS side files;
+- linear-space ``double`` arithmetic replaces log-space ``float``
+  ``sumLogProbs`` (``:636-648``) — double precision makes the log-space
+  stability trick unnecessary (SURVEY §4);
+- ``localCheckpoint`` per iteration truncates the growing lineage
+  (SURVEY §7.3 hard part).
+
+Semantics per iteration, per source s (α = 0.15, ``:373``):
+    new_rank(v) = (1−α)·(link_mass(v) + missing·1[v=s]) + α·1[v=s]
+i.e. both the random jump and the lost dangling mass return to the source
+only — the personalized variant (``:338-361``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ALPHA = 0.15  # RunPersonalizedPageRankBasic.java:373
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    num_iters: int = 10,
+    alpha: float = ALPHA,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Run personalized PageRank; returns (id, rank_0..rank_{k-1}).
+
+    ``edges`` is DataFrame[src long, dst long]. The vertex set is the union
+    of endpoints (nodes referenced only as targets are dangling — the
+    missing-structure path of RunPersonalizedPageRankBasic.java:251-259).
+    """
+    spark = edges.sparkSession
+    k = len(sources)
+    rcols = [f"rank_{i}" for i in range(k)]
+
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    # init: source slots get mass 1.0, everything else 0
+    # (BuildPersonalizedPageRankRecords.java:100-116)
+    ranks = nodes.select(
+        "id",
+        *[
+            F.when(F.col("id") == F.lit(s), 1.0).otherwise(0.0).alias(c)
+            for s, c in zip(sources, rcols)
+        ],
+    ).repartition(edges.sparkSession.sparkContext.defaultParallelism, "id")
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for it in range(num_iters):
+        contrib = (
+            ranks.join(edges, ranks.id == edges.src)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                *[(F.col(c) / F.col("deg")).alias(c) for c in rcols],
+            )
+        )
+        link = contrib.groupBy("id").agg(
+            *[F.sum(c).alias(c) for c in rcols]
+        )
+        # dangling mass per source: whatever didn't arrive anywhere
+        arrived = link.agg(*[F.sum(c).alias(c) for c in rcols]).collect()[0]
+        missing = [1.0 - (arrived[c] or 0.0) for c in rcols]
+
+        ranks = (
+            nodes.join(link, "id", "left")
+            .select(
+                "id",
+                *[
+                    (
+                        F.lit(1.0 - alpha)
+                        * (
+                            F.coalesce(F.col(c), F.lit(0.0))
+                            + F.when(F.col("id") == F.lit(s), F.lit(m)).otherwise(0.0)
+                        )
+                        + F.when(F.col("id") == F.lit(s), F.lit(alpha)).otherwise(0.0)
+                    ).alias(c)
+                    for s, c, m in zip(sources, rcols, missing)
+                ],
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == num_iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def top_k_per_source(
+    ranks: DataFrame, sources: list[int], k: int = 10, round_to: int = 6
+) -> DataFrame:
+    """(source, id, rank) top-k per personalization source.
+
+    The bounded-heap extraction of ExtractTopPersonalizedPageRankNodes.java:
+    44-127 as a per-source window rank (SURVEY §2.6); linear space, so no
+    exp() conversion is needed.
+    """
+    per_source = None
+    for i, s in enumerate(sources):
+        part = ranks.select(
+            F.lit(s).alias("source"),
+            "id",
+            F.col(f"rank_{i}").alias("rank"),
+        )
+        per_source = part if per_source is None else per_source.union(part)
+    w = Window.partitionBy("source").orderBy(F.desc("rank"), F.asc("id"))
+    return (
+        per_source.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("source", "id", F.round("rank", round_to).alias("rank"))
+    )

@@ -1,0 +1,59 @@
+"""Reference-native text ingestion formats.
+
+The reference consumes raw text in three hand-parsed shapes; the engine
+ingests each into typed DataFrames (after which everything is columnar):
+
+- pipe-delimited TPC-H ``.tbl`` dumps, columns recovered positionally
+  (``SCALA/assignment5/Q1.scala:39-41``);
+- tab/space adjacency lists ``nodeid n1 n2 ...``
+  (``JAVA/assignment4/BuildPersonalizedPageRankRecords.java:72-92``,
+  format of ``data/p2p-Gnutella08-adj.txt``);
+- ML instance lines ``docid label f1 f2 ...`` with label ∈ {spam, ham}
+  (``SCALA/assignment6/TrainSpamClassifier.scala:78-89``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.sources.catalog import SCHEMAS
+
+
+def read_tbl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read a reference-style ``.tbl`` pipe-delimited dump with the catalog
+    schema (replaces per-query ``split('|')(i)`` positional parsing)."""
+    return spark.read.csv(path, sep="|", schema=SCHEMAS[table])
+
+
+def read_adjacency(spark: SparkSession, path: str) -> DataFrame:
+    """Adjacency-list text → edges DataFrame[src long, dst long].
+
+    Lines with no neighbors (dangling nodes) produce no edge rows — their
+    ids still appear wherever they are someone's target, matching the
+    reference's missing-structure handling
+    (RunPersonalizedPageRankBasic.java:251-259).
+    """
+    lines = spark.read.text(path)
+    toks = lines.select(F.split(F.trim("value"), r"\s+").alias("t"))
+    return (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.element_at("t", 1).cast("long").alias("src"),
+            F.explode(F.slice("t", 2, 1 << 30)).alias("dst_s"),
+        )
+        .select("src", F.col("dst_s").cast("long").alias("dst"))
+    )
+
+
+def read_ml_instances(spark: SparkSession, path: str) -> DataFrame:
+    """Instance lines → DataFrame[docid string, label double, features array<int>].
+
+    label: spam→1.0, ham→0.0 (TrainSpamClassifier.scala:83-86)."""
+    lines = spark.read.text(path)
+    toks = lines.select(F.split(F.trim("value"), r"\s+").alias("t"))
+    return toks.select(
+        F.element_at("t", 1).alias("docid"),
+        F.when(F.element_at("t", 2) == "spam", 1.0).otherwise(0.0).alias("label"),
+        F.transform(F.slice("t", 3, 1 << 30), lambda x: x.cast("int")).alias("features"),
+    )
