@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns — pipeline extension.
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set, one pass over the corpus, per-query window top-k — no shuffle of the
+corpus itself beyond the final top-k, so it scales to arbitrarily large
+embedding tables (cost is a scan, the classic exact-kNN lower bound).
+
+The scale path is random-hyperplane LSH: 64-dim sign-bucket signatures
+computed JVM-side from fixed literal hyperplanes (seeded NumPy, baked at
+plan-build time — deterministic across runs); search compares only
+same-bucket (or ≤1-bit-distant bucket) candidates.
+
+All arithmetic is float→double promoted, left-fold summed, so results are
+bit-identical to a DuckDB oracle using the same fold order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+LSH_SEED = 42
+# 4 planes = 16 buckets; with 1-bit multiprobe a query scans ~5/16 of the
+# corpus. The testdata embeddings are near-isotropic (max cosine ~0.5), the
+# hardest case for sign-LSH — on genuinely clustered production embeddings
+# raise the plane count and probe radius together to cut the scan fraction
+# while holding recall.
+LSH_PLANES = 4
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Left-fold Σ a[i]·b[i] in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Returns (query_id, vec_id, cosine), k rows per query, self excluded;
+    ties broken by vec_id so selection is deterministic.
+    """
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        broadcast(q)
+        .crossJoin(embeddings)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def _planes(dim: int, num_planes: int = LSH_PLANES) -> list[list[float]]:
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.randn(num_planes, dim).round(6).tolist()
+
+
+def lsh_bucket(col, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed hyperplanes (literal arrays → the dot
+    products run entirely in codegen; no UDF)."""
+    vd = _as_double(col)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vd, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket or
+    differ in exactly one sign bit (multi-probe — recall insurance against
+    boundary flips), ranked by exact cosine within candidates."""
+    planes = _planes(dim, num_planes)
+    emb_b = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = emb_b.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(num_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        broadcast(q)
+        .join(emb_b, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
+                         num_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc-level dedup by embedding):
+    coarse LSH blocking (few planes → high recall at moderate thresholds),
+    exact cosine verification, pairs with cosine ≥ threshold."""
+    planes = _planes(dim, num_planes)
+    emb_b = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    return (
+        emb_b.alias("x")
+        .join(emb_b.alias("y"), "bucket")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,172 @@
+"""Registered training-data-pipeline queries: dedup, similarity search,
+text stats, language ID (pipeline extension — SURVEY §7.1 step 8).
+
+Exact-semantics operators carry DuckDB oracles; the LSH/SimHash approximate
+scale paths are deterministic (fixed seeds/hashes) but depend on xxhash64,
+which DuckDB lacks → rows-only driver checks, with recall/consistency
+covered in pytest (tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.functions.textstats import (
+    doc_stats_cols,
+    doc_stats_sql,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+)
+from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
+from bigdata2016w_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_near_dupes,
+    minhash_lsh_near_dupes,
+    simhash_near_dupes,
+)
+from bigdata2016w_spark.operators.similarity import (
+    embedding_near_dupes,
+    knn_bruteforce,
+    knn_lsh,
+)
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 10
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_near_dupes(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_near_dupes(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dupes(load_table(spark, sf_dir, "documents"))
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_lsh(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K)
+
+
+def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dupes(load_table(spark, sf_dir, "embeddings"))
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/quality stats + portable md5 fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.size(tokenize("text")) > 0).select(
+        "doc_id",
+        *doc_stats_cols(F.col("text")),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID next to the ground-truth lang col."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id(tokenize("text")).alias("lang_pred"), "lang"
+    )
+
+
+_TOK = tokenize_sql("text")
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY text
+"""
+
+_SHINGLES = f"""
+s AS (
+  SELECT doc_id, len(t) AS n,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS sh
+  FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+"""
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLES}
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+_ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         list_reduce([CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                      for i in range(1, len(q.qe) + 1)], (x, y) -> x + y)
+         / (sqrt(list_reduce([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                              for i in range(1, len(q.qe) + 1)], (x, y) -> x + y))
+            * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                for i in range(1, len(e.embedding) + 1)], (x, y) -> x + y)))
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+_DOC_STATS_SQL = f"""
+SELECT doc_id, {doc_stats_sql('text')}, {fingerprint_sql('text')} AS fingerprint
+FROM documents
+WHERE len({_TOK}) > 0
+"""
+
+_LANG_ID_SQL = f"""
+SELECT doc_id, {lang_id_sql(_TOK)} AS lang_pred, lang FROM documents
+"""
+
+register(QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
+                   doc=exact_dedup_groups.__doc__))
+register(QuerySpec("dedup_jaccard", dedup_jaccard, _DEDUP_JACCARD_SQL,
+                   doc=jaccard_near_dupes.__doc__))
+register(QuerySpec("dedup_minhash_lsh", dedup_minhash, None,
+                   doc=minhash_lsh_near_dupes.__doc__))
+register(QuerySpec("dedup_simhash", dedup_simhash, None,
+                   doc=simhash_near_dupes.__doc__))
+register(QuerySpec("ann_bruteforce", ann_bruteforce, _ANN_SQL,
+                   doc=knn_bruteforce.__doc__))
+register(QuerySpec("ann_lsh", ann_lsh, None, doc=knn_lsh.__doc__))
+register(QuerySpec("embedding_near_dupes", emb_near_dupes, None,
+                   doc=embedding_near_dupes.__doc__))
+register(QuerySpec("doc_stats", doc_stats, _DOC_STATS_SQL, doc=doc_stats.__doc__))
+register(QuerySpec("doc_lang_id", doc_lang_id, _LANG_ID_SQL,
+                   doc=doc_lang_id.__doc__))

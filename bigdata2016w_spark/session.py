@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
+        # type, so read as long and convert in the loader (ns → µs floor,
+        # matching DuckDB's internal µs truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,104 @@
+"""Structured Streaming windowed aggregations — streaming extension
+(SURVEY §2.11; the reference is pure batch).
+
+Stock Structured Streaming only: file source → event-time windows with
+watermarks → sink. No custom state stores. Each transformation here is the
+streaming twin of a registered batch query in ``plans/events.py``; parity
+is asserted in tests/test_streaming.py by running the stream with an
+``availableNow`` trigger into a memory sink and diffing against batch.
+
+At scale these run unchanged against a Kafka/object-store source: the
+watermark bounds state, and the shuffle is keyed on (window, key) exactly
+like the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata2016w_spark.sources.catalog import SCHEMAS
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema from catalog —
+    streaming sources require a declared schema).
+
+    The file stores TIMESTAMP(NANOS): declare ts as long (the
+    nanosAsLong representation) and floor to µs, mirroring the batch
+    loader so batch/stream parity holds bit-for-bit."""
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour count+sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding (1 hour, 30 min) global counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Stateful session windows per user (session_window + watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming DF with availableNow into a memory sink and
+    return the materialized result (test/driver helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,71 @@
+"""Pipeline-extension tests: dedup tiers, similarity search, text stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+ORACLE_BACKED = ["dedup_exact", "dedup_jaccard", "ann_bruteforce",
+                 "doc_stats", "doc_lang_id"]
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_pipeline_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates verified by exact Jaccard must be a subset of the
+    exact result; recall should be high on the near-dup fixture."""
+    exact = {(r.doc_a, r.doc_b) for r in
+             all_specs()["dedup_jaccard"].fn(spark, sf_dir).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in
+              all_specs()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_simhash_finds_near_dupes(spark, sf_dir):
+    out = all_specs()["dedup_simhash"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Approximate kNN recall@10 vs brute force on near-isotropic
+    embeddings (the hardest case for sign-LSH): with 4 planes + 1-bit
+    multiprobe ~31% of the corpus is scanned, so recall must beat that
+    handily if ranking-by-cosine works."""
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    lsh = all_specs()["ann_lsh"].fn(spark, sf_dir).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_embedding_near_dupes_shape(spark, sf_dir):
+    rows = all_specs()["embedding_near_dupes"].fn(spark, sf_dir).collect()
+    assert all(r.vec_a < r.vec_b and r.cosine >= 0.4 for r in rows)
+
+
+def test_jaccard_is_exact_on_known_pair(spark):
+    from bigdata2016w_spark.operators.dedup import jaccard_near_dupes
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        ["doc_id", "text"],
+    )
+    rows = jaccard_near_dupes(docs, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shingles(1) = {abc,bcd,cde}; shingles(2) = {abc,bcd,cdf}; J = 2/4
+    assert (r.doc_a, r.doc_b) == (1, 2) and r.jaccard == 0.5
