@@ -6,11 +6,14 @@ Four tiers, all DataFrame-native and shuffle-scalable:
 
 - exact: hash-groupBy on normalized text — one shuffle, no driver state;
 - n-gram Jaccard: *exact* near-dup semantics (all pairs with shingle-set
-  Jaccard ≥ t). Candidate generation is an EQUI-join on log₂ size-bucket
-  keys: J(A,B) ≥ t implies |B|/|A| ≤ 1/t, which bounds the bucket distance
-  by d = ceil(log2(1/t)) — so each doc emits 2d+1 keys, the join never goes
-  cartesian, and the blocking provably drops nothing. Verification is
-  ``array_intersect`` on distinct word-3-gram shingle sets;
+  Jaccard ≥ t), computed with AllPairs/PPJoin-style prefix filtering
+  (Bayardo et al., WWW'07): shingles are canonically ordered
+  rarest-first; a doc of n shingles indexes only its first
+  n − ⌈t·n⌉ + 1 (any pair with J ≥ t shares ≥ ⌈t·n⌉ shingles, so their
+  prefixes must collide — lossless). Candidates come from an equi-join
+  on prefix shingles; full arrays are shuffled ONLY for surviving
+  candidate pairs, keeping the heavy payload linear in matches, not in
+  corpus²;
 - MinHash + LSH banding: the approximate scale path for unbounded corpora —
   P xxhash64 min-hash aggregates per doc, banded signatures, equi-join on
   (band, band_hash), then exact-Jaccard verification of candidates only;
@@ -39,7 +42,16 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, n_tokens, shingles): distinct word n-gram shingles."""
+    """(doc_id, n_tokens, shingles): distinct word n-gram shingles.
+
+    Repartitions first: shingling is the most expression-heavy per-row
+    transform in the engine, and document files are often few/unsplittable
+    (single row group) — without the reshuffle the whole corpus tokenizes
+    in one task regardless of cluster size.
+    """
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", tokenize("text").alias("t")).where(F.size("t") >= n)
     shingles = F.array_distinct(
         F.transform(
@@ -62,43 +74,75 @@ def _jaccard(sa, sb):
 def jaccard_near_dupes(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact near-dup pairs: shingle-set Jaccard ≥ threshold.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Complete: J ≥ t
-    implies a size ratio ≤ 1/t between the shingle sets, which bounds the
-    log₂ size-bucket distance by d = ceil(log2(1/t)) — so the bucket
-    blocking provably drops nothing and the result equals the all-pairs
-    join (the oracle can be plain O(n²) SQL).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Prefix filtering
+    (see module doc) is lossless, so the result equals the all-pairs join
+    and the oracle can be plain O(n²) SQL.
     """
-    import math
-
-    d = math.ceil(math.log2(1.0 / threshold)) if threshold < 1.0 else 0
-    s = shingle_sets(docs)
-    bucket = F.floor(F.log2(F.size("shingles"))).cast("int")
-    a = s.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.explode(F.array(*[bucket + F.lit(o) for o in range(-d, d + 1)])).alias("k"),
+    # materialize the (expensive) shingling once — it feeds the frequency
+    # count, the prefix index, and both sides of the verify join
+    s = shingle_sets(docs).localCheckpoint(eager=True)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = s.select("doc_id", F.explode("shingles").alias("sh"))
+    freq = ex.groupBy("sh").agg(F.count("*").alias("cf"))
+    # canonical rarest-first order per doc: sort (cf, sh) structs. The
+    # explicit repartition keeps the array rebuild parallel (AQE would
+    # coalesce this small-bytes/high-CPU shuffle to one partition).
+    canon = (
+        ex.join(freq, "sh")
+        .repartition(par, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cf", "sh"))).alias("cs"))
+        .select("doc_id", F.col("cs.sh").alias("shingles"))
+        .localCheckpoint(eager=True)
     )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        bucket.alias("k"),
+    prefix_len = (
+        F.size("shingles")
+        - F.ceil(F.size("shingles") * F.lit(float(threshold))).cast("int")
+        + 1
     )
+    pref = canon.select(
+        "doc_id", F.explode(F.slice("shingles", 1, prefix_len)).alias("sh")
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = canon
     return (
-        a.join(b, "k")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}),
+                  "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}),
+              "doc_b")
+        .select("doc_a", "doc_b",
+                _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
 
 def minhash_signatures(shingled: DataFrame, num_perm: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{P-1}): per-doc min of seeded xxhash64 per perm."""
+    """(doc_id, mh_0..mh_{P-1}): per-doc min of seeded xxhash64 per perm.
+
+    One explode + P min-aggregates — partial (map-side) aggregation means
+    the shuffle carries one P-wide row per (partition, doc), not per
+    shingle. The explicit repartition keeps the hash computation parallel
+    when AQE would coalesce the small-bytes shuffle.
+    """
+    par = shingled.sparkSession.sparkContext.defaultParallelism
     exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    return exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh_{p}")
-            for p in range(num_perm)
-        ]
+    return (
+        exploded.repartition(par, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh_{p}")
+                for p in range(num_perm)
+            ]
+        )
     )
 
 
@@ -112,7 +156,8 @@ def minhash_lsh_near_dupes(
     verification of candidates. Same output schema as jaccard_near_dupes —
     a subset of it with high probability (LSH recall)."""
     rows = num_perm // bands
-    s = shingle_sets(docs)
+    # materialize shingling once: it feeds signatures and both verify sides
+    s = shingle_sets(docs).localCheckpoint(eager=True)
     sig = minhash_signatures(s, num_perm)
     band_rows = sig.select(
         "doc_id",
@@ -150,6 +195,9 @@ def minhash_lsh_near_dupes(
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over token xxhash64 bit votes."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
     h = F.xxhash64("w")
     votes = tok.groupBy("doc_id").agg(

@@ -88,12 +88,20 @@ def personalized_pagerank(
         link = contrib.groupBy("id").agg(
             *[F.sum(c).alias(c) for c in rcols]
         )
-        # dangling mass per source: whatever didn't arrive anywhere
-        arrived = link.agg(*[F.sum(c).alias(c) for c in rcols]).collect()[0]
-        missing = [1.0 - (arrived[c] or 0.0) for c in rcols]
-
+        # dangling mass per source: whatever didn't arrive anywhere.
+        # Stays in the plan as a broadcast 1-row aggregate instead of a
+        # per-iteration collect() — no driver round-trip per iteration
+        # (the reference needed HDFS side files + driver reads here,
+        # RunPersonalizedPageRankBasic.java:267-286).
+        missing = link.agg(
+            *[
+                (F.lit(1.0) - F.coalesce(F.sum(c), F.lit(0.0))).alias(f"miss_{c}")
+                for c in rcols
+            ]
+        )
         ranks = (
             nodes.join(link, "id", "left")
+            .crossJoin(F.broadcast(missing))
             .select(
                 "id",
                 *[
@@ -101,11 +109,13 @@ def personalized_pagerank(
                         F.lit(1.0 - alpha)
                         * (
                             F.coalesce(F.col(c), F.lit(0.0))
-                            + F.when(F.col("id") == F.lit(s), F.lit(m)).otherwise(0.0)
+                            + F.when(
+                                F.col("id") == F.lit(s), F.col(f"miss_{c}")
+                            ).otherwise(0.0)
                         )
                         + F.when(F.col("id") == F.lit(s), F.lit(alpha)).otherwise(0.0)
                     ).alias(c)
-                    for s, c, m in zip(sources, rcols, missing)
+                    for s, c in zip(sources, rcols)
                 ],
             )
         )
