@@ -1,0 +1,157 @@
+"""Standard-SQL analytics surface the reference lacks but a Spark engine
+ships for free (SURVEY §2.5/§2.8 'absent' rows): rollup/cube grouping
+sets, ranking/frame window functions, exact distinct counts, and a
+map-typed (stripes) PMI physical variant.
+
+All oracle-backed: these exist so a reference user migrating to this
+engine gets the full relational feature set, checked with the same rigor
+as the parity queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from bigdata2016w_spark.plans.text_analytics import PMI_MIN_COOCCUR, PMI_TOKEN_CAP
+from bigdata2016w_spark.functions.tokenizer import tokenize
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): subtotal hierarchy with exact sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def customer_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag frame windows per nation (SURVEY §2.8 — no reference
+    counterpart): account-balance rank and gap to the previous customer."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        (F.col("c_acctbal") - F.lag("c_acctbal").over(w)).alias("gap_to_prev"),
+    )
+
+
+def nation_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (DISTINCT was absent in the reference)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def pmi_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a1 StripesPMI physical variant: co-occurrence counts pass through a
+    per-word ``map<neighbor,int>`` stripe (``HMapStFW`` of
+    StripesPMI.java:105-130 as ``map_from_entries``), then explode back —
+    identical output/oracle to pmi_pairs, different aggregation layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.slice(tokenize("text"), 1, PMI_TOKEN_CAP)))
+        .alias("w"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") != F.col("b.w")),
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    # stripes: per-w1 map of neighbor→count, thresholded inside the map
+    stripes = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("w1")
+        .agg(F.map_from_entries(F.collect_list(F.struct("w2", "cnt"))).alias("stripe"))
+    )
+    pc = (
+        stripes.select("w1", F.explode("stripe").alias("w2", "cnt"))
+        .where(F.col("cnt") >= PMI_MIN_COOCCUR)
+    )
+    wc = x.groupBy("w").agg(F.count("*").alias("cw"))
+    n = docs.agg(F.count("*").alias("n_lines"))
+    return (
+        pc.join(broadcast(wc.selectExpr("w AS w1", "cw AS c1")), "w1")
+        .join(broadcast(wc.selectExpr("w AS w2", "cw AS c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(
+            "w1", "w2", "cnt",
+            F.round(
+                F.log10((F.col("n_lines") * F.col("cnt")).cast("double")
+                        / (F.col("c1") * F.col("c2")).cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_WINDOW_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       rank() OVER w AS bal_rank,
+       c_acctbal - lag(c_acctbal) OVER w AS gap_to_prev
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+_DISTINCT_SQL = """
+SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+register(QuerySpec("orders_rollup", orders_rollup, _ROLLUP_SQL,
+                   doc=orders_rollup.__doc__))
+register(QuerySpec("orders_cube", orders_cube, _CUBE_SQL, doc=orders_cube.__doc__))
+register(QuerySpec("customer_rank_window", customer_rank_window, _WINDOW_SQL,
+                   doc=customer_rank_window.__doc__))
+register(QuerySpec("nation_distinct_counts", nation_distinct_counts, _DISTINCT_SQL,
+                   doc=nation_distinct_counts.__doc__))
+# pmi_stripes shares pmi_pairs' oracle (same semantics, different layout)
+from bigdata2016w_spark.plans.text_analytics import _PMI_SQL  # noqa: E402
+
+register(QuerySpec("pmi_stripes", pmi_stripes, _PMI_SQL, doc=pmi_stripes.__doc__))

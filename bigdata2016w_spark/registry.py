@@ -37,6 +37,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.ml",
     "bigdata2016w_spark.plans.pipeline",
     "bigdata2016w_spark.plans.events",
+    "bigdata2016w_spark.plans.analytics",
 ]
 
 

@@ -1,0 +1,45 @@
+"""Sinks — the engine's write surface.
+
+Reference counterparts: ``TextOutputFormat``/``saveAsTextFile`` goldens
+(``JAVA/assignment0/WordCount.java:162``), SequenceFile iteration
+checkpoints (``RunPersonalizedPageRankBasic.java:540``), sorted MapFile
+postings (``BuildInvertedIndexCompressed.java:238``), and the delete-
+output-dir-first idiom (``WordCount.java:169-170``) — which is just
+``mode('overwrite')`` here.
+
+Parquet is canonical; the postings writer sorts within partitions so
+Parquet min/max (plus optional bloom filters on ``term``) serve the
+MapFile-style point lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_text_golden(df: DataFrame, path: str, sep: str = "\t",
+                      mode: str = "overwrite") -> None:
+    """Reference-style text golden output (tab-separated, one part per
+    partition — coalesce upstream if a single file is wanted)."""
+    df.write.mode(mode).option("sep", sep).csv(path)
+
+
+def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sorted, bloom-filtered postings table — the MapFile/HBase
+    replacement. Term-sorted row groups give Parquet min/max pruning on
+    point lookups; the bloom filter catches misses cheaply."""
+    (
+        postings.repartition("term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(path)
+    )

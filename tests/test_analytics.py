@@ -1,0 +1,15 @@
+"""Oracle-parity for the standard-SQL analytics surface + stripes PMI."""
+
+import pytest
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+NAMES = ["orders_rollup", "orders_cube", "customer_rank_window",
+         "nation_distinct_counts", "pmi_stripes"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_analytics_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
