@@ -29,6 +29,10 @@ def main() -> None:
     spark = get_spark(app_name="bigdata2016w-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    # warm the JVM/codegen once so the first timed query isn't charged
+    # session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     specs = all_specs()
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -82,3 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every catalog table (lazy — scans happen per-query)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view so the full surface is
+    reachable through ``spark.sql`` (the engine's SQL API — the reference
+    had no SQL surface at all)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
