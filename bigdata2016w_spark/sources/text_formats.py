@@ -46,6 +46,21 @@ def read_adjacency(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Line-per-document corpus → DataFrame[doc_id long, text string].
+
+    The reference derived docids from the line's byte offset
+    (``BuildInvertedIndexCompressed.java:67,89`` — TextInputFormat keys);
+    here docid is the deterministic 0-based line number (zipWithIndex — one
+    extra pass, stable across partitionings, unlike
+    monotonically_increasing_id).
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    return spark.createDataFrame(
+        rdd.map(lambda t: (t[1], t[0])), schema="doc_id long, text string"
+    )
+
+
 def read_ml_instances(spark: SparkSession, path: str) -> DataFrame:
     """Instance lines → DataFrame[docid string, label double, features array<int>].
 

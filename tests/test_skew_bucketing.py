@@ -1,0 +1,101 @@
+"""Skew salting correctness + bucketed co-located join evidence."""
+
+import pyspark.sql.functions as F
+
+
+def test_salted_aggregate_exact(spark, sf_dir):
+    """Salted two-phase agg must equal the plain agg on a skewed key
+    (l_returnflag: 3 values over 6k+ rows)."""
+    from bigdata2016w_spark.operators.skew import salted_aggregate
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {
+                "n": F.count("*"),
+                "q": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                "mn": F.min("l_orderkey"),
+                "mx": F.max("l_orderkey"),
+            },
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_exact(spark, sf_dir):
+    from bigdata2016w_spark.operators.skew import salted_broadcast_left
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey"
+    )
+    dim = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = li.join(dim, "s_suppkey").count()
+    salted = salted_broadcast_left(li, dim, "s_suppkey").count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the join plan
+    must contain no Exchange on the bucketed key (the 100 TB recipe for
+    repeated fact-fact joins; replaces the reference's PartitionGraph
+    pre-partitioning, JAVA/assignment4/PartitionGraph.java:107-126)."""
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # in-memory catalog forgets tables between sessions; clear stale dirs
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    # force the sort-merge path: at toy scale the planner would broadcast
+    # (and skip bucketing); at 100 TB fact-fact scale SMJ is what runs
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_read_text_corpus_roundtrip(spark, tmp_path):
+    from bigdata2016w_spark.sources.text_formats import read_text_corpus
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("first doc line\nsecond doc\nthird\n")
+    got = sorted(tuple(r) for r in read_text_corpus(spark, str(p)).collect())
+    assert got == [(0, "first doc line"), (1, "second doc"), (2, "third")]
