@@ -47,23 +47,35 @@ def personalized_pagerank(
     num_iters: int = 10,
     alpha: float = ALPHA,
     checkpoint_every: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Run personalized PageRank; returns (id, rank_0..rank_{k-1}).
 
     ``edges`` is DataFrame[src long, dst long]. The vertex set is the union
     of endpoints (nodes referenced only as targets are dangling — the
     missing-structure path of RunPersonalizedPageRankBasic.java:251-259).
+
+    ``num_partitions`` sizes every per-iteration shuffle; default is the
+    cluster parallelism — pass a smaller value for small graphs (empty
+    tasks × iterations dominate otherwise) and a larger one at scale.
     """
     spark = edges.sparkSession
     k = len(sources)
     rcols = [f"rank_{i}" for i in range(k)]
+    par = num_partitions or spark.sparkContext.defaultParallelism
 
+    # materialize the static side once: edges and out-degrees are reused by
+    # every iteration (the reference pre-partitioned them into aligned
+    # files once, PartitionGraph.java:107-126 — same idea, in memory)
+    edges = edges.repartition(par, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .repartition(par, "id")
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
 
     # init: source slots get mass 1.0, everything else 0
     # (BuildPersonalizedPageRankRecords.java:100-116)
@@ -73,8 +85,7 @@ def personalized_pagerank(
             F.when(F.col("id") == F.lit(s), 1.0).otherwise(0.0).alias(c)
             for s, c in zip(sources, rcols)
         ],
-    ).repartition(edges.sparkSession.sparkContext.defaultParallelism, "id")
-    ranks = ranks.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
     for it in range(num_iters):
         contrib = (

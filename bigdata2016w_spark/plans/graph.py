@@ -37,7 +37,11 @@ def pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 personalized PageRank per source over the orders-derived
     graph (sources 0 and 1, 10 iterations, α=0.15)."""
     edges = order_graph_edges(spark, sf_dir)
-    ranks = personalized_pagerank(edges, PR_SOURCES, num_iters=PR_ITERS)
+    # ~200 nodes: small explicit partitioning — 32-way shuffles of a
+    # 200-row table would be pure empty-task overhead × 10 iterations
+    ranks = personalized_pagerank(
+        edges, PR_SOURCES, num_iters=PR_ITERS, num_partitions=4
+    )
     return top_k_per_source(ranks, PR_SOURCES, k=10)
 
 
