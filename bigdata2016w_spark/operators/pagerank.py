@@ -48,6 +48,7 @@ def personalized_pagerank(
     alpha: float = ALPHA,
     checkpoint_every: int = 3,
     num_partitions: int | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Run personalized PageRank; returns (id, rank_0..rank_{k-1}).
 
@@ -58,6 +59,11 @@ def personalized_pagerank(
     ``num_partitions`` sizes every per-iteration shuffle; default is the
     cluster parallelism — pass a smaller value for small graphs (empty
     tasks × iterations dominate otherwise) and a larger one at scale.
+
+    ``tol``: optional early stop when the max L1 rank change across all
+    sources drops below it (the reference only supported fixed iteration
+    counts, RunPersonalizedPageRankBasic.java:466-469). Convergence checks
+    piggyback on the checkpoint sync — no extra jobs between checkpoints.
     """
     spark = edges.sparkSession
     k = len(sources)
@@ -87,6 +93,7 @@ def personalized_pagerank(
         ],
     ).localCheckpoint(eager=True)
 
+    ranks_prev: DataFrame | None = None
     for it in range(num_iters):
         contrib = (
             ranks.join(edges, ranks.id == edges.src)
@@ -132,6 +139,24 @@ def personalized_pagerank(
         )
         if (it + 1) % checkpoint_every == 0 or it == num_iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            if tol is not None:
+                if ranks_prev is not None:
+                    delta = (
+                        ranks.alias("n")
+                        .join(ranks_prev.alias("p"), "id")
+                        .agg(
+                            F.max(
+                                sum(
+                                    F.abs(F.col(f"n.{c}") - F.col(f"p.{c}"))
+                                    for c in rcols
+                                )
+                            ).alias("d")
+                        )
+                        .collect()[0]["d"]
+                    )
+                    if delta is not None and delta < tol:
+                        break
+                ranks_prev = ranks
     return ranks
 
 

@@ -19,7 +19,10 @@ _S = T.StringType()
 _I = T.IntegerType()
 _L = T.LongType()
 _D = T.DoubleType()
-_TS = T.TimestampType()
+# parquet timestamps in the testdata are naive (isAdjustedToUTC=false);
+# Spark 4 reads them as TIMESTAMP_NTZ — declare the same so text-format
+# ingestion (read_tbl) produces identical schemas
+_TS = T.TimestampNTZType()
 
 
 def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
@@ -50,9 +53,11 @@ SCHEMAS: dict[str, T.StructType] = {
         ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
         ("l_linestatus", _S), ("l_shipdate", _TS),
     ),
+    # events.ts is TIMESTAMP(NANOS) on disk; the loader converts the raw
+    # long to a (session-tz UTC) timestamp via timestamp_micros
     "events": _st(
-        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
-        ("value", _D), ("props", _S),
+        ("event_id", _L), ("ts", T.TimestampType()), ("user_id", _L),
+        ("event_type", _S), ("value", _D), ("props", _S),
     ),
     "documents": _st(
         ("doc_id", _L), ("text", _S), ("lang", _S), ("source", _S), ("n_chars", _L),

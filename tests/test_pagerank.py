@@ -93,3 +93,24 @@ def test_adjacency_reader(spark, tmp_path):
     edges = read_adjacency(spark, str(p))
     got = sorted((r.src, r.dst) for r in edges.collect())
     assert got == [(1, 2), (1, 3), (2, 3), (4, 1)]
+
+
+def test_convergence_early_stop(spark):
+    """tol-based early stop returns (near-)converged ranks: running with a
+    loose tol must agree with many fixed iterations within that tol."""
+    from bigdata2016w_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    fixed = {
+        r["id"]: r["rank_0"]
+        for r in personalized_pagerank(edges, [0], num_iters=60).collect()
+    }
+    early = {
+        r["id"]: r["rank_0"]
+        for r in personalized_pagerank(
+            edges, [0], num_iters=60, tol=1e-7, checkpoint_every=5
+        ).collect()
+    }
+    assert set(early) == set(fixed)
+    for k in fixed:
+        assert abs(early[k] - fixed[k]) < 1e-6

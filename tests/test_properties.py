@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) — the test tier the reference lacked
+entirely (SURVEY §5: 'no property-based, randomized, or SQL-logic-test
+corpus anywhere')."""
+
+import re
+from datetime import date, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- date prefix bounds: pure function, no Spark needed ---
+
+@given(
+    st.integers(min_value=1, max_value=9998),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=31),
+    st.sampled_from(["y", "ym", "ymd"]),
+)
+@settings(max_examples=200)
+def test_prefix_bounds_cover_exactly_the_prefix(y, m, d, kind):
+    from bigdata2016w_spark.functions.dates import prefix_bounds
+
+    try:
+        date(y, m, d)
+    except ValueError:
+        return  # not a real calendar day
+    prefix = {"y": f"{y:04d}", "ym": f"{y:04d}-{m:02d}",
+              "ymd": f"{y:04d}-{m:02d}-{d:02d}"}[kind]
+    lo, hi = prefix_bounds(prefix)
+    lo_d = date.fromisoformat(lo)
+    hi_d = date.fromisoformat(hi)
+    assert lo_d <= date(y, m, d) < hi_d
+    # boundaries: everything in [lo, hi) startswith prefix; hi does not
+    assert lo.startswith(prefix)
+    assert not hi.startswith(prefix)
+    # one day before hi still matches the prefix
+    assert (hi_d - timedelta(days=1)).isoformat().startswith(prefix)
+
+
+# --- tokenizer parity vs a direct Python reference implementation ---
+
+def _py_tokenize(line: str) -> list[str]:
+    """Literal re-expression of Tokenizer.scala:7-13 semantics."""
+    out = []
+    for t in re.split(r"\s+", line.lower()):
+        t = re.sub(r"(^[^a-z]+|[^a-z]+$)", "", t)
+        if t:
+            out.append(t)
+    return out
+
+
+@given(st.lists(
+    st.text(alphabet="abcXY z0.!'-\t", min_size=0, max_size=12),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=30, deadline=None)
+def test_tokenizer_matches_python_reference(spark_lines):
+    # one Spark session call per example is slow; batch all lines at once
+    global _SPARK
+    from bigdata2016w_spark import get_spark
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+
+    spark = get_spark(master="local[2]")
+    text = " ".join(spark_lines)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(tokenize("text").alias("t")).collect()[0][0]
+    assert got == _py_tokenize(text)
+
+
+# --- RPN evaluator vs Python set algebra ---
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=25, deadline=None)
+def test_rpn_random_queries_match_set_algebra(seed):
+    import random
+
+    rng = random.Random(seed)
+    terms = ["cat", "dog", "bird", "fish"]
+    docs_py = {
+        i: set(rng.sample(terms, rng.randint(1, 3))) for i in range(8)
+    }
+    # random postfix expression over 2-3 operands
+    n_ops = rng.randint(1, 2)
+    operands = [rng.choice(terms) for _ in range(n_ops + 1)]
+    ops = [rng.choice(["AND", "OR"]) for _ in range(n_ops)]
+    rpn = operands[:2] + [ops[0]]
+    for i in range(1, n_ops):
+        rpn += [operands[i + 1], ops[i]]
+    query = " ".join(rpn)
+
+    # python oracle on the same stack semantics
+    stack = []
+    for tok in query.split():
+        if tok == "AND":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a & b)
+        elif tok == "OR":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a | b)
+        else:
+            stack.append({i for i, ts in docs_py.items() if tok in ts})
+    want = stack[0]
+
+    from bigdata2016w_spark import get_spark
+    from bigdata2016w_spark.operators.retrieval import eval_rpn, postings_flat
+
+    spark = get_spark(master="local[2]")
+    docs = spark.createDataFrame(
+        [(i, " ".join(sorted(ts))) for i, ts in docs_py.items()],
+        ["doc_id", "text"],
+    )
+    got = {r[0] for r in eval_rpn(postings_flat(docs), query).collect()}
+    assert got == want

@@ -1,0 +1,28 @@
+"""Reference-native .tbl ingestion end-to-end: export parquet → .tbl text,
+re-ingest with read_tbl, run a real query on it — proving a reference user
+can point their existing pipe-delimited dumps at this engine."""
+
+import pyspark.sql.functions as F
+
+
+def test_tbl_roundtrip_q1(spark, sf_dir, tmp_path):
+    from bigdata2016w_spark.functions.dates import date_prefix_filter
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.text_formats import read_tbl
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # write the reference's .tbl format (pipe-delimited, dates as strings)
+    out = str(tmp_path / "lineitem_tbl")
+    (
+        li.withColumn("l_shipdate", F.date_format("l_shipdate",
+                                                  "yyyy-MM-dd HH:mm:ss"))
+        .write.option("sep", "|").mode("overwrite").csv(out)
+    )
+
+    back = read_tbl(spark, out, "lineitem")
+    assert back.dtypes == li.dtypes  # names+types (nullability may differ)
+    assert back.count() == li.count()
+
+    # q1 semantics against the text ingestion must match parquet
+    pred = date_prefix_filter(F.col("l_shipdate"), "1996-03")
+    assert back.where(pred).count() == li.where(pred).count()
