@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata2016w_spark.functions.textstats import (
+    EN_STOP,
     doc_stats_cols,
     doc_stats_sql,
     fingerprint,
@@ -30,6 +31,7 @@ from bigdata2016w_spark.operators.dedup import (
 from bigdata2016w_spark.operators.similarity import (
     embedding_near_dupes,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from bigdata2016w_spark.registry import QuerySpec, register
@@ -70,8 +72,36 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_ivf(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K)
+
+
 def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dupes(load_table(spark, sf_dir, "embeddings"))
+
+
+# quality on the synthetic corpus spans ~0.23-0.46; 0.33 ≈ the median
+QUALITY_MIN = 0.33
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality-filter + near-dup
+    removal in one declarative plan. Keeps docs with quality ≥ 0.45 that
+    are not the higher-id member of any Jaccard≥0.5 near-dup pair
+    (survivor = lowest doc_id, the exact-dedup convention). Returns
+    (doc_id, n_tokens, quality). Threshold 0.33 ≈ corpus median quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.where(F.size(tokenize("text")) > 0).select(
+        "doc_id", *doc_stats_cols(F.col("text"))
+    )
+    losers = jaccard_near_dupes(docs, JACCARD_THRESHOLD).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return (
+        stats.where(F.col("quality") >= QUALITY_MIN)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
 
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,8 +195,36 @@ register(QuerySpec("dedup_simhash", dedup_simhash, None,
 register(QuerySpec("ann_bruteforce", ann_bruteforce, _ANN_SQL,
                    doc=knn_bruteforce.__doc__))
 register(QuerySpec("ann_lsh", ann_lsh, None, doc=knn_lsh.__doc__))
+register(QuerySpec("ann_ivf", ann_ivf, None, doc=knn_ivf.__doc__))
 register(QuerySpec("embedding_near_dupes", emb_near_dupes, None,
                    doc=embedding_near_dupes.__doc__))
 register(QuerySpec("doc_stats", doc_stats, _DOC_STATS_SQL, doc=doc_stats.__doc__))
 register(QuerySpec("doc_lang_id", doc_lang_id, _LANG_ID_SQL,
                    doc=doc_lang_id.__doc__))
+
+_CURATION_SQL = f"""
+WITH {_SHINGLES},
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+stats AS (
+  SELECT doc_id, len({_TOK}) AS n_tokens,
+         round(0.4 * (CAST(len(list_filter({_TOK},
+                      x -> x IN ({', '.join(repr(w) for w in EN_STOP)}))) AS DOUBLE)
+                      / CAST(len({_TOK}) AS DOUBLE))
+               + 0.3 * least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TOK})) AS DOUBLE)
+                        / CAST(len({_TOK}) AS DOUBLE)), 6) AS quality
+  FROM documents WHERE len({_TOK}) > 0
+)
+SELECT doc_id, n_tokens, quality FROM stats
+WHERE quality >= {QUALITY_MIN}
+  AND doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+register(QuerySpec("corpus_curation", corpus_curation, _CURATION_SQL,
+                   doc=corpus_curation.__doc__))

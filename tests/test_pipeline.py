@@ -69,3 +69,27 @@ def test_jaccard_is_exact_on_known_pair(spark):
     r = rows[0]
     # shingles(1) = {abc,bcd,cde}; shingles(2) = {abc,bcd,cdf}; J = 2/4
     assert (r.doc_a, r.doc_b) == (1, 2) and r.jaccard == 0.5
+
+
+def test_curation_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["corpus_curation"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0  # threshold keeps a nontrivial corpus
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF recall@10 vs brute force must beat the scanned fraction
+    (n_probe/n_cells = 1/4) clearly; determinism across runs."""
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    ivf = all_specs()["ann_ivf"].fn(spark, sf_dir).collect()
+    ivf2 = all_specs()["ann_ivf"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+    bf_sets, ivf_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.35
