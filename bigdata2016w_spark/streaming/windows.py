@@ -90,6 +90,27 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enriched_counts(
+    events: DataFrame, users: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static user
+    dimension (broadcast per micro-batch — the streaming analogue of the
+    reference's collectAsMap broadcast, Q3.scala:42-57), then aggregates
+    per enrichment key. ``users`` must be a batch DataFrame
+    [user_id, user_bucket]."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(users, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_bucket")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_bucket",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming DF with availableNow into a memory sink and
     return the materialized result (test/driver helper)."""

@@ -44,3 +44,32 @@ def test_streaming_plans_are_stateful_with_watermark(spark, sf_dir):
     at scale); sanity-check it survives into the analyzed plan."""
     stream = tumbling_counts(events_stream(spark, sf_dir), watermark="90 minutes")
     assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir):
+    """Stream-static join parity vs the equivalent batch plan."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.windows import enriched_counts
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select("user_id", (F.col("user_id") % 10).alias("user_bucket"))
+    )
+    got = run_to_memory(
+        enriched_counts(events_stream(spark, sf_dir), users), "t_enriched"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(users, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_bucket")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_bucket", "n_events",
+        )
+    )
+    cols = ["window_start", "user_bucket", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
