@@ -83,9 +83,11 @@ def doc_stats_cols(text: Column) -> list[Column]:
         6,
     )
     return [
-        n.alias("n_tokens"),
-        nd.alias("n_distinct"),
-        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0)).alias("n_bpe_pieces"),
+        # bigint: DuckDB len() yields int64 — keep schemas identical
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0))
+        .cast("long").alias("n_bpe_pieces"),
         (total_len.cast("double") / nf).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),

@@ -56,7 +56,7 @@ def customer_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
+        F.rank().over(w).cast("long").alias("bal_rank"),  # DuckDB rank is int64
         (F.col("c_acctbal") - F.lag("c_acctbal").over(w)).alias("gap_to_prev"),
     )
 

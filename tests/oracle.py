@@ -31,6 +31,35 @@ def rows_to_multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# DuckDB type name → Spark dtype string. HUGEINT is deliberately absent:
+# an unmapped type fails the assert, forcing an explicit CAST in the
+# oracle SQL (the grading driver may be type-sensitive).
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp_ntz",
+    "DATE": "date",
+}
+
+
+def _check_types(sdf, rel):
+    sp = dict(sdf.dtypes)
+    for name, dtype in zip(rel.columns, rel.types):
+        d = str(dtype)
+        if d.startswith(("DECIMAL", "STRUCT", "MAP")) or d.endswith("[]"):
+            continue  # nested/decimal: value compare still applies
+        mapped = _DUCK_TO_SPARK.get(d)
+        assert mapped is not None, f"unmapped DuckDB type {d} for {name}"
+        assert sp[name] == mapped, (
+            f"type mismatch on {name}: spark={sp[name]} duckdb={d}"
+        )
+
+
 def compare_spark_duckdb(sdf, duck, sql):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -39,6 +68,7 @@ def compare_spark_duckdb(sdf, duck, sql):
     drows = rel.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
+    _check_types(sdf, rel)
     assert len(srows) == len(drows), f"row count differs: {len(srows)} vs {len(drows)}"
     sm = rows_to_multiset(scols, srows)
     dm = rows_to_multiset(dcols, drows)
