@@ -1,0 +1,33 @@
+"""CLI surface: list/run/explain through a real subprocess."""
+
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "bigdata2016w_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+             "SPARK_GRAFT_CPUS": "2"},
+    )
+
+
+def test_cli_list():
+    p = _run("list")
+    assert p.returncode == 0
+    assert "q7_top_revenue" in p.stdout and "[oracle]" in p.stdout
+
+
+def test_cli_run_and_unknown():
+    p = _run("run", "nation_distinct_counts",
+             "--sf-dir", "/root/testdata/sf0.001", "--limit", "3")
+    assert p.returncode == 0
+    assert "n_segments" in p.stdout
+    p2 = _run("run", "nope_not_a_query")
+    assert p2.returncode == 2
+    assert "unknown query" in p2.stderr
