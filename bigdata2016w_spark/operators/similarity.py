@@ -49,6 +49,18 @@ def cosine(a, b) -> Column:
     return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
 
 
+def norm(a) -> Column:
+    """√(a·a) in double — precompute once per vector so pairwise cosine
+    folds only the cross dot product (same bits: identical fold + same
+    division expression, just evaluated from a stored column)."""
+    ad = _as_double(a)
+    return F.sqrt(dot(ad, ad))
+
+
+def cosine_with_norms(a, na, b, nb) -> Column:
+    return dot(_as_double(a), _as_double(b)) / (na * nb)
+
+
 def knn_bruteforce(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:
@@ -57,17 +69,22 @@ def knn_bruteforce(
     Returns (query_id, vec_id, cosine), k rows per query, self excluded;
     ties broken by vec_id so selection is deterministic.
     """
-    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
+    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__n").alias("__qn"),
     )
     pairs = (
         broadcast(q)
-        .crossJoin(embeddings)
+        .crossJoin(emb_n)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            cosine_with_norms(
+                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -215,7 +232,9 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
     coarse LSH blocking (few planes → high recall at moderate thresholds),
     exact cosine verification, pairs with cosine ≥ threshold."""
     planes = _planes(dim, num_planes)
-    emb_b = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    emb_b = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    ).withColumn("__n", norm(F.col("embedding")))
     return (
         emb_b.alias("x")
         .join(emb_b.alias("y"), "bucket")
@@ -223,7 +242,10 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            cosine(F.col("x.embedding"), F.col("y.embedding")).alias("cosine"),
+            cosine_with_norms(
+                F.col("x.embedding"), F.col("x.__n"),
+                F.col("y.embedding"), F.col("y.__n"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()

@@ -39,6 +39,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.events",
     "bigdata2016w_spark.plans.analytics",
     "bigdata2016w_spark.plans.joins_setops",
+    "bigdata2016w_spark.plans.temporal",
 ]
 
 
