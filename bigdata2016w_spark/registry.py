@@ -40,6 +40,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.analytics",
     "bigdata2016w_spark.plans.joins_setops",
     "bigdata2016w_spark.plans.temporal",
+    "bigdata2016w_spark.plans.reshape",
 ]
 
 
