@@ -228,3 +228,44 @@ WHERE quality >= {QUALITY_MIN}
 
 register(QuerySpec("corpus_curation", corpus_curation, _CURATION_SQL,
                    doc=corpus_curation.__doc__))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via connected components:
+    (doc_id, cluster_rep = min doc_id in the component). Only docs that
+    participate in ≥1 near-dup pair appear."""
+    from bigdata2016w_spark.operators.components import connected_components
+
+    pairs = jaccard_near_dupes(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("component").alias("cluster_rep"))
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, other) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s2.b FROM reach r JOIN sym s2 ON r.other = s2.a
+)
+SELECT node AS doc_id,
+       least(node, min(other)) AS cluster_rep
+FROM reach GROUP BY node
+"""
+
+register(QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL,
+                   doc=dedup_clusters.__doc__))
