@@ -1,0 +1,69 @@
+"""Deterministic sampling / splitting for training pipelines.
+
+Seeded ``rand()``/``randomSplit`` sampling is partition-order dependent —
+repartition the input and the sample changes. These ops hash the KEY
+instead (multiplicative Knuth hash in plain int64 arithmetic), so the
+selection is a pure function of the row: reproducible across engines,
+partitionings, and cluster sizes — which also makes them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+KNUTH = 2654435761  # 2^32 / golden ratio
+TRAIN_PCT = 80
+STRATA_PCT = {"en": 30, "de": 60, "es": 60, "fr": 60, "zh": 60}
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic 0..buckets-1 bucket from an integer key."""
+    return ((key * F.lit(KNUTH)) % F.lit(2147483648)) % F.lit(buckets)
+
+
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test tag per document — stable under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(b < TRAIN_PCT, "train").otherwise("test").alias("split"),
+    )
+
+
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (downsample dominant 'en' to 30%,
+    others 60%) — the stratified-sampling shape of corpus rebalancing."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    pct = F.create_map(
+        *[F.lit(x) for kv in STRATA_PCT.items() for x in kv]
+    )[F.col("lang")]
+    return docs.where(b < pct).select("doc_id", "lang")
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN ((doc_id * {KNUTH}) % 2147483648) % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATA_PCT.items()
+)
+
+_STRATA_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * {KNUTH}) % 2147483648) % 100
+      < (CASE {_STRATA_CASE} ELSE 0 END)
+"""
+
+register(QuerySpec("doc_train_test_split", doc_train_test_split, _SPLIT_SQL,
+                   doc=doc_train_test_split.__doc__))
+register(QuerySpec("documents_stratified_sample", documents_stratified_sample,
+                   _STRATA_SQL, doc=documents_stratified_sample.__doc__))

@@ -41,6 +41,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.joins_setops",
     "bigdata2016w_spark.plans.temporal",
     "bigdata2016w_spark.plans.reshape",
+    "bigdata2016w_spark.plans.sampling",
 ]
 
 
