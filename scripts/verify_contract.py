@@ -1,0 +1,67 @@
+"""Drive the driver contract end-to-end: run every ``queries()`` entry and
+compare against ``oracle_sql()`` via DuckDB on the same parquet.
+
+    python scripts/verify_contract.py [sf_dir]
+
+Prints MATCH/MISMATCH per oracle-backed query (stringified, order- and
+column-order-insensitive — a stricter typed compare lives in
+tests/oracle.py) and rows-only counts for the rest. Exit code 1 on any
+MISMATCH.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bigdata2016w_spark import TABLES, get_spark  # noqa: E402
+
+# oracles that are O(n^2) in DuckDB — fine at the driver's sf0.01 gate,
+# skipped at larger scale factors
+QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters"}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    skip_quadratic = not sf.rstrip("/").endswith(("sf0.001", "sf0.01"))
+    spark = get_spark(app_name="verify-contract")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+    failed = []
+    for name in sorted(qs):
+        srows = sorted(tuple(map(str, r)) for r in qs[name](spark, sf).collect())
+        if name in oracles and not (skip_quadratic and name in QUADRATIC):
+            drows = sorted(tuple(map(str, r)) for r in con.sql(oracles[name]).fetchall())
+            ok = srows == drows
+            print(f"{name}: spark={len(srows)} duckdb={len(drows)} -> "
+                  f"{'MATCH' if ok else 'MISMATCH'}")
+            if not ok:
+                failed.append(name)
+                print("  spark-only:", [r for r in srows if r not in drows][:2])
+                print("  duck-only:", [r for r in drows if r not in srows][:2])
+        else:
+            print(f"{name}: rows-only, {len(srows)} rows")
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all oracle-backed queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
