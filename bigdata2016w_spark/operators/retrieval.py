@@ -89,6 +89,62 @@ def eval_rpn(postings: DataFrame, query: str) -> DataFrame:
     return stack[0]
 
 
+def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Ranked retrieval: top-k docs by BM25 over the postings table — the
+    engine's extension past the reference's boolean-only retrieval
+    (BooleanRetrievalCompressed.java evaluates membership, never rank).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    One postings scan filtered to the query terms (point lookups — the
+    same pushdown path as term_postings), broadcast of the tiny per-term
+    df/idf table, one aggregation. All counts stay int64; ln is rounded
+    at the edge (libm last-ulp).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    flat = postings_flat(docs)
+    n_docs = docs.count()
+    dl = flat.groupBy("docid").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c"))
+    hits = flat.where(F.col("term").isin(*terms))
+    df_t = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        hits.join(broadcast(df_t), "term")
+        .join(dl, "docid")
+        .crossJoin(broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl")
+                   / (F.col("s").cast("double") / F.col("c")))
+            ),
+        )
+        .groupBy("docid")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("docid", "score")
+    )
+
+
 def retrieve(docs: DataFrame, query: str) -> DataFrame:
     """RPN boolean retrieval returning (doc_id, text).
 

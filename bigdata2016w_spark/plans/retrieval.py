@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata2016w_spark.functions.tokenizer import tokenize_sql
-from bigdata2016w_spark.operators.retrieval import postings_flat, retrieve
+from bigdata2016w_spark.operators.retrieval import bm25_rank, postings_flat, retrieve
 from bigdata2016w_spark.registry import QuerySpec, register
 from bigdata2016w_spark.sources.catalog import load_table
 
@@ -48,6 +48,15 @@ def retrieval_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retrieval_or_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RPN '(query OR stream) AND table' (BooleanRetrievalCompressed.java:58-113)."""
     return retrieve(load_table(spark, sf_dir, "documents"), RPN_OR_AND)
+
+
+BM25_TERMS = ("table", "query", "stream")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25-ranked docs for the fixed 3-term query."""
+    return bm25_rank(load_table(spark, sf_dir, "documents"), list(BM25_TERMS))
 
 
 _TOK = tokenize_sql("text")
@@ -101,3 +110,33 @@ register(QuerySpec("retrieval_and", retrieval_and, _RETRIEVAL_AND_SQL,
                    doc=retrieval_and.__doc__))
 register(QuerySpec("retrieval_or_and", retrieval_or_and, _RETRIEVAL_OR_AND_SQL,
                    doc=retrieval_or_and.__doc__))
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH {_FLAT},
+dl AS (SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM flat GROUP BY docid),
+avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+hits AS (SELECT * FROM flat WHERE term IN ({_BM25_TERMS_SQL})),
+df_t AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.docid,
+         round(sum(
+           ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * (1.0 + {BM25_K1}))
+           / (h.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * l.dl / a.avgdl))
+         ), 6) AS score
+  FROM hits h
+  JOIN df_t d USING (term)
+  JOIN dl l USING (docid)
+  CROSS JOIN avgdl a CROSS JOIN n
+  GROUP BY h.docid
+)
+SELECT docid, score FROM scored
+ORDER BY score DESC, docid ASC LIMIT 10
+"""
+
+register(QuerySpec("retrieval_bm25", retrieval_bm25, _BM25_SQL,
+                   doc=retrieval_bm25.__doc__))

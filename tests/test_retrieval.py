@@ -51,3 +51,21 @@ def test_rpn_evaluator_semantics(spark):
     assert ids("dog bird AND cat AND") == [4]
     with pytest.raises(ValueError):
         eval_rpn(p, "cat dog")
+
+
+def test_bm25_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["retrieval_bm25"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from bigdata2016w_spark.operators.retrieval import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat dog"), (2, "cat dog bird fish snake lizard"),
+         (3, "bird fish"), (4, "cat")],
+        ["doc_id", "text"],
+    )
+    out = bm25_rank(docs, ["cat"], k=3).collect()
+    assert out[0]["docid"] == 1          # highest tf, short doc
+    assert {r["docid"] for r in out} == {1, 2, 4}
