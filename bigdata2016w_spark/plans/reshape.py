@@ -103,8 +103,44 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the three money columns to (measure, value) rows —
+    summed per measure so the oracle stays compact and exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT measure, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       count(*) AS n
+FROM (
+  SELECT l_orderkey, 'l_extendedprice' AS measure, l_extendedprice AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+"""
+
 register(QuerySpec("orders_pivot", orders_pivot, _PIVOT_SQL,
                    doc=orders_pivot.__doc__))
+register(QuerySpec("lineitem_unpivot", lineitem_unpivot, _UNPIVOT_SQL,
+                   doc=lineitem_unpivot.__doc__))
 register(QuerySpec("totalprice_percentiles", totalprice_percentiles, _PCT_SQL,
                    doc=totalprice_percentiles.__doc__))
 register(QuerySpec("q6_tpch_proper", q6_tpch_proper, _Q6P_SQL,

@@ -5,7 +5,7 @@ import pytest
 from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
-NAMES = ["orders_pivot", "totalprice_percentiles", "q6_tpch_proper"]
+NAMES = ["orders_pivot", "lineitem_unpivot", "totalprice_percentiles", "q6_tpch_proper"]
 
 
 @pytest.mark.parametrize("name", NAMES)
