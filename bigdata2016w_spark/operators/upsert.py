@@ -1,0 +1,70 @@
+"""Keyed upsert / slowly-changing-dimension operators.
+
+SURVEY §2.1 maps the reference's HBase sink (one Put per key,
+``JAVA/assignment7/BuildInvertedIndexHBase.java:100-107``) to "a keyed
+upsert table" capability. Without a transactional table format (Delta /
+Iceberg jars are not in this image), MERGE semantics are composed from
+anti-join + union — the standard emulation, expressed so the whole thing
+is one shuffle per side on the key:
+
+- ``upsert``: last-writer-wins merge of an updates batch into a current
+  snapshot (HBase Put semantics);
+- ``scd2_apply``: type-2 history — updated keys close their current row
+  (valid_to = batch version) and append a new open row; full history is
+  preserved with an ``is_current`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Last-writer-wins: rows from ``updates`` replace same-key rows in
+    ``current``; unmatched current rows pass through. Columns must match."""
+    untouched = current.join(updates.select(key), key, "left_anti")
+    return untouched.unionByName(updates)
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version: int,
+    version_col: str = "valid_from",
+    end_col: str = "valid_to",
+    flag_col: str = "is_current",
+) -> DataFrame:
+    """Apply an updates batch (payload columns only + key) to an SCD2
+    history table at ``version``. Current rows for updated keys are closed
+    (``valid_to = version``, flag dropped); updates append as new open
+    rows (``valid_from = version``, ``valid_to`` null)."""
+    upd_keys = updates.select(key)
+    closed = (
+        history.where(F.col(flag_col))
+        .join(upd_keys, key, "left_semi")
+        .withColumn(end_col, F.lit(version).cast("long"))
+        .withColumn(flag_col, F.lit(False))
+    )
+    unchanged_current = history.where(F.col(flag_col)).join(
+        upd_keys, key, "left_anti"
+    )
+    past = history.where(~F.col(flag_col))
+    fresh = (
+        updates.withColumn(version_col, F.lit(version).cast("long"))
+        .withColumn(end_col, F.lit(None).cast("long"))
+        .withColumn(flag_col, F.lit(True))
+    )
+    return past.unionByName(closed).unionByName(unchanged_current).unionByName(fresh)
+
+
+def scd2_init(snapshot: DataFrame, version: int = 0,
+              version_col: str = "valid_from", end_col: str = "valid_to",
+              flag_col: str = "is_current") -> DataFrame:
+    """Bootstrap an SCD2 history from a plain snapshot."""
+    return (
+        snapshot.withColumn(version_col, F.lit(version).cast("long"))
+        .withColumn(end_col, F.lit(None).cast("long"))
+        .withColumn(flag_col, F.lit(True))
+    )

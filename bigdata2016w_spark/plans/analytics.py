@@ -74,6 +74,21 @@ def nation_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile bucketing of account balances per nation — the
+    QuantileDiscretizer-shaped feature-engineering op as a window fn."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def pmi_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a1 StripesPMI physical variant: co-occurrence counts pass through a
     per-word ``map<neighbor,int>`` stripe (``HMapStFW`` of
@@ -151,6 +166,16 @@ register(QuerySpec("customer_rank_window", customer_rank_window, _WINDOW_SQL,
                    doc=customer_rank_window.__doc__))
 register(QuerySpec("nation_distinct_counts", nation_distinct_counts, _DISTINCT_SQL,
                    doc=nation_distinct_counts.__doc__))
+
+_QUARTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ntile(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+FROM customer
+"""
+
+register(QuerySpec("customer_acctbal_quartiles", customer_acctbal_quartiles,
+                   _QUARTILE_SQL, doc=customer_acctbal_quartiles.__doc__))
 # pmi_stripes shares pmi_pairs' oracle (same semantics, different layout)
 from bigdata2016w_spark.plans.text_analytics import _PMI_SQL  # noqa: E402
 

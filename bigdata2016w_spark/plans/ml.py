@@ -78,5 +78,22 @@ def sgd_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avg.join(vote, "docid")
 
 
+def sgd_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out ROC-AUC of the single SGD model — the engine twin of the
+    reference's 1-ROCA% quality metric (assignment6.md:7-40), computed
+    distributed via the rank-sum identity (operators/evaluation.py).
+    Rounded for cross-run bit stability."""
+    from bigdata2016w_spark.operators.evaluation import roc_auc
+
+    scored = sgd_scores(spark, sf_dir)
+    out = roc_auc(scored, label_col="label", score_col="spamminess")
+    return out.select(
+        F.round("auc", 6).alias("auc"),
+        F.round("one_minus_roca_pct", 4).alias("one_minus_roca_pct"),
+        "n_pos", "n_neg",
+    )
+
+
 register(QuerySpec("sgd_scores", sgd_scores, None, doc=sgd_scores.__doc__))
 register(QuerySpec("sgd_ensemble", sgd_ensemble, None, doc=sgd_ensemble.__doc__))
+register(QuerySpec("sgd_auc", sgd_auc, None, doc=sgd_auc.__doc__))

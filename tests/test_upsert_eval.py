@@ -1,0 +1,51 @@
+"""Upsert/SCD2 oracle parity + AUC evaluator unit checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+
+@pytest.mark.parametrize("name", ["orders_upsert", "orders_scd2",
+                                  "customer_acctbal_quartiles"])
+def test_upsert_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_scd2_invariants(spark, sf_dir):
+    out = all_specs()["orders_scd2"].fn(spark, sf_dir)
+    # exactly one current row per key
+    bad = (out.where(F.col("is_current"))
+           .groupBy("o_orderkey").count().where(F.col("count") != 1))
+    assert bad.count() == 0
+    # closed rows have valid_to > valid_from
+    assert out.where(F.col("valid_to").isNotNull()
+                     & (F.col("valid_to") <= F.col("valid_from"))).count() == 0
+
+
+def test_auc_known_values(spark):
+    from bigdata2016w_spark.operators.evaluation import roc_auc
+
+    # perfectly separable -> AUC 1.0
+    df = spark.createDataFrame(
+        [(1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.1)],
+        ["label", "spamminess"],
+    )
+    assert roc_auc(df).collect()[0]["auc"] == 1.0
+    # perfectly inverted -> 0.0
+    df2 = spark.createDataFrame(
+        [(1.0, 0.1), (0.0, 0.9)], ["label", "spamminess"])
+    assert roc_auc(df2).collect()[0]["auc"] == 0.0
+    # all ties -> 0.5 (average-rank correction)
+    df3 = spark.createDataFrame(
+        [(1.0, 0.5), (0.0, 0.5), (1.0, 0.5), (0.0, 0.5)],
+        ["label", "spamminess"])
+    assert roc_auc(df3).collect()[0]["auc"] == 0.5
+
+
+def test_sgd_auc_beats_chance(spark, sf_dir):
+    row = all_specs()["sgd_auc"].fn(spark, sf_dir).collect()[0]
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+    assert 0.0 <= row["auc"] <= 1.0
