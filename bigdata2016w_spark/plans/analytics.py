@@ -167,6 +167,48 @@ register(QuerySpec("customer_rank_window", customer_rank_window, _WINDOW_SQL,
 register(QuerySpec("nation_distinct_counts", nation_distinct_counts, _DISTINCT_SQL,
                    doc=nation_distinct_counts.__doc__))
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — independent subtotal shapes in one pass,
+    through the engine's spark.sql surface over registered views."""
+    from bigdata2016w_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of o_totalprice (10 × 50k-wide bins,
+    top bin open) — the scan-once profiling op."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("long")
+    return (
+        orders.groupBy(bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+_HISTOGRAM_SQL = """
+SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+       count(*) AS n
+FROM orders GROUP BY bin ORDER BY bin
+"""
+
+register(QuerySpec("orders_grouping_sets", orders_grouping_sets,
+                   _GROUPING_SETS_SQL, doc=orders_grouping_sets.__doc__))
+register(QuerySpec("totalprice_histogram", totalprice_histogram,
+                   _HISTOGRAM_SQL, doc=totalprice_histogram.__doc__))
+
 _QUARTILE_SQL = """
 SELECT c_custkey, c_nationkey, c_acctbal,
        ntile(4) OVER (PARTITION BY c_nationkey

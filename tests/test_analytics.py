@@ -13,3 +13,9 @@ NAMES = ["orders_rollup", "orders_cube", "customer_rank_window",
 def test_analytics_matches_oracle(name, spark, sf_dir, duck):
     spec = all_specs()[name]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ["orders_grouping_sets", "totalprice_histogram"])
+def test_groupingsets_histogram_match_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
