@@ -46,15 +46,20 @@ def train_sgd(instances: DataFrame, delta: float = DELTA,
     """
     import math
 
+    # The processing order is carried as a COLUMN and applied inside the
+    # fold — never rely on row order surviving the applyInPandas shuffle
+    # (Spark does not contract it). Seeded-shuffle order (the shuffle
+    # trainer, TrainSpamClassifier.scala:70-77) = sort by rand(seed).
     if shuffle_seed is not None:
-        ordered = instances.orderBy(F.rand(shuffle_seed))
+        ordered = instances.withColumn("__ord", F.rand(shuffle_seed))
     else:
-        ordered = instances.orderBy("docid")
+        ordered = instances.withColumn("__ord", F.lit(0.0))
     # single logical group → one applyInPandas task does the sequential fold
     # (the groupByKey(1) at TrainSpamClassifier.scala:90)
-    ordered = ordered.withColumn("g", F.lit(0)).coalesce(1)
+    ordered = ordered.withColumn("g", F.lit(0))
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ord", "docid"], kind="mergesort")
         w: dict[int, float] = {}
         get = w.get
         # zip over raw columns: same sequential semantics as iterrows,
