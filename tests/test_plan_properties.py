@@ -65,3 +65,13 @@ def test_semi_join_stays_semi(spark, sf_dir):
 
     plan = _formatted_plan(customers_semi(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_asof_join_is_joinless_single_carry_window(spark, sf_dir):
+    """The as-of composition must stay union+window — no join operator,
+    no cartesian product (the naive formulation explodes at scale)."""
+    from bigdata2016w_spark.plans.temporal import asof_purchase_view
+
+    plan = _formatted_plan(asof_purchase_view(spark, sf_dir))
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
