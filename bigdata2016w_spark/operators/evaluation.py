@@ -7,9 +7,13 @@ grader tool. Here AUC is a DataFrame computation via the rank-sum
 
     AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N)
 
-One global sort (window rank with deterministic tiebreak), one
-aggregation — no collect, scales to any score table. Ties in score are
-handled by average-rank (the standard correction), so AUC matches the
+Scale shape: the raw score table is first reduced by a *distributed*
+``groupBy(score)`` (map-side partial aggregation, one hash shuffle), and
+only the distinct-score table — orders of magnitude smaller than the row
+count for any real score distribution — flows through the ordered
+running-total window that assigns rank sums. No window ever sees the raw
+rows, so there is no single-partition funnel over the data. Ties in score
+are handled by average-rank (the standard correction), so AUC matches the
 trapezoidal ROC definition exactly.
 """
 
@@ -23,19 +27,28 @@ from pyspark.sql.window import Window
 def roc_auc(scored: DataFrame, label_col: str = "label",
             score_col: str = "spamminess") -> DataFrame:
     """→ 1-row DataFrame (auc double, one_minus_roca_pct double, n_pos,
-    n_neg). Average-rank tie handling."""
-    w_rank = Window.orderBy(F.asc(score_col))
-    ranked = scored.select(
-        F.col(label_col).alias("y"),
-        F.rank().over(w_rank).alias("rmin"),
-        F.count("*").over(
-            Window.partitionBy(score_col)
-        ).alias("nties"),
-    ).withColumn("r", F.col("rmin") + (F.col("nties") - 1) / 2.0)
+    n_neg). Average-rank tie handling.
+
+    For a score group with ``cnt`` rows whose first (min) global rank is
+    ``cum_before + 1``, every row's average rank is ``cum_before +
+    (cnt + 1)/2``; positives contribute ``pos × that`` to the rank sum —
+    identical to per-row ``rank() + (nties − 1)/2``, without ranking rows.
+    """
+    grouped = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col(label_col) == 1.0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col(label_col) != 1.0, 1).otherwise(0)).alias("neg"),
+    )
+    w_cum = Window.orderBy(F.asc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grouped.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "r", F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    )
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("rsum"),
-        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("p"),
-        F.sum(F.when(F.col("y") != 1.0, 1).otherwise(0)).alias("n"),
+        F.sum(F.col("pos") * F.col("r")).alias("rsum"),
+        F.sum("pos").alias("p"),
+        F.sum("neg").alias("n"),
     )
     return agg.select(
         (

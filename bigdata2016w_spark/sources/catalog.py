@@ -74,6 +74,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS): readable only with nanosAsLong.
+        # Sessions not built by session.get_spark (e.g. an external
+        # harness) lack the conf; it is runtime-settable, so set it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong — floor to µs precision,
@@ -92,6 +97,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view so the full surface is
     reachable through ``spark.sql`` (the engine's SQL API — the reference
-    had no SQL surface at all)."""
-    for name, df in load_all(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    had no SQL surface at all).
+
+    Resilient per table: one unloadable/missing table must not sink
+    queries that never touch it, so failures are skipped with a warning.
+    """
+    import warnings
+
+    for name in TABLES:
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # pragma: no cover - depends on bad data
+            warnings.warn(f"register_views: skipping table {name!r}: {exc}")

@@ -17,9 +17,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bigdata2016w_spark import TABLES, get_spark  # noqa: E402
+from bigdata2016w_spark import TABLES  # noqa: E402
 
 # oracles that are O(n^2) in DuckDB — fine at the driver's sf0.01 gate,
 # skipped at larger scale factors
@@ -29,7 +30,17 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters"}
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     skip_quadratic = not sf.rstrip("/").endswith(("sf0.001", "sf0.01"))
-    spark = get_spark(app_name="verify-contract")
+    # Deliberately a BARE session, not get_spark(): the grading driver
+    # builds its own session without the engine's confs (nanosAsLong, UTC
+    # tz, Arrow, AQE), so correctness must hold on a vanilla session too.
+    spark = (
+        SparkSession.builder.appName("verify-contract")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     df = entrymod.entry(spark)

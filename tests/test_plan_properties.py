@@ -67,6 +67,25 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_roc_auc_window_sees_only_grouped_scores(spark):
+    """AUC's rank window must consume the distinct-score aggregate, never
+    the raw score rows — a window over raw rows is a single-partition
+    funnel at scale. In the plan tree the Window's subtree (printed below
+    it) must therefore contain the partial+final groupBy(score) pair."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.evaluation import roc_auc
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("double").alias("spamminess"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    plan = _formatted_plan(roc_auc(df))
+    assert "Window" in plan
+    below_window = plan.split("Window", 1)[1].split("\n\n")[0]
+    assert below_window.count("HashAggregate") >= 2
+
+
 def test_asof_join_is_joinless_single_carry_window(spark, sf_dir):
     """The as-of composition must stay union+window — no join operator,
     no cartesian product (the naive formulation explodes at scale)."""
