@@ -102,12 +102,18 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10,
     same pushdown path as term_postings), broadcast of the tiny per-term
     df/idf table, one aggregation. All counts stay int64; ln is rounded
     at the edge (libm last-ulp).
+
+    Scale shape: N (corpus size) and avgdl are 1-row aggregates folded
+    into the plan as broadcast cross-joins — no separate driver-side
+    count job — and the final top-k is ``orderBy().limit(k)``, which
+    Catalyst plans as TakeOrderedAndProject (per-partition bounded heaps
+    + driver merge of k×partitions rows), never a single-partition
+    global window.
     """
     from pyspark.sql.functions import broadcast
-    from pyspark.sql.window import Window
 
     flat = postings_flat(docs)
-    n_docs = docs.count()
+    nd = docs.agg(F.count("*").alias("n_docs"))
     dl = flat.groupBy("docid").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c"))
     hits = flat.where(F.col("term").isin(*terms))
@@ -116,10 +122,12 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10,
         hits.join(broadcast(df_t), "term")
         .join(dl, "docid")
         .crossJoin(broadcast(avgdl))
+        .crossJoin(broadcast(nd))
         .withColumn(
             "idf",
             F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
                 + 1.0
             ),
         )
@@ -137,10 +145,9 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10,
         .groupBy("docid")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("docid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        scored.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
         .select("docid", "score")
     )
 

@@ -230,7 +230,18 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
                          num_planes: int = 4, dim: int = 64) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc-level dedup by embedding):
     coarse LSH blocking (few planes → high recall at moderate thresholds),
-    exact cosine verification, pairs with cosine ≥ threshold."""
+    exact cosine verification, pairs with cosine ≥ threshold.
+
+    Bucket-occupancy math — size ``num_planes`` to the corpus: P planes
+    give 2^P buckets, so near-isotropic data puts ~N/2^P vectors per
+    bucket and the within-bucket verify join costs Σ n_b² ≈ N²/2^P
+    comparisons. That is quadratic in N for fixed P; to keep per-bucket
+    work bounded at B vectors, choose P ≈ log2(N/B) (e.g. N=10⁹, B=10⁴ →
+    P≈17). Recall falls as P grows — a pair at cosine θ survives one
+    plane with probability 1 − arccos(θ)/π, all P planes with that to the
+    P-th power — so at high P, production deployments re-probe
+    1-bit-distant buckets (as ``knn_lsh`` does) or run multiple
+    independent plane sets and union candidates."""
     planes = _planes(dim, num_planes)
     emb_b = embeddings.withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)

@@ -19,37 +19,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Exact groupBy(keys).agg for algebraic aggregates, resilient to hot
-    keys. ``aggs`` maps output column name → phase-1 aggregate expression;
-    phase 2 re-aggregates with the matching merge fn (sum→sum, count→sum,
-    min→min, max→max) inferred from the expression name.
+    keys. ``aggs`` maps output column name → (phase-1 aggregate
+    expression, merge) where merge ∈ {'sum', 'min', 'max'} re-aggregates
+    the per-salt partials (count partials merge with 'sum'). The merge is
+    explicit because it is a property of the aggregate's algebra the
+    caller knows, not something inferable from an expression tree.
     """
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
 
-    def merge(name: str, expr: Column) -> Column:
-        fn = expr._jc.toString().split("(")[0].lower()
-        col = F.col(f"__p_{name}")
-        if fn.startswith("count") or fn.startswith("sum"):
-            return F.sum(col).alias(name)
-        if fn.startswith("min"):
-            return F.min(col).alias(name)
-        if fn.startswith("max"):
-            return F.max(col).alias(name)
-        raise ValueError(f"non-algebraic aggregate for salting: {fn}")
+    def merge(name: str, how: str) -> Column:
+        if how not in _MERGE_FNS:
+            raise ValueError(
+                f"merge for {name!r} must be one of {sorted(_MERGE_FNS)}, "
+                f"got {how!r}"
+            )
+        return _MERGE_FNS[how](F.col(f"__p_{name}")).alias(name)
 
     return phase1.groupBy(*keys).agg(
-        *[merge(name, expr) for name, expr in aggs.items()]
+        *[merge(name, how) for name, (_, how) in aggs.items()]
     )
 
 

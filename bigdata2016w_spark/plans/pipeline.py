@@ -29,6 +29,7 @@ from bigdata2016w_spark.operators.dedup import (
     simhash_near_dupes,
 )
 from bigdata2016w_spark.operators.similarity import (
+    _planes,
     embedding_near_dupes,
     knn_bruteforce,
     knn_ivf,
@@ -41,15 +42,38 @@ JACCARD_THRESHOLD = 0.5
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 KNN_K = 10
 
+# Three registered queries consume the same Jaccard near-dup pair set
+# (dedup_jaccard, corpus_curation, dedup_clusters). The PPJoin pipeline
+# behind it is the most expensive plan in the engine, so a suite run that
+# recomputes it per consumer pays ~3× for identical rows. Memoize the
+# *result* DataFrame per (session, sf_dir, threshold) and localCheckpoint
+# it: the first consumer materializes, the rest reuse the checkpointed
+# partitions. At cluster scale the same pattern is "write the pairs table
+# once, read it from each downstream job".
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _shared_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    # keyed by applicationId: a checkpointed RDD dies with its context, so
+    # a restarted session must never see a stale cache entry
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    df = _JACCARD_PAIRS_CACHE.get(key)
+    if df is None:
+        df = jaccard_near_dupes(
+            load_table(spark, sf_dir, "documents"), threshold
+        ).localCheckpoint(eager=False)
+        _JACCARD_PAIRS_CACHE[key] = df
+    return df
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_near_dupes(
-        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
-    )
+    return _shared_jaccard_pairs(spark, sf_dir)
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +118,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.where(F.size(tokenize("text")) > 0).select(
         "doc_id", *doc_stats_cols(F.col("text"))
     )
-    losers = jaccard_near_dupes(docs, JACCARD_THRESHOLD).select(
+    losers = _shared_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     return (
@@ -174,6 +198,82 @@ ranked AS (
 SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
 """
 
+# ---- SQL twins of the hyperplane-LSH operators ------------------------
+# The LSH buckets are literal-float hyperplane dot products (no xxhash),
+# so they are fully expressible in DuckDB with the engine's exact fold
+# order: left-fold from 0.0 in Spark ≡ list_reduce's first-element seed
+# ((0.0 + a) is bit-identical to a), per-element double promotion on both
+# sides. Plane literals round-trip exactly via repr().
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, len({a}) + 1)], (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        d = (
+            f"list_reduce([CAST({vec}[i] AS DOUBLE) * ({arr})[i] "
+            f"for i in range(1, len({vec}) + 1)], (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_PLANES_LIT = _planes(64, 4)
+_PROBE_LIST = "[qb, " + ", ".join(f"xor(qb, {1 << i})" for i in range(4)) + "]"
+
+_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding', _LSH_PLANES_LIT)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+probes AS (
+  SELECT query_id, qe, unnest({_PROBE_LIST}) AS bucket FROM q
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, e.vec_id,
+         {_cos_sql('p.qe', 'e.embedding')} AS cosine
+  FROM probes p JOIN b e
+    ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+_EMB_NEAR_DUPES_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding', _LSH_PLANES_LIT)} AS bucket,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS n
+  FROM embeddings
+)
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {_dot_sql('x.embedding', 'y.embedding')} / (x.n * y.n) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {_dot_sql('x.embedding', 'y.embedding')} / (x.n * y.n) >= 0.4
+"""
+
 _DOC_STATS_SQL = f"""
 SELECT doc_id, {doc_stats_sql('text')}, {fingerprint_sql('text')} AS fingerprint
 FROM documents
@@ -194,9 +294,9 @@ register(QuerySpec("dedup_simhash", dedup_simhash, None,
                    doc=simhash_near_dupes.__doc__))
 register(QuerySpec("ann_bruteforce", ann_bruteforce, _ANN_SQL,
                    doc=knn_bruteforce.__doc__))
-register(QuerySpec("ann_lsh", ann_lsh, None, doc=knn_lsh.__doc__))
+register(QuerySpec("ann_lsh", ann_lsh, _ANN_LSH_SQL, doc=knn_lsh.__doc__))
 register(QuerySpec("ann_ivf", ann_ivf, None, doc=knn_ivf.__doc__))
-register(QuerySpec("embedding_near_dupes", emb_near_dupes, None,
+register(QuerySpec("embedding_near_dupes", emb_near_dupes, _EMB_NEAR_DUPES_SQL,
                    doc=embedding_near_dupes.__doc__))
 register(QuerySpec("doc_stats", doc_stats, _DOC_STATS_SQL, doc=doc_stats.__doc__))
 register(QuerySpec("doc_lang_id", doc_lang_id, _LANG_ID_SQL,
@@ -236,9 +336,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     participate in ≥1 near-dup pair appear."""
     from bigdata2016w_spark.operators.components import connected_components
 
-    pairs = jaccard_near_dupes(
-        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     cc = connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"),
                      F.col("component").alias("cluster_rep"))

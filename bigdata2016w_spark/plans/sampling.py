@@ -21,8 +21,23 @@ STRATA_PCT = {"en": 30, "de": 60, "es": 60, "fr": 60, "zh": 60}
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
-    """Deterministic 0..buckets-1 bucket from an integer key."""
+    """Deterministic 0..buckets-1 bucket from an integer key.
+
+    Range limit: ``key * KNUTH`` is plain int64 arithmetic, so keys above
+    ~2^63/KNUTH ≈ 3.4e9 overflow (Spark and DuckDB both wrap two's-
+    complement, so the *comparison* still matches the oracle, but bucket
+    quality degrades). For genuinely unbounded 100 TB keyspaces use the
+    xxhash64 variant below — it trades away the DuckDB oracle (DuckDB has
+    no xxhash64), which is why the oracle-checked queries keep the Knuth
+    form over bounded ``doc_id`` keys.
+    """
     return ((key * F.lit(KNUTH)) % F.lit(2147483648)) % F.lit(buckets)
+
+
+def hash_bucket_xx(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket via xxhash64 — full-avalanche over arbitrary
+    int64 keys (the 100 TB keyspace-safe variant; not oracle-portable)."""
+    return F.pmod(F.xxhash64(key), F.lit(buckets))
 
 
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,31 @@ def test_convergence_early_stop(spark):
     assert set(early) == set(fixed)
     for k in fixed:
         assert abs(early[k] - fixed[k]) < 1e-6
+
+
+def test_range_partitioned_edges_identical_ranks(spark):
+    """repartitionByRange is the engine twin of the reference's
+    RangePartitioner (JAVA/assignment4/RangePartitioner.java:23-25 — node
+    ranges across reducers). PPR must be partition-invariant: range- and
+    hash-partitioned edge layouts give bitwise-identical ranks, and the
+    range layout plans a RangePartitioning exchange."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    ranged = edges.repartitionByRange(4, F.col("src"))
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    by_hash = {
+        r["id"]: r["rank_0"]
+        for r in personalized_pagerank(
+            edges.repartition(4, "src"), [0], num_iters=8
+        ).collect()
+    }
+    by_range = {
+        r["id"]: r["rank_0"]
+        for r in personalized_pagerank(ranged, [0], num_iters=8).collect()
+    }
+    assert by_range == by_hash

@@ -57,6 +57,24 @@ def test_embedding_near_dupes_shape(spark, sf_dir):
     assert all(r.vec_a < r.vec_b and r.cosine >= 0.4 for r in rows)
 
 
+def test_embedding_near_dupes_plane_count_scaling(spark, sf_dir):
+    """num_planes is the scale knob (2^P buckets → N²/2^P verify cost):
+    more planes must only *shrink* the candidate set — every pair found
+    under stricter blocking is found under coarser blocking (a pair
+    agrees on P+k sign bits ⇒ it agrees on the first P), and every
+    reported pair still verifies cosine ≥ threshold."""
+    from bigdata2016w_spark.operators.similarity import embedding_near_dupes
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p4 = {(r.vec_a, r.vec_b) for r in
+          embedding_near_dupes(emb, num_planes=4).collect()}
+    p8_rows = embedding_near_dupes(emb, num_planes=8).collect()
+    p8 = {(r.vec_a, r.vec_b) for r in p8_rows}
+    assert p8 <= p4
+    assert all(r.cosine >= 0.4 for r in p8_rows)
+
+
 def test_jaccard_is_exact_on_known_pair(spark):
     from bigdata2016w_spark.operators.dedup import jaccard_near_dupes
 

@@ -86,6 +86,18 @@ def test_roc_auc_window_sees_only_grouped_scores(spark):
     assert below_window.count("HashAggregate") >= 2
 
 
+def test_bm25_topk_is_take_ordered_no_window(spark, sf_dir):
+    """BM25's top-k must plan as TakeOrderedAndProject (bounded per-
+    partition heaps), never a global single-partition window; corpus size
+    N must be an in-plan broadcast 1-row aggregate, not a separate
+    driver-side count job."""
+    from bigdata2016w_spark.plans.retrieval import retrieval_bm25
+
+    plan = _formatted_plan(retrieval_bm25(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_asof_join_is_joinless_single_carry_window(spark, sf_dir):
     """The as-of composition must stay union+window — no join operator,
     no cartesian product (the naive formulation explodes at scale)."""

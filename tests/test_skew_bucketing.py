@@ -27,10 +27,10 @@ def test_salted_aggregate_exact(spark, sf_dir):
             li,
             ["l_returnflag"],
             {
-                "n": F.count("*"),
-                "q": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
-                "mn": F.min("l_orderkey"),
-                "mx": F.max("l_orderkey"),
+                "n": (F.count("*"), "sum"),
+                "q": (F.sum(F.col("l_quantity").cast("decimal(18,2)")), "sum"),
+                "mn": (F.min("l_orderkey"), "min"),
+                "mx": (F.max("l_orderkey"), "max"),
             },
         ).collect()
     }
