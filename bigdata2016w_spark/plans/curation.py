@@ -1,0 +1,236 @@
+"""Corpus-curation analytics beyond near-dup removal — the repetition /
+contamination / duplicated-span filters a large-scale training-data
+pipeline runs before (or alongside) dedup. No reference counterpart (the
+reference stops at tokenize/count, ``SCALA/assignment2/Tokenizer.scala``);
+these are the engine's LLM-pipeline extension, modeled on the public C4 /
+Gopher filtering recipes.
+
+Every query is a composition of explode → hash aggregate → equi-join, so
+each is one-or-two-shuffle scalable: no windows over raw rows, no
+quadratic candidate sets, broadcast only for the (small) benchmark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
+from bigdata2016w_spark.operators.dedup import shingle_sets
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+# stand-in "benchmark" set for contamination checks: in production this is
+# the eval-benchmark corpus; here the first docs of the table
+BENCH_MAX_DOC_ID = 10
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    that are repeats (1 − distinct/n), the most-frequent-token fraction,
+    and the most-frequent-bigram fraction. High values flag boilerplate /
+    degenerate text for removal.
+
+    Shape: explode → (doc, token) count → per-doc max/sum — two partial-
+    aggregated shuffles, no per-doc window.
+    """
+    toks = docs.select("doc_id", tokenize("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("w"))
+    tc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    uni = tc.groupBy("doc_id").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("d"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    bagg = bc.groupBy("doc_id").agg(
+        F.max("c").alias("bmx"), F.sum("c").alias("bn")
+    )
+    return (
+        uni.join(bagg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("mx").cast("double") / F.col("n").cast("double"), 6
+            ).alias("top_token_frac"),
+            F.round(
+                F.col("bmx").cast("double") / F.col("bn").cast("double"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def contamination(docs: DataFrame,
+                  bench_max_doc_id: int = BENCH_MAX_DOC_ID) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing ≥1
+    3-gram shingle with the benchmark set (doc_id < bench_max_doc_id),
+    with the count of distinct shared shingles and the contaminated
+    fraction of the doc's shingle set.
+
+    Shape: the benchmark shingle set is tiny → broadcast equi-join against
+    the exploded corpus shingles; per-doc count-distinct aggregate. At
+    100 TB the corpus side streams through one scan — cost is linear in
+    corpus shingles, independent of corpus pair count.
+    """
+    sh = shingle_sets(docs)
+    bench = (
+        sh.where(F.col("doc_id") < bench_max_doc_id)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= bench_max_doc_id).select(
+        "doc_id", F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("sh"),
+    )
+    return (
+        corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("shared_shingles"))
+        .select(
+            "doc_id",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination(load_table(spark, sf_dir, "documents"))
+
+
+def dup_spans(docs: DataFrame) -> DataFrame:
+    """Per-document fraction of 3-gram shingles that occur in ≥2 documents
+    — the duplicated-span signal behind C4-style span-level dedup (a doc
+    that is 90 % duplicated spans is boilerplate even if no single pair
+    passes the Jaccard threshold).
+
+    Shape: explode → global shingle-df count (partial agg) → join back →
+    per-doc aggregate. Two shuffles, both on the shingle/doc key.
+    """
+    sh = shingle_sets(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sdf = ex.groupBy("sh").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        ex.join(sdf, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "dup_shingles",
+            F.round(
+                F.col("dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+_TOK = tokenize_sql("text")
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE len({_TOK}) >= 2
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+uni AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS d
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                         for i in range(1, len(t))]) AS b
+  FROM toks
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bagg AS (SELECT doc_id, max(c) AS bmx, sum(c) AS bn FROM bc GROUP BY doc_id)
+SELECT uni.doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_token_frac,
+       round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_token_frac,
+       round(CAST(bmx AS DOUBLE) / CAST(bn AS DOUBLE), 6) AS top_bigram_frac
+FROM uni JOIN bagg ON uni.doc_id = bagg.doc_id
+"""
+
+_SHINGLES3 = f"""
+s AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS sh
+  FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+"""
+
+_CONTAMINATION_SQL = f"""
+WITH {_SHINGLES3},
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < {BENCH_MAX_DOC_ID}
+),
+corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+  FROM s WHERE doc_id >= {BENCH_MAX_DOC_ID}
+)
+SELECT doc_id, count(*) AS shared_shingles,
+       round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         AS contaminated_frac
+FROM corpus JOIN bench ON corpus.g = bench.g
+GROUP BY doc_id, n_shingles
+"""
+
+_DUP_SPAN_SQL = f"""
+WITH {_SHINGLES3},
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sdf AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM ex GROUP BY g)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_shingles,
+       round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_span_frac
+FROM ex JOIN sdf ON ex.g = sdf.g
+GROUP BY doc_id
+"""
+
+register(QuerySpec("doc_repetition_stats", doc_repetition_stats,
+                   _REPETITION_SQL, doc=repetition_stats.__doc__))
+register(QuerySpec("contamination_check", contamination_check,
+                   _CONTAMINATION_SQL, doc=contamination.__doc__))
+register(QuerySpec("dup_span_fraction", dup_span_fraction, _DUP_SPAN_SQL,
+                   doc=dup_spans.__doc__))

@@ -43,6 +43,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.reshape",
     "bigdata2016w_spark.plans.sampling",
     "bigdata2016w_spark.plans.upsert_plans",
+    "bigdata2016w_spark.plans.curation",
 ]
 
 

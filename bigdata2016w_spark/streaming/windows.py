@@ -111,13 +111,33 @@ def enriched_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming first-arrival dedup per key with *bounded* state:
+    ``dropDuplicatesWithinWatermark`` evicts key state once the event-time
+    watermark passes, so memory is proportional to keys-per-horizon, not
+    keys-ever-seen. (Plain ``dropDuplicates`` on a stream is the classic
+    scale trap — its state grows without bound.) The batch twin is
+    ``SELECT DISTINCT keys``; parity on the key set is asserted in
+    tests/test_streaming.py."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DF with availableNow into a memory sink and
-    return the materialized result (test/driver helper)."""
+    return the materialized result (test/driver helper). Aggregating
+    streams replay in ``complete`` mode; non-aggregating ones (dedup,
+    maps) need ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

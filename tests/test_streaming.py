@@ -46,6 +46,25 @@ def test_streaming_plans_are_stateful_with_watermark(spark, sf_dir):
     assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
 
 
+def test_stream_dedup_key_parity(spark, sf_dir):
+    """dropDuplicatesWithinWatermark emits exactly one row per key for a
+    replayed bounded source; the surviving key set must equal the batch
+    DISTINCT (which row survives per key is arrival-order-dependent, so
+    parity is on keys, the deterministic part)."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.windows import dedup_events
+
+    got = run_to_memory(
+        dedup_events(events_stream(spark, sf_dir)), "t_dedup", "append"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type").distinct()
+    )
+    cols = ["user_id", "event_type"]
+    assert _rows(got.select(*cols), cols) == _rows(want, cols)
+
+
 def test_stream_static_enrichment_parity(spark, sf_dir):
     """Stream-static join parity vs the equivalent batch plan."""
     import pyspark.sql.functions as F
