@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 ALPHA = 0.15  # RunPersonalizedPageRankBasic.java:373
 
@@ -169,6 +168,8 @@ def top_k_per_source(
     44-127 as a per-source window rank (SURVEY §2.6); linear space, so no
     exp() conversion is needed.
     """
+    from bigdata2016w_spark.operators.topk import topk_per_group
+
     per_source = None
     for i, s in enumerate(sources):
         part = ranks.select(
@@ -177,9 +178,6 @@ def top_k_per_source(
             F.col(f"rank_{i}").alias("rank"),
         )
         per_source = part if per_source is None else per_source.union(part)
-    w = Window.partitionBy("source").orderBy(F.desc("rank"), F.asc("id"))
-    return (
-        per_source.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("source", "id", F.round("rank", round_to).alias("rank"))
-    )
+    return topk_per_group(
+        per_source, ["source"], [F.desc("rank"), F.asc("id")], k
+    ).select("source", "id", F.round("rank", round_to).alias("rank"))

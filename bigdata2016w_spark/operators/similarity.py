@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from bigdata2016w_spark.operators.topk import topk_per_group
+
 LSH_SEED = 42
 # 4 planes = 16 buckets; with 1-bit multiprobe a query scans ~5/16 of the
 # corpus. The testdata embeddings are near-isotropic (max cosine ~0.5), the
@@ -87,12 +89,9 @@ def knn_bruteforce(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cosine")
-    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
 
 
 def _planes(dim: int, num_planes: int = LSH_PLANES) -> list[list[float]]:
@@ -147,12 +146,9 @@ def knn_lsh(
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cosine")
-    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
 
 
 def knn_ivf(
@@ -218,12 +214,9 @@ def knn_ivf(
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cosine")
-    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
 
 
 def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,

@@ -98,6 +98,17 @@ def test_bm25_topk_is_take_ordered_no_window(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_knn_topk_is_two_stage(spark, sf_dir):
+    """Per-query top-k must be local-then-global: the global per-group
+    window may only rank stage-1 survivors (≤ k·P rows per query), never
+    the full candidate set — two Window nodes in the plan, with a filter
+    between them."""
+    from bigdata2016w_spark.plans.pipeline import ann_bruteforce
+
+    plan = _formatted_plan(ann_bruteforce(spark, sf_dir))
+    assert plan.count("Window") >= 2
+
+
 def test_asof_join_is_joinless_single_carry_window(spark, sf_dir):
     """The as-of composition must stay union+window — no join operator,
     no cartesian product (the naive formulation explodes at scale)."""
