@@ -30,6 +30,20 @@ def test_image_features_pipeline(spark, sf_dir):
     assert r.n_bytes == len(docs[some_id].encode())
 
 
+@pytest.mark.parametrize("name", ["media_image_features", "media_frame_sample"])
+def test_multimodal_queries_match_oracle(name, spark, sf_dir, duck):
+    """Registered multimodal queries hash-match their DuckDB oracles
+    (fake decoder byte math transcribed to SQL — documents.text is ASCII)."""
+    from bigdata2016w_spark.registry import all_specs
+
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()[name]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
 def test_real_decoder_is_stubbed():
     from bigdata2016w_spark.operators.multimodal import decode_image
 
