@@ -20,6 +20,21 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Catalyst's InferFiltersFromGenerate rewrites explode(expr) into
+# Filter(size(expr) > 0 AND isnotnull(expr)) + Generate, duplicating the
+# generator expression into the filter. Every Generate in this engine runs
+# over a *computed* array (tokenize / shingle / sequence expressions),
+# never a bare scanned column, so the inferred filter can never reach a
+# data source — it only re-evaluates heavy higher-order expressions two
+# extra times per row (measured 6-16x slowdown on shingle explodes at
+# sf0.01). Excluded here and, for sessions not built by get_spark, at
+# runtime in sources.catalog.load_table. Results are unaffected: the rule
+# is a pure optimization, and rows it would pre-filter (empty arrays)
+# produce no Generate output anyway.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def get_spark(
     app_name: str = "bigdata2016w-spark",
@@ -50,6 +65,7 @@ def get_spark(
         # type, so read as long and convert in the loader (ns → µs floor,
         # matching DuckDB's internal µs truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config(
             "spark.sql.warehouse.dir",

@@ -74,6 +74,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Runtime-settable perf conf for sessions not built by get_spark (an
+    # external harness builds its own): see session.EXCLUDED_OPTIMIZER_RULES
+    # for why InferFiltersFromGenerate is never useful to this engine.
+    from bigdata2016w_spark.session import EXCLUDED_OPTIMIZER_RULES
+
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     if name == "events":
         # events.ts is TIMESTAMP(NANOS): readable only with nanosAsLong.
         # Sessions not built by session.get_spark (e.g. an external

@@ -117,3 +117,22 @@ def test_asof_join_is_joinless_single_carry_window(spark, sf_dir):
     plan = _formatted_plan(asof_purchase_view(spark, sf_dir))
     assert "Join" not in plan and "Cartesian" not in plan
     assert "Window" in plan
+
+
+def test_shingle_explode_has_no_inferred_generate_filter(spark, sf_dir):
+    """InferFiltersFromGenerate would clone the whole tokenize+shingle
+    expression into a Filter below the Generate (~3x the per-row cost of
+    the heaviest expression in the engine). The rule is excluded — no
+    Filter in the explode plan may mention the generator's array_distinct."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.dedup import shingle_sets
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    df = shingle_sets(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter")):
+            assert "array_distinct" not in line
