@@ -12,9 +12,11 @@ from pyspark.sql.window import Window
 from bigdata2016w_spark.operators.temporal import as_of_join, range_pair_join
 from bigdata2016w_spark.registry import QuerySpec, register
 from bigdata2016w_spark.sources.catalog import load_table
+from bigdata2016w_spark.streaming.windows import attribution_join
 
 _FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 CLOSE_GAP_S = 600
+ATTRIB_HORIZON_MIN = 30
 
 
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,6 +54,21 @@ def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_pair_join(ev, "user_id", "ts", "event_id", CLOSE_GAP_S)
 
 
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (``streaming/windows.py attribution_join``): (view, purchase) pairs
+    for the same user with the purchase within 30 minutes after the view.
+    The batch plan is a user_id equi-join with the time range as a
+    post-join filter — per-user event counts bound the pair fan-out, so
+    the shuffle keys stay balanced at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        ATTRIB_HORIZON_MIN,
+    )
+
+
 _ASOF_SQL = """
 WITH views AS (
   SELECT user_id, ts, value FROM (
@@ -83,6 +100,19 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') b
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {CLOSE_GAP_S} * 1000000
 """
 
+_ATTRIB_SQL = f"""
+SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) / 1e6 AS gap_seconds,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL {ATTRIB_HORIZON_MIN} MINUTES
+"""
+
+register(QuerySpec("view_purchase_attribution", view_purchase_attribution,
+                   _ATTRIB_SQL, doc=view_purchase_attribution.__doc__))
 register(QuerySpec("asof_purchase_view", asof_purchase_view, _ASOF_SQL,
                    doc=asof_purchase_view.__doc__))
 register(QuerySpec("events_close_pairs", events_close_pairs, _CLOSE_SQL,

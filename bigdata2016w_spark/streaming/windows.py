@@ -128,6 +128,54 @@ def dedup_events(
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (view, purchase) pair for the
+    same user where the purchase lands within ``horizon_minutes`` after
+    the view (ad-attribution shape). Both sides carry event-time
+    watermarks and the join condition bounds view_ts to a closed interval
+    around purchase_ts, so Spark can evict buffered rows once the other
+    side's watermark passes — state is proportional to events-per-horizon,
+    not the stream's history. Works identically on batch inputs
+    (withWatermark is a no-op there); parity is asserted in
+    tests/test_streaming.py against the registered batch twin.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    return (
+        p.join(
+            v,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - horizon),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+                / 1e6
+            ).alias("gap_seconds"),
+            "purchase_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DF with availableNow into a memory sink and

@@ -65,6 +65,28 @@ def test_stream_dedup_key_parity(spark, sf_dir):
     assert _rows(got.select(*cols), cols) == _rows(want, cols)
 
 
+def test_stream_stream_attribution_parity(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch interval-join pairs on a replayed source."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.streaming.windows import attribution_join
+
+    ev = events_stream(spark, sf_dir)
+    stream = attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    # Both inputs must declare watermarks or state never evicts at scale.
+    analyzed = stream._jdf.queryExecution().analyzed().toString().lower()
+    assert analyzed.count("eventtimewatermark") >= 2
+    got = run_to_memory(stream, "t_attrib", "append")
+    want = all_specs()["view_purchase_attribution"].fn(spark, sf_dir)
+    cols = ["user_id", "view_id", "purchase_id", "gap_seconds",
+            "purchase_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stream_static_enrichment_parity(spark, sf_dir):
     """Stream-static join parity vs the equivalent batch plan."""
     import pyspark.sql.functions as F
