@@ -25,12 +25,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema from catalog —
     streaming sources require a declared schema).
 
-    The file stores TIMESTAMP(NANOS): declare ts as long (the
-    nanosAsLong representation) and floor to µs, mirroring the batch
-    loader so batch/stream parity holds bit-for-bit."""
+    The file stores TIMESTAMP(NANOS), which Spark represents differently
+    across versions/confs: either a raw-nanos long (legacy
+    ``nanosAsLong``) or a µs-truncated timestamp (native ns support).
+    Rather than hard-code one, probe the batch reader's resolved dtype
+    under this session — the file stream source resolves the footer the
+    same way — and declare the matching schema, so batch/stream parity
+    holds bit-for-bit on any session."""
+    # ensure the session carries the same events-read confs as the batch
+    # loader, then inspect the raw (pre-conversion) footer resolution
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    raw_nanos = isinstance(ts_type, T.LongType)
     schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            T.StructField(f.name, T.LongType() if raw_nanos and f.name == "ts"
+                          else ts_type if f.name == "ts" else f.dataType)
             for f in SCHEMAS["events"].fields
         ]
     )
@@ -39,7 +51,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_nanos:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # watermarks require TIMESTAMP (not NTZ); the session tz is pinned to
+    # UTC so the cast is value-preserving
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -168,7 +186,10 @@ def attribution_join(
             "view_id",
             "purchase_id",
             (
-                (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+                (
+                    F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                    - F.unix_micros(F.col("view_ts").cast("timestamp"))
+                )
                 / 1e6
             ).alias("gap_seconds"),
             "purchase_value",
