@@ -1,0 +1,279 @@
+"""Language-model-flavored corpus scoring — the statistical quality
+signals a training-data pipeline computes corpus-wide (vs the per-doc
+string stats in ``functions/textstats.py``). No reference counterpart
+(the reference stops at tokenize/count, ``SCALA/assignment2/
+Tokenizer.scala``); these extend the engine's LLM-pipeline surface with
+the public KenLM/CCNet-style recipe: score documents against a language
+model estimated *from the corpus itself*.
+
+Scale notes (all four queries):
+- every aggregate is a hash aggregate with map-side partial combine;
+- the model tables (unigram counts, top-K vocab, per-term df) are
+  corpus-global but tiny relative to the corpus (vocab ≪ tokens), so the
+  score-join is broadcast-able; left un-hinted so AQE can demote if a
+  100 TB corpus ever produced a vocab past the threshold;
+- per-token float surprisal is quantized to integer micro-nats BEFORE the
+  per-doc sum, so the sum is order-independent — bit-identical across
+  partitionings and engines (a raw double sum would be neither);
+- the only windows are partitioned per-doc (TF-IDF rank), never global;
+- weighted sampling is one scan + TakeOrderedAndProject (bounded per-
+  partition heaps), the same shape as q7's top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+# per-token surprisal quantum: micro-nats. 1e6 keeps six fractional
+# digits of -ln(p) exactly (p ≥ 1/(N+V) ⇒ surprisal ≤ ~ln 4e12 ≈ 29, so
+# the quantized value fits comfortably in a BIGINT even summed per doc)
+LM_QUANT = 1_000_000
+VOCAB_K = 30
+TFIDF_TOP = 3
+SAMPLE_K = 25
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", tokenize("text").alias("t"))
+        .where(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("w"))
+    )
+
+
+def unigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Per-document average surprisal (negative log-likelihood, nats)
+    under an add-one-smoothed unigram LM estimated from the corpus —
+    the CCNet/KenLM-style "perplexity filter" signal, self-trained.
+
+    prob(w) = (c(w)+1) / (N+V); score(d) = mean over tokens of
+    −ln prob(w), rounded to 6 digits. Low = stereotypical text, high =
+    rare-token-heavy text; both tails get filtered in curation recipes.
+    """
+    tok = _tok(docs)
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v")
+    )
+    surprisal = counts.crossJoin(totals).select(
+        "w",
+        F.round(
+            -F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("v")).cast("double")
+            )
+            * LM_QUANT
+        )
+        .cast("bigint")
+        .alias("su"),
+    )
+    return (
+        tok.join(surprisal, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("su").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s").cast("double") / F.col("n_tokens") / LM_QUANT, 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def vocab_oov(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Top-``k`` corpus vocabulary (by frequency, ties broken
+    lexicographically) and each document's out-of-vocabulary token
+    fraction — the vocabulary-coverage signal behind tokenizer/vocab
+    sizing decisions."""
+    tok = _tok(docs)
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("w"))
+        .limit(k)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_frac"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (sklearn-style smoothed idf:
+    ln((1+N)/(1+df)) + 1) — a cheap distributed document-keyword /
+    feature-extraction operator. The ranking window is partitioned per
+    doc_id, so it scales; ranking uses the ROUNDED score plus a
+    lexicographic tie-break so the cut is deterministic and
+    engine-portable."""
+    tok = _tok(docs)
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    ndocs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(df_, "w").crossJoin(ndocs).select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(
+            F.col("tf")
+            * (
+                F.log(
+                    (1 + F.col("n_docs")).cast("double")
+                    / (1 + F.col("df")).cast("double")
+                )
+                + 1.0
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def weighted_sample(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis exponential-key A-ES): priority = −ln(u)/w with u a
+    deterministic per-key uniform and w = n_chars; the k SMALLEST
+    priorities win, so P(selection) ∝ weight. One scan +
+    TakeOrderedAndProject — no shuffle of the full table, reproducible
+    across runs/partitionings (the same property the engine's unweighted
+    ``plans/sampling.py`` split has).
+
+    The uniform comes from a 31-bit LCG over doc_id (integer math only,
+    reduced mod 2^31 first so products never overflow int64 even for
+    100 TB-scale key ranges)."""
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * 1103515245 + 12345
+    ) % 2147483648
+    u = (h.cast("double") + 0.5) / 2147483648.0
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(-F.log(u) / F.col("n_chars"), 9).alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_oov(load_table(spark, sf_dir, "documents"))
+
+
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+_TOK = tokenize_sql("text")
+
+_BASE = f"""
+toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE len({_TOK}) > 0
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks)
+"""
+
+_LM_SQL = f"""
+WITH {_BASE},
+counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n_total, count(*) AS v FROM counts),
+surprisal AS (
+  SELECT w,
+         CAST(round(-ln(CAST(c + 1 AS DOUBLE)
+                        / CAST(n_total + v AS DOUBLE)) * {LM_QUANT})
+              AS BIGINT) AS su
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(su) AS DOUBLE) / count(*) / {LM_QUANT}, 6) AS avg_nll
+FROM tok JOIN surprisal USING (w)
+GROUP BY doc_id
+"""
+
+_VOCAB_SQL = f"""
+WITH {_BASE},
+counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+vocab AS (SELECT w FROM counts ORDER BY c DESC, w ASC LIMIT {VOCAB_K})
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS oov_frac
+FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+GROUP BY doc_id
+"""
+
+_TFIDF_SQL = f"""
+WITH {_BASE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, w AS term,
+         round(tf * (ln(CAST(1 + n_docs AS DOUBLE)
+                        / CAST(1 + df AS DOUBLE)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP}
+"""
+
+_WSAMPLE_SQL = f"""
+SELECT doc_id, n_chars AS weight,
+       round(-ln((CAST(((doc_id % 2147483648) * 1103515245 + 12345)
+                       % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0)
+             / n_chars, 9) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT {SAMPLE_K}
+"""
+
+register(QuerySpec("doc_lm_score", doc_lm_score, _LM_SQL,
+                   doc=unigram_lm_scores.__doc__))
+register(QuerySpec("vocab_coverage", vocab_coverage, _VOCAB_SQL,
+                   doc=vocab_oov.__doc__))
+register(QuerySpec("doc_tfidf_terms", doc_tfidf_terms, _TFIDF_SQL,
+                   doc=tfidf_top_terms.__doc__))
+register(QuerySpec("documents_weighted_sample", documents_weighted_sample,
+                   _WSAMPLE_SQL, doc=weighted_sample.__doc__))

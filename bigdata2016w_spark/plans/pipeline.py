@@ -369,3 +369,26 @@ FROM reach GROUP BY node
 
 register(QuerySpec("dedup_clusters", dedup_clusters, _CLUSTERS_SQL,
                    doc=dedup_clusters.__doc__))
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster output as ``dedup_clusters`` computed with
+    the O(log n)-round large-star/small-star algorithm instead of
+    min-label propagation — the variant that survives adversarial
+    long-chain dup graphs at 100 TB (rounds bounded by log n, not
+    diameter). Shares the cached Jaccard pair set and the recursive-CTE
+    oracle with ``dedup_clusters``; both must agree exactly."""
+    from bigdata2016w_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("component").alias("cluster_rep"))
+
+
+register(QuerySpec("dedup_clusters_star", dedup_clusters_star, _CLUSTERS_SQL,
+                   doc=dedup_clusters_star.__doc__))

@@ -44,6 +44,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.sampling",
     "bigdata2016w_spark.plans.upsert_plans",
     "bigdata2016w_spark.plans.curation",
+    "bigdata2016w_spark.plans.lm_quality",
     "bigdata2016w_spark.plans.multimodal_plans",
 ]
 

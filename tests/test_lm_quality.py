@@ -1,0 +1,92 @@
+"""LM-flavored corpus scoring: oracle parity + pinned semantics on
+hand-built corpora."""
+
+import math
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_lm_score_rare_tokens_score_higher(spark):
+    from bigdata2016w_spark.plans.lm_quality import unigram_lm_scores
+
+    docs = _docs(spark, [
+        "common common common common",
+        "common common common common",
+        "common common common rare",
+    ])
+    got = {r.doc_id: r.avg_nll for r in unigram_lm_scores(docs).collect()}
+    assert got[0] == got[1] < got[2]
+    # exact value: c(common)=11, c(rare)=1, N=12, V=2
+    p_common = 12 / 14
+    su = round(-math.log(p_common) * 1e6)
+    assert got[0] == round(su / 1e6, 6)
+
+
+def test_vocab_oov_counts(spark):
+    from bigdata2016w_spark.plans.lm_quality import vocab_oov
+
+    docs = _docs(spark, [
+        "alpha alpha beta",
+        "alpha gamma delta epsilon",
+    ])
+    # k=2 vocab = {alpha (3), plus tie beta/gamma/delta/epsilon at 1 →
+    # lexicographic: beta}
+    got = {r.doc_id: (r.n_tokens, r.n_oov)
+           for r in vocab_oov(docs, k=2).collect()}
+    assert got == {0: (3, 0), 1: (4, 3)}
+
+
+def test_tfidf_distinctive_term_ranks_first(spark):
+    from bigdata2016w_spark.plans.lm_quality import tfidf_top_terms
+
+    docs = _docs(spark, [
+        "shared shared distinctive distinctive distinctive",
+        "shared shared other",
+        "shared shared another",
+    ])
+    top = {
+        (r.doc_id, r.rank): r.term
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    assert top[(0, 1)] == "distinctive"
+
+
+def test_weighted_sample_matches_manual_priorities(spark):
+    from bigdata2016w_spark.plans.lm_quality import weighted_sample
+
+    docs = _docs(spark, [f"doc number {i}" for i in range(40)])
+    got = weighted_sample(docs, k=5).collect()
+    assert len(got) == 5
+
+    def manual(doc_id, n_chars):
+        h = ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+        u = (h + 0.5) / 2147483648.0
+        return round(-math.log(u) / n_chars, 9)
+
+    texts = [f"doc number {i}" for i in range(40)]
+    expect = sorted(
+        (manual(i, len(t)), i) for i, t in enumerate(texts)
+    )[:5]
+    assert [(r.priority, r.doc_id) for r in got] == expect
+
+
+def test_weighted_sample_is_deterministic(spark, sf_dir):
+    spec = all_specs()["documents_weighted_sample"]
+    a = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_lm_quality_oracles(spark, sf_dir, duck):
+    for name in ["doc_lm_score", "vocab_coverage", "doc_tfidf_terms",
+                 "documents_weighted_sample"]:
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
