@@ -146,3 +146,102 @@ register(QuerySpec("events_sliding", events_sliding, _SLIDING_SQL,
                    doc=events_sliding.__doc__))
 register(QuerySpec("events_sessions", events_sessions, _SESSIONS_SQL,
                    doc=events_sessions.__doc__))
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users counted
+    at stage N only if their earliest stage-N event happens strictly
+    after their earliest qualifying stage-(N−1) event. Pure
+    per-user-keyed min-aggregates and equi-joins — no windows, no
+    cross-stage shuffle beyond the user key — so the funnel holds its
+    shape at any event volume (the classic product-analytics query a
+    pipeline engine must serve)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        stage = ev.where(F.col("event_type") == event_type)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").where(
+                F.col("ts") > F.col("t_prev")
+            )
+        return stage.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    views = first_after("view", None)
+    clicks = first_after("click", views)
+    purchases = first_after("purchase", clicks)
+    counts = [
+        df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        for i, (name, df) in enumerate(
+            [("view", views), ("click", clicks), ("purchase", purchases)]
+        )
+    ]
+    return counts[0].union(counts[1]).union(counts[2])
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    counted on each later active day as (cohort_date, day_offset,
+    n_users). Two user-keyed aggregates + one join — the standard
+    retention triangle, scale-safe because nothing is windowed over the
+    raw event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_prev FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_prev
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_prev
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_prev
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_prev
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+UNION ALL
+SELECT 2, 'click', count(*) FROM c
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM p
+"""
+
+_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+  SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+       count(DISTINCT days.user_id) AS n_users
+FROM days JOIN first ON days.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("events_funnel", events_funnel, _FUNNEL_SQL,
+                   doc=events_funnel.__doc__))
+register(QuerySpec("user_retention_cohorts", user_retention_cohorts,
+                   _RETENTION_SQL, doc=user_retention_cohorts.__doc__))

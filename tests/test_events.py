@@ -6,10 +6,31 @@ from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
 NAMES = ["events_json_agg", "events_tumbling_hour", "events_sliding",
-         "events_sessions"]
+         "events_sessions", "events_funnel", "user_retention_cohorts"]
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_events_matches_oracle(name, spark, sf_dir, duck):
     spec = all_specs()[name]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_users
+            for r in all_specs()["events_funnel"].fn(spark, sf_dir).collect()}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+
+
+def test_retention_day0_covers_every_user(spark, sf_dir):
+    """Every user is active on their own cohort day, so day_offset=0
+    rows must sum to the number of distinct users."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    out = all_specs()["user_retention_cohorts"].fn(spark, sf_dir)
+    day0 = (out.where(F.col("day_offset") == 0)
+            .agg(F.sum("n_users")).collect()[0][0])
+    n_users = (load_table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert day0 == n_users
