@@ -71,16 +71,25 @@ def _jaccard(sa, sb):
     return inter.cast("double") / union.cast("double")
 
 
-def jaccard_near_dupes(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_near_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """Exact near-dup pairs: shingle-set Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Prefix filtering
     (see module doc) is lossless, so the result equals the all-pairs join
     and the oracle can be plain O(n²) SQL.
+
+    ``shingled``: optionally pass an already-materialized
+    ``shingle_sets`` output (the "shingle table written once" pattern a
+    suite of dedup jobs shares at cluster scale) to skip re-shingling.
     """
     # materialize the (expensive) shingling once — it feeds the frequency
     # count, the prefix index, and both sides of the verify join
-    s = shingle_sets(docs).localCheckpoint(eager=True)
+    s = (shingled if shingled is not None
+         else shingle_sets(docs).localCheckpoint(eager=True))
     par = docs.sparkSession.sparkContext.defaultParallelism
     ex = s.select("doc_id", F.explode("shingles").alias("sh"))
     freq = ex.groupBy("sh").agg(F.count("*").alias("cf"))
@@ -151,13 +160,16 @@ def minhash_lsh_near_dupes(
     threshold: float = 0.5,
     num_perm: int = 16,
     bands: int = 4,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash banding, then exact-Jaccard
     verification of candidates. Same output schema as jaccard_near_dupes —
-    a subset of it with high probability (LSH recall)."""
+    a subset of it with high probability (LSH recall). ``shingled``: see
+    :func:`jaccard_near_dupes`."""
     rows = num_perm // bands
     # materialize shingling once: it feeds signatures and both verify sides
-    s = shingle_sets(docs).localCheckpoint(eager=True)
+    s = (shingled if shingled is not None
+         else shingle_sets(docs).localCheckpoint(eager=True))
     sig = minhash_signatures(s, num_perm)
     band_rows = sig.select(
         "doc_id",

@@ -84,7 +84,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def contamination(docs: DataFrame,
-                  bench_max_doc_id: int = BENCH_MAX_DOC_ID) -> DataFrame:
+                  bench_max_doc_id: int = BENCH_MAX_DOC_ID,
+                  shingled: DataFrame | None = None) -> DataFrame:
     """Benchmark-contamination detection: corpus documents sharing ≥1
     3-gram shingle with the benchmark set (doc_id < bench_max_doc_id),
     with the count of distinct shared shingles and the contaminated
@@ -95,7 +96,7 @@ def contamination(docs: DataFrame,
     100 TB the corpus side streams through one scan — cost is linear in
     corpus shingles, independent of corpus pair count.
     """
-    sh = shingle_sets(docs)
+    sh = shingled if shingled is not None else shingle_sets(docs)
     bench = (
         sh.where(F.col("doc_id") < bench_max_doc_id)
         .select(F.explode("shingles").alias("sh"))
@@ -122,10 +123,16 @@ def contamination(docs: DataFrame,
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return contamination(load_table(spark, sf_dir, "documents"))
+    from bigdata2016w_spark.plans.pipeline import shared_shingle_sets
+
+    return contamination(
+        load_table(spark, sf_dir, "documents"),
+        shingled=shared_shingle_sets(spark, sf_dir),
+    )
 
 
-def dup_spans(docs: DataFrame) -> DataFrame:
+def dup_spans(docs: DataFrame,
+              shingled: DataFrame | None = None) -> DataFrame:
     """Per-document fraction of 3-gram shingles that occur in ≥2 documents
     — the duplicated-span signal behind C4-style span-level dedup (a doc
     that is 90 % duplicated spans is boilerplate even if no single pair
@@ -134,7 +141,7 @@ def dup_spans(docs: DataFrame) -> DataFrame:
     Shape: explode → global shingle-df count (partial agg) → join back →
     per-doc aggregate. Two shuffles, both on the shingle/doc key.
     """
-    sh = shingle_sets(docs)
+    sh = shingled if shingled is not None else shingle_sets(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sdf = ex.groupBy("sh").agg(F.countDistinct("doc_id").alias("ndocs"))
     return (
@@ -160,7 +167,12 @@ def dup_spans(docs: DataFrame) -> DataFrame:
 
 
 def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_spans(load_table(spark, sf_dir, "documents"))
+    from bigdata2016w_spark.plans.pipeline import shared_shingle_sets
+
+    return dup_spans(
+        load_table(spark, sf_dir, "documents"),
+        shingled=shared_shingle_sets(spark, sf_dir),
+    )
 
 
 _TOK = tokenize_sql("text")

@@ -26,6 +26,7 @@ from bigdata2016w_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_near_dupes,
     minhash_lsh_near_dupes,
+    shingle_sets,
     simhash_near_dupes,
 )
 from bigdata2016w_spark.operators.similarity import (
@@ -51,6 +52,24 @@ KNN_K = 10
 # partitions. At cluster scale the same pattern is "write the pairs table
 # once, read it from each downstream job".
 _JACCARD_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 3-gram shingle table for the documents corpus — the most
+    expression-heavy per-row transform in the engine, consumed by four
+    registered queries (Jaccard, MinHash-LSH, contamination, dup-spans).
+    At cluster scale this is "write the shingle table once, read it from
+    each dedup/curation job"; locally it is one localCheckpoint shared
+    per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLES_CACHE.get(key)
+    if df is None:
+        df = shingle_sets(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=False)
+        _SHINGLES_CACHE[key] = df
+    return df
 
 
 def _shared_jaccard_pairs(
@@ -62,7 +81,9 @@ def _shared_jaccard_pairs(
     df = _JACCARD_PAIRS_CACHE.get(key)
     if df is None:
         df = jaccard_near_dupes(
-            load_table(spark, sf_dir, "documents"), threshold
+            load_table(spark, sf_dir, "documents"),
+            threshold,
+            shingled=shared_shingle_sets(spark, sf_dir),
         ).localCheckpoint(eager=False)
         _JACCARD_PAIRS_CACHE[key] = df
     return df
@@ -78,7 +99,9 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_dupes(
-        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        JACCARD_THRESHOLD,
+        shingled=shared_shingle_sets(spark, sf_dir),
     )
 
 

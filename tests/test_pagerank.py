@@ -142,3 +142,26 @@ def test_range_partitioned_edges_identical_ranks(spark):
         for r in personalized_pagerank(ranged, [0], num_iters=8).collect()
     }
     assert by_range == by_hash
+
+
+def test_graph_triangles_matches_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["graph_triangles"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_graph_triangles_known_graph(spark, monkeypatch):
+    """K4 minus one edge = 2 triangles; every node on ≥1."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.plans import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    monkeypatch.setattr(g, "order_graph_edges", lambda spark, sf: edges)
+    got = {r.node: r.n_triangles
+           for r in g.graph_triangles(spark, "unused").collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}
