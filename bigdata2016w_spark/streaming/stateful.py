@@ -73,3 +73,61 @@ def spend_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_upsert_to_parquet(
+    updates_stream, target_dir: str, key: str, checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Streaming keyed upsert (MERGE) into a parquet snapshot via
+    ``foreachBatch`` — the continuous twin of ``operators.upsert.upsert``
+    and the standard sink pattern when no transactional table format is
+    available: each micro-batch last-writer-wins-merges into the target,
+    rewritten atomically per batch.
+
+    Within a micro-batch, several updates can share a key; ``order_col``
+    picks the survivor (max wins, ties broken arbitrarily but the batch
+    reduce is deterministic for distinct order values). foreachBatch gives
+    exactly-once *per batch id* on retries as long as the merge is
+    idempotent — last-writer-wins is.
+
+    At 100 TB the same loop applies with the target bucketed by key (the
+    anti-join becomes co-located) or swapped for MERGE INTO on a
+    transactional format; the micro-batch logic is unchanged.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bigdata2016w_spark.operators.upsert import upsert
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key])
+        try:
+            current = spark.read.parquet(target_dir)
+        except Exception:
+            current = None
+        merged = (
+            batch_df if current is None
+            else upsert(current, batch_df.select(*current.columns), key)
+        )
+        # materialize (executor-side) before overwrite: the merge plan
+        # reads the same directory it is about to rewrite
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(target_dir)
+
+    return (
+        updates_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

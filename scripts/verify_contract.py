@@ -24,7 +24,8 @@ from bigdata2016w_spark import TABLES  # noqa: E402
 
 # oracles that are O(n^2) in DuckDB — fine at the driver's sf0.01 gate,
 # skipped at larger scale factors
-QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters"}
+QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
+             "dedup_clusters_star"}
 
 
 def main() -> int:

