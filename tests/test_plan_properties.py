@@ -136,3 +136,43 @@ def test_shingle_explode_has_no_inferred_generate_filter(spark, sf_dir):
     for line in optimized.splitlines():
         if line.strip().startswith(("Filter", "+- Filter")):
             assert "array_distinct" not in line
+
+
+def test_weighted_sample_takes_ordered(spark, sf_dir):
+    """The weighted sample must plan bounded per-partition heaps, never a
+    global sort of the corpus."""
+    from bigdata2016w_spark.plans.lm_quality import documents_weighted_sample
+
+    plan = _formatted_plan(documents_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_tfidf_window_is_per_doc(spark, sf_dir):
+    """The only window in TF-IDF ranking must be partitioned by doc_id —
+    a global (unpartitioned) window would funnel the corpus through one
+    task."""
+    from bigdata2016w_spark.plans.lm_quality import doc_tfidf_terms
+
+    plan = _formatted_plan(doc_tfidf_terms(spark, sf_dir))
+    assert "windowspecdefinition(doc_id" in plan
+    # rank<=k over a window is pushed down to partial+final per-group
+    # bounded heaps (WindowGroupLimit), the per-group TakeOrdered twin
+    assert "WindowGroupLimit" in plan
+
+
+def test_funnel_has_no_window_or_cartesian(spark, sf_dir):
+    from bigdata2016w_spark.plans.events import events_funnel
+
+    plan = _formatted_plan(events_funnel(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_lm_score_partial_aggregation(spark, sf_dir):
+    """Per-doc surprisal sums must partial-aggregate (map-side combine)."""
+    from bigdata2016w_spark.plans.lm_quality import doc_lm_score
+
+    plan = _formatted_plan(doc_lm_score(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Cartesian" not in plan
