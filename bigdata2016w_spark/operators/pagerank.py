@@ -45,7 +45,10 @@ def personalized_pagerank(
     sources: list[int],
     num_iters: int = 10,
     alpha: float = ALPHA,
-    checkpoint_every: int = 3,
+    # every-2 measured fastest on local[32] (each iteration stacks a
+    # join+agg+join plan segment; deeper uncheckpointed chains re-optimize
+    # and re-execute superlinearly, e.g. 10 unchecked iters = ~200s vs 3.4s)
+    checkpoint_every: int = 2,
     num_partitions: int | None = None,
     tol: float | None = None,
 ) -> DataFrame:
