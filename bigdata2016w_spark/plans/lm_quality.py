@@ -277,3 +277,68 @@ register(QuerySpec("doc_tfidf_terms", doc_tfidf_terms, _TFIDF_SQL,
                    doc=tfidf_top_terms.__doc__))
 register(QuerySpec("documents_weighted_sample", documents_weighted_sample,
                    _WSAMPLE_SQL, doc=weighted_sample.__doc__))
+
+
+HH_THRESHOLD = 200
+
+
+def token_heavy_hitters(docs: DataFrame,
+                        threshold: int = HH_THRESHOLD) -> DataFrame:
+    """Exact heavy hitters (tokens with global count ≥ threshold) found
+    with two-pass candidate pruning — the scale path that avoids
+    shuffling the full distinct-token universe:
+
+    pass 1: partition-local counts via Arrow-batched ``mapInPandas``
+    (aggregating across the partition's batch iterator — truly no
+    shuffle); by pigeonhole any global heavy hitter has local count ≥
+    threshold/numPartitions in at least one partition, so locally-heavy
+    tokens form a small candidate superset;
+    pass 2: exact counts for candidates only, via broadcast semi-join.
+
+    One-sided pruning ⇒ the output is exactly ``GROUP BY token HAVING
+    count ≥ threshold`` (the oracle), while the only shuffles carry the
+    candidate tokens alone. On a 100 TB corpus the candidate set is
+    bounded by partitions × (tokens-per-partition / local-threshold),
+    orders of magnitude below the distinct-token universe a plain
+    group-by would shuffle. (A declarative groupBy(partition_id, token)
+    would NOT do this: the local-threshold filter only runs after the
+    exchange.) Pass-1 memory is one count per distinct token per
+    partition — the standard SpaceSaving-style tradeoff."""
+    import pandas as pd
+
+    tok = _tok(docs)
+    n_part = tok.rdd.getNumPartitions()
+    local_threshold = max(1, threshold // max(1, n_part))
+
+    def _local_heavy(batches):
+        counts = None
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is None:
+            return
+        heavy = counts[counts >= local_threshold]
+        yield pd.DataFrame({"w": heavy.index.astype(str)})
+
+    candidates = tok.mapInPandas(_local_heavy, "w string").distinct()
+    return (
+        tok.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= threshold)
+        .select(F.col("w").alias("token"), F.col("n").alias("n_occurrences"))
+    )
+
+
+def doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+_HH_SQL = f"""
+WITH {_BASE}
+SELECT w AS token, count(*) AS n_occurrences
+FROM tok GROUP BY w HAVING count(*) >= {HH_THRESHOLD}
+"""
+
+register(QuerySpec("token_heavy_hitters", doc_token_heavy_hitters, _HH_SQL,
+                   doc=token_heavy_hitters.__doc__))

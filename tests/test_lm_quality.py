@@ -90,3 +90,30 @@ def test_lm_quality_oracles(spark, sf_dir, duck):
                  "documents_weighted_sample"]:
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_heavy_hitters_oracle(spark, sf_dir, duck):
+    spec = all_specs()["token_heavy_hitters"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_heavy_hitters_exact_on_spread_out_key(spark):
+    """A token spread thinly across partitions (never locally dominant)
+    must still be found — the pigeonhole pruning is one-sided."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.plans.lm_quality import token_heavy_hitters
+
+    # unique all-alpha rare tokens (the tokenizer strips digits);
+    # 'spread' appears once per doc = 64 total
+    texts = [
+        "rare%s%s spread" % (chr(97 + i // 26), chr(97 + i % 26))
+        for i in range(64)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).repartition(8)
+    got = {r.token: r.n_occurrences
+           for r in token_heavy_hitters(docs, threshold=64).collect()}
+    assert got == {"spread": 64}
