@@ -88,3 +88,44 @@ register(QuerySpec("customers_anti_join", customers_anti, _ANTI_SQL,
                    doc=customers_anti.__doc__))
 register(QuerySpec("segment_set_ops", segment_set_ops, _SETOPS_SQL,
                    doc=segment_set_ops.__doc__))
+
+
+def daily_orders_events_reconcile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily summaries — orders per day vs events
+    per day — the reconciliation shape (find days present in one feed but
+    not the other). The date ranges barely overlap, so both null sides
+    are genuinely exercised. Shuffle on the (low-cardinality) date key
+    only, after each side pre-aggregates with map-side combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ed = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    return od.join(ed, "d", "full_outer").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        "n_events",
+    )
+
+
+_RECONCILE_SQL = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(coalesce(od.d, ed.d), '%Y-%m-%d') AS day,
+       n_orders, n_events
+FROM od FULL OUTER JOIN ed ON od.d = ed.d
+"""
+
+register(QuerySpec("daily_orders_events_reconcile",
+                   daily_orders_events_reconcile, _RECONCILE_SQL,
+                   doc=daily_orders_events_reconcile.__doc__))

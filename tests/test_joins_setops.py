@@ -69,3 +69,24 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_full_outer_reconcile_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["daily_orders_events_reconcile"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_full_outer_reconcile_has_both_null_sides(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.registry import all_specs
+
+    out = all_specs()["daily_orders_events_reconcile"].fn(spark, sf_dir)
+    sides = out.agg(
+        F.sum(F.col("n_orders").isNull().cast("int")).alias("null_orders"),
+        F.sum(F.col("n_events").isNull().cast("int")).alias("null_events"),
+    ).collect()[0]
+    assert sides.null_orders > 0 and sides.null_events > 0
