@@ -254,3 +254,38 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# centroid quantum: embeddings are float32 (~7 significant digits); scaling
+# by 2^24 and rounding to int64 makes per-dimension sums order-independent
+# (exact integer math) while preserving more precision than the input has
+CENTROID_QUANT = 1 << 24
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column as (label, dim,
+    centroid, n_vectors) rows — the class-prototype operator behind
+    nearest-centroid classification and per-class drift monitoring.
+
+    posexplode → per-(label, dim) sum of integer-quantized components →
+    single hash aggregate with map-side combine; output cardinality is
+    labels × dims regardless of corpus size. Quantization before the sum
+    makes the result bit-identical across partitionings and engines (a
+    raw float sum is neither associative nor portable)."""
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    q = F.round(F.col("x").cast("double") * CENTROID_QUANT).cast("bigint")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n_vectors"))
+        .select(
+            "label",
+            "dim",
+            F.round(
+                F.col("s").cast("double") / F.col("n_vectors") / CENTROID_QUANT,
+                6,
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -415,3 +415,26 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec("dedup_clusters_star", dedup_clusters_star, _CLUSTERS_SQL,
                    doc=dedup_clusters_star.__doc__))
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(len(embedding))) AS dim,
+         embedding[unnest(range(len(embedding))) + 1] AS x
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 16777216) AS BIGINT))
+                  AS DOUBLE) / count(*) / 16777216, 6) AS centroid,
+       count(*) AS n_vectors
+FROM ex GROUP BY label, dim
+"""
+
+register(QuerySpec("embedding_label_centroids", embedding_label_centroids,
+                   _CENTROIDS_SQL, doc=embedding_label_centroids.__doc__))

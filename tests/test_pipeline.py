@@ -111,3 +111,30 @@ def test_ann_ivf_recall(spark, sf_dir):
     recalls = [len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets]
     assert sum(recalls) / len(recalls) >= 0.35
+
+
+def test_label_centroids_oracle(spark, sf_dir, duck):
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["embedding_label_centroids"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    got = {
+        (r.label, r.dim): r.centroid
+        for r in all_specs()["embedding_label_centroids"]
+        .fn(spark, sf_dir).collect()
+    }
+    for label, vecs in by_label.items():
+        mean = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        for d, m in enumerate(mean):
+            assert abs(got[(label, d)] - m) < 2e-6
