@@ -289,3 +289,41 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid classification of every vector against the
+    per-label centroids, reported as a confusion matrix (label,
+    predicted_label, n_vectors).
+
+    Shape: the centroid table (labels × dims, tiny) joins the exploded
+    vectors per dimension; squared-difference terms are quantized to
+    int64 BEFORE the per-(vector, candidate-label) sum so distances are
+    order-independent and engine-portable; argmin per vector is a window
+    partitioned by vec_id (scale-safe), ties broken by label. Output
+    cardinality is labels², independent of corpus size."""
+    from pyspark.sql.window import Window
+
+    cent = label_centroids(embeddings).select(
+        F.col("label").alias("cand"), "dim", "centroid"
+    )
+    ex = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    term = F.round(
+        (F.col("x").cast("double") - F.col("centroid"))
+        * (F.col("x").cast("double") - F.col("centroid"))
+        * CENTROID_QUANT
+    ).cast("bigint")
+    dist = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum(term).alias("d2"))
+    )
+    pick = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand"))
+    return (
+        dist.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("cand").alias("predicted_label"))
+        .agg(F.count("*").alias("n_vectors"))
+    )

@@ -438,3 +438,53 @@ FROM ex GROUP BY label, dim
 
 register(QuerySpec("embedding_label_centroids", embedding_label_centroids,
                    _CENTROIDS_SQL, doc=embedding_label_centroids.__doc__))
+
+
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    return nearest_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+_NEAREST_CENTROID_SQL = """
+WITH cent AS (
+  SELECT label AS cand, dim, centroid FROM (
+    WITH ex AS (
+      SELECT label, unnest(range(len(embedding))) AS dim,
+             embedding[unnest(range(len(embedding))) + 1] AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 16777216) AS BIGINT))
+                      AS DOUBLE) / count(*) / 16777216, 6) AS centroid
+    FROM ex GROUP BY label, dim
+  )
+),
+vx AS (
+  SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+         embedding[unnest(range(len(embedding))) + 1] AS x
+  FROM embeddings
+),
+dist AS (
+  SELECT vec_id, vx.label, cand,
+         sum(CAST(round((CAST(x AS DOUBLE) - centroid)
+                        * (CAST(x AS DOUBLE) - centroid) * 16777216)
+                  AS BIGINT)) AS d2
+  FROM vx JOIN cent ON vx.dim = cent.dim
+  GROUP BY vec_id, vx.label, cand
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cand ASC) AS rn
+  FROM dist
+)
+SELECT label, cand AS predicted_label, count(*) AS n_vectors
+FROM pick WHERE rn = 1
+GROUP BY label, cand
+"""
+
+register(QuerySpec("embedding_nearest_centroid", embedding_nearest_centroid,
+                   _NEAREST_CENTROID_SQL,
+                   doc=embedding_nearest_centroid.__doc__))

@@ -138,3 +138,20 @@ def test_label_centroids_matches_numpy(spark, sf_dir):
         mean = np.mean(np.array(vecs, dtype=np.float64), axis=0)
         for d, m in enumerate(mean):
             assert abs(got[(label, d)] - m) < 2e-6
+
+
+def test_nearest_centroid_oracle(spark, sf_dir, duck):
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["embedding_nearest_centroid"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_nearest_centroid_counts_cover_corpus(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    out = all_specs()["embedding_nearest_centroid"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_vectors")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "embeddings").count()
