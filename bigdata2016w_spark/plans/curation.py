@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from bigdata2016w_spark.functions.textstats import EN_STOP
 from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
 from bigdata2016w_spark.operators.dedup import shingle_sets
 from bigdata2016w_spark.registry import QuerySpec, register
@@ -246,3 +247,70 @@ register(QuerySpec("contamination_check", contamination_check,
                    _CONTAMINATION_SQL, doc=contamination.__doc__))
 register(QuerySpec("dup_span_fraction", dup_span_fraction, _DUP_SPAN_SQL,
                    doc=dup_spans.__doc__))
+
+
+SHORT_DOC_TOKENS = 20
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus report — the "data card" a curation
+    pipeline publishes per slice: document count, total tokens, mean
+    quality, and the short-document fraction. Per-doc quality (already
+    rounded to 6 digits) is re-quantized to integer micro-units before
+    the slice sum, so the mean is order-independent and engine-portable;
+    everything else is exact integer math. One explode-free pass over
+    per-doc stats + one hash aggregate on the (source, lang) key."""
+    from bigdata2016w_spark.functions.textstats import doc_stats_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.where(F.size(tokenize("text")) > 0).select(
+        "source", "lang", *doc_stats_cols(F.col("text"))
+    )
+    q_u = F.round(F.col("quality") * 1_000_000).cast("bigint")
+    return (
+        stats.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(q_u).alias("q_sum"),
+            F.sum(
+                F.when(F.col("n_tokens") < SHORT_DOC_TOKENS, 1).otherwise(0)
+            ).alias("n_short"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("q_sum").cast("double") / F.col("n_docs") / 1_000_000, 6
+            ).alias("avg_quality"),
+            F.round(
+                F.col("n_short").cast("double") / F.col("n_docs"), 6
+            ).alias("short_doc_frac"),
+        )
+    )
+
+
+_DATACARD_SQL = f"""
+WITH stats AS (
+  SELECT source, lang, len({_TOK}) AS n_tokens,
+         round(0.4 * (CAST(len(list_filter({_TOK},
+                      x -> x IN ({', '.join(repr(w) for w in EN_STOP)}))) AS DOUBLE)
+                      / CAST(len({_TOK}) AS DOUBLE))
+               + 0.3 * least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TOK})) AS DOUBLE)
+                        / CAST(len({_TOK}) AS DOUBLE)), 6) AS quality
+  FROM documents WHERE len({_TOK}) > 0
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000, 6) AS avg_quality,
+       round(CAST(sum(CASE WHEN n_tokens < {SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS short_doc_frac
+FROM stats GROUP BY source, lang
+"""
+
+register(QuerySpec("corpus_datacard", corpus_datacard, _DATACARD_SQL,
+                   doc=corpus_datacard.__doc__))

@@ -74,3 +74,25 @@ def test_dup_span_fraction_known_values(spark):
     assert rows[1].dup_span_frac == pytest.approx(1 / 3, abs=1e-6)
     assert rows[2].dup_span_frac == pytest.approx(1 / 3, abs=1e-6)
     assert rows[3].dup_span_frac == 0.0
+
+
+def test_corpus_datacard_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["corpus_datacard"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_corpus_datacard_covers_all_docs(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+    from bigdata2016w_spark.registry import all_specs
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    out = all_specs()["corpus_datacard"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.where(F.size(tokenize("text")) > 0).count()
+    assert total == want
