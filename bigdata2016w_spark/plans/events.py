@@ -245,3 +245,82 @@ register(QuerySpec("events_funnel", events_funnel, _FUNNEL_SQL,
                    doc=events_funnel.__doc__))
 register(QuerySpec("user_retention_cohorts", user_retention_cohorts,
                    _RETENTION_SQL, doc=user_retention_cohorts.__doc__))
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts with missing hours filled as zero — the
+    hypertable/time-series rollup shape (a dashboard needs every bucket
+    present, not just buckets with data). The hour spine is generated
+    in-plan from the min/max bounds (1-row agg → sequence → explode), so
+    nothing is driver-side; the left join keys on the (low-cardinality)
+    hour bucket after the raw stream pre-aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        hourly.agg(
+            F.min("h").alias("lo"), F.max("h").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return spine.join(hourly, "h", "left").select(
+        F.date_format("h", _TS_FMT).alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts with a 7-day trailing moving average — the
+    ROWS-frame window surface. The window is global but runs over the
+    pre-aggregated daily table (one row per day), whose cardinality is
+    bounded by the calendar, not the order volume — the aggregate-first-
+    then-window pattern that keeps frame windows viable at any scale."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.round(F.avg(F.col("n_orders").cast("double")).over(w), 6)
+        .alias("avg_7d"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+"""
+
+_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_orders,
+       round(avg(CAST(n_orders AS DOUBLE))
+               OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS avg_7d
+FROM daily
+"""
+
+register(QuerySpec("events_hourly_gapfill", events_hourly_gapfill,
+                   _GAPFILL_SQL, doc=events_hourly_gapfill.__doc__))
+register(QuerySpec("orders_daily_moving_avg", orders_daily_moving_avg,
+                   _MOVING_AVG_SQL, doc=orders_daily_moving_avg.__doc__))

@@ -6,7 +6,8 @@ from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
 NAMES = ["events_json_agg", "events_tumbling_hour", "events_sliding",
-         "events_sessions", "events_funnel", "user_retention_cohorts"]
+         "events_sessions", "events_funnel", "user_retention_cohorts",
+         "events_hourly_gapfill", "orders_daily_moving_avg"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -34,3 +35,15 @@ def test_retention_day0_covers_every_user(spark, sf_dir):
     n_users = (load_table(spark, sf_dir, "events")
                .select("user_id").distinct().count())
     assert day0 == n_users
+
+
+def test_gapfill_spine_is_complete(spark, sf_dir):
+    """Every hour between min and max must be present exactly once."""
+    from datetime import datetime
+
+    out = all_specs()["events_hourly_gapfill"].fn(spark, sf_dir).collect()
+    hours = sorted(datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S")
+                   for r in out)
+    assert len(set(hours)) == len(hours)
+    span = (hours[-1] - hours[0]).total_seconds() / 3600
+    assert len(hours) == int(span) + 1
