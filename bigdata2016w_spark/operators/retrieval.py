@@ -164,3 +164,57 @@ def retrieve(docs: DataFrame, query: str) -> DataFrame:
         hits.join(docs, hits.docid == docs.doc_id)
         .select("doc_id", "text")
     )
+
+
+def postings_positional(docs: DataFrame) -> DataFrame:
+    """(term, docid, positions sorted array<int>): positional postings —
+    the index extension phrase queries need (the reference's index is
+    positionless, BuildInvertedIndexCompressed.java:80-85, so its
+    retrieval stops at boolean AND/OR). One posexplode + collect_list per
+    (term, doc); at scale this is the same one-shuffle build as the tf
+    postings, with positions delta-friendly for parquet encoding."""
+    return (
+        docs.select(
+            F.col("doc_id").alias("docid"),
+            F.posexplode(tokenize("text")).alias("pos", "term"),
+        )
+        .groupBy("term", "docid")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_query(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact-phrase retrieval: documents where ``phrase`` tokens occur at
+    consecutive positions, with the match count per document.
+
+    Plan: per-term positional postings equi-join on docid, consecutive-
+    position check via ``arrays_overlap``-style intersection of shifted
+    position arrays (JVM-side array ops, no explode of positions). The
+    join chain touches only the phrase terms' postings — query cost is
+    proportional to the rarest term's posting list, as in any inverted
+    index."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    pos = postings_positional(docs)
+    # start positions of term 0, then repeatedly intersect with the
+    # (shifted) positions of each next term
+    cur = pos.where(F.col("term") == phrase[0]).select(
+        "docid", F.col("positions").alias("starts")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos.where(F.col("term") == term).select(
+            "docid",
+            F.transform("positions", lambda p: p - i).alias(f"shift_{i}"),
+        )
+        cur = (
+            cur.join(nxt, "docid")
+            .select(
+                "docid",
+                F.array_intersect("starts", f"shift_{i}").alias("starts"),
+            )
+            .where(F.size("starts") > 0)
+        )
+    return cur.select(
+        "docid",
+        F.size("starts").cast("long").alias("n_matches"),
+    )

@@ -140,3 +140,37 @@ ORDER BY score DESC, docid ASC LIMIT 10
 
 register(QuerySpec("retrieval_bm25", retrieval_bm25, _BM25_SQL,
                    doc=retrieval_bm25.__doc__))
+
+
+PHRASE = ["table", "hash"]
+
+
+def retrieval_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query over positional postings (extension past the
+    reference's boolean-only surface)."""
+    from bigdata2016w_spark.operators.retrieval import phrase_query
+
+    return phrase_query(
+        load_table(spark, sf_dir, "documents"), PHRASE
+    ).orderBy("docid")
+
+
+_PHRASE_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS docid, {tokenize_sql('text')} AS w FROM documents
+),
+pos AS (
+  SELECT docid, unnest(w) AS term,
+         unnest(range(len(w))) AS p
+  FROM t
+),
+a AS (SELECT docid, p FROM pos WHERE term = '{PHRASE[0]}'),
+b AS (SELECT docid, p - 1 AS p FROM pos WHERE term = '{PHRASE[1]}')
+SELECT a.docid, count(*) AS n_matches
+FROM a JOIN b ON a.docid = b.docid AND a.p = b.p
+GROUP BY a.docid
+ORDER BY a.docid
+"""
+
+register(QuerySpec("retrieval_phrase", retrieval_phrase, _PHRASE_SQL,
+                   doc=retrieval_phrase.__doc__))

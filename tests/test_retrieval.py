@@ -69,3 +69,30 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     out = bm25_rank(docs, ["cat"], k=3).collect()
     assert out[0]["docid"] == 1          # highest tf, short doc
     assert {r["docid"] for r in out} == {1, 2, 4}
+
+
+def test_phrase_query_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["retrieval_phrase"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_phrase_query_known_corpus(spark):
+    from bigdata2016w_spark.operators.retrieval import phrase_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data is big fun with big data"),
+            (2, "data big"),
+            (3, "big data big data big data"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.docid: r.n_matches
+           for r in phrase_query(docs, ["big", "data"]).collect()}
+    assert got == {1: 2, 3: 3}
+    got3 = {r.docid: r.n_matches
+            for r in phrase_query(docs, ["big", "data", "big"]).collect()}
+    assert got3 == {3: 2}
