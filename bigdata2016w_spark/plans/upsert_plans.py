@@ -122,3 +122,52 @@ register(QuerySpec("orders_upsert", orders_upsert, _UPSERT_SQL,
                    doc=orders_upsert.__doc__))
 register(QuerySpec("orders_scd2", orders_scd2, _SCD2_SQL,
                    doc=orders_scd2.__doc__))
+
+
+DIFF_CUTOFF = "1998-01-01"
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style table diff between two derived order snapshots (per-
+    customer order counts before vs including 1998+): every customer row
+    classified added / removed / changed / unchanged with both values.
+    One FULL OUTER equi-join on the key after each side pre-aggregates —
+    the standard snapshot-reconciliation shape for pipelines without a
+    changelog. Counts per class are exact, so the whole diff is oracle-
+    checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(DIFF_CUTOFF).cast("timestamp")
+    old = orders.where(F.col("o_orderdate") < cutoff).groupBy(
+        "o_custkey"
+    ).agg(F.count("*").alias("n_old"))
+    new = orders.groupBy("o_custkey").agg(F.count("*").alias("n_new"))
+    j = old.join(new, "o_custkey", "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), "added")
+        .when(F.col("n_new").isNull(), "removed")
+        .when(F.col("n_old") != F.col("n_new"), "changed")
+        .otherwise("unchanged")
+    )
+    # key named "custkey" so it sorts first in column-name order:
+    # order-insensitive row compares then never tie-break on the
+    # nullable count columns
+    return j.select(F.col("o_custkey").alias("custkey"),
+                    "n_old", "n_new", status.alias("status"))
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_custkey, count(*) AS n_old FROM orders
+  WHERE o_orderdate < TIMESTAMP '{DIFF_CUTOFF} 00:00:00' GROUP BY 1
+),
+new AS (SELECT o_custkey, count(*) AS n_new FROM orders GROUP BY 1)
+SELECT coalesce(old.o_custkey, new.o_custkey) AS custkey, n_old, n_new,
+       CASE WHEN n_old IS NULL THEN 'added'
+            WHEN n_new IS NULL THEN 'removed'
+            WHEN n_old <> n_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+"""
+
+register(QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
+                   _SNAPSHOT_DIFF_SQL, doc=orders_snapshot_diff.__doc__))

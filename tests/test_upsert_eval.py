@@ -49,3 +49,28 @@ def test_sgd_auc_beats_chance(spark, sf_dir):
     row = all_specs()["sgd_auc"].fn(spark, sf_dir).collect()[0]
     assert row["n_pos"] > 0 and row["n_neg"] > 0
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_snapshot_diff_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["orders_snapshot_diff"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_snapshot_diff_classes_consistent(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.registry import all_specs
+
+    out = all_specs()["orders_snapshot_diff"].fn(spark, sf_dir)
+    # 'removed' is impossible here (the new snapshot is a superset);
+    # 'added'/'changed' rows must actually differ, 'unchanged' must not
+    assert out.where(F.col("status") == "removed").count() == 0
+    bad = out.where(
+        ((F.col("status") == "unchanged") & (F.col("n_old") != F.col("n_new")))
+        | ((F.col("status") == "changed") & (F.col("n_old") == F.col("n_new")))
+        | ((F.col("status") == "added") & F.col("n_old").isNotNull())
+    )
+    assert bad.count() == 0
