@@ -72,3 +72,16 @@ def read_ml_instances(spark: SparkSession, path: str) -> DataFrame:
         F.when(F.element_at("t", 2) == "spam", 1.0).otherwise(0.0).alias("label"),
         F.transform(F.slice("t", 3, 1 << 30), lambda x: x.cast("int")).alias("features"),
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read JSON-lines with the catalog schema declared up front — schema
+    inference on JSON is a full extra pass over the data at scale, so the
+    engine never relies on it for known tables."""
+    return spark.read.schema(SCHEMAS[table]).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write JSON-lines (the interchange format most external corpus
+    tooling consumes)."""
+    df.write.mode(mode).json(path)

@@ -26,3 +26,18 @@ def test_tbl_roundtrip_q1(spark, sf_dir, tmp_path):
     # q1 semantics against the text ingestion must match parquet
     pred = date_prefix_filter(F.col("l_shipdate"), "1996-03")
     assert back.where(pred).count() == li.where(pred).count()
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """parquet → JSONL → parquet must preserve rows exactly (documents
+    table: long/string columns)."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.text_formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, "documents")
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
