@@ -99,10 +99,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         und,
         (F.least("u", "v") == F.col("a")) & (F.greatest("u", "v") == F.col("b")),
     ).select("lo", "u", "v")
+    # one explode, not a 3-way union: a union would re-execute the whole
+    # wedge-join subtree once per branch (plan-audited — 3x the exchanges)
     per_node = (
-        tri.select(F.col("lo").alias("node"))
-        .union(tri.select(F.col("u").alias("node")))
-        .union(tri.select(F.col("v").alias("node")))
+        tri.select(F.explode(F.array("lo", "u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
