@@ -90,6 +90,13 @@ def connected_components_star(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # an unconverged edge set is not a valid star forest — a node could
+        # carry multiple or non-minimal labels; refuse to return it
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds (O(log n) expected); raise max_rounds"
+        )
     # converged star: every child points straight at its component root
     child = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = nodes.join(
@@ -141,4 +148,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(rounds needed = graph diameter); raise max_iters or use "
+            "connected_components_star"
+        )
     return labels

@@ -307,8 +307,18 @@ def token_heavy_hitters(docs: DataFrame,
     import pandas as pd
 
     tok = _tok(docs)
-    n_part = tok.rdd.getNumPartitions()
-    local_threshold = max(1, threshold // max(1, n_part))
+    # The pigeonhole bound needs an UPPER bound on the partition count
+    # mapInPandas executes with — the probed count alone is not one when a
+    # shuffle sits upstream (AQE may re-coalesce the probe job and the
+    # real job differently). Scan splits are deterministic (covered by the
+    # probe) and any post-exchange count never exceeds
+    # max(explicit repartition n [probed], spark.sql.shuffle.partitions),
+    # so bound by the max of both, with 2× headroom: a smaller local
+    # threshold only grows the candidate superset, never drops a true
+    # heavy hitter.
+    shuffle_conf = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part_upper = 2 * max(1, tok.rdd.getNumPartitions(), shuffle_conf)
+    local_threshold = max(1, threshold // n_part_upper)
 
     def _local_heavy(batches):
         counts = None

@@ -82,14 +82,22 @@ def stream_upsert_to_parquet(
     """Streaming keyed upsert (MERGE) into a parquet snapshot via
     ``foreachBatch`` — the continuous twin of ``operators.upsert.upsert``
     and the standard sink pattern when no transactional table format is
-    available: each micro-batch last-writer-wins-merges into the target,
-    rewritten atomically per batch.
+    available: each micro-batch last-writer-wins-merges into the target.
 
     Within a micro-batch, several updates can share a key; ``order_col``
     picks the survivor (max wins, ties broken arbitrarily but the batch
     reduce is deterministic for distinct order values). foreachBatch gives
     exactly-once *per batch id* on retries as long as the merge is
     idempotent — last-writer-wins is.
+
+    The snapshot swap is staged: the merged result is written to a
+    batch-stamped staging dir, then the old target is deleted and the
+    staging dir renamed into place. A crash between delete and rename
+    leaves no target but a complete staging snapshot; the next attempt
+    recovers `current` from the newest staging dir, so no merged keys are
+    lost. Existence is probed via the Hadoop FS API — a corrupt footer or
+    transient FS error surfaces as an exception instead of silently
+    restarting the snapshot from one batch.
 
     At 100 TB the same loop applies with the target bucketed by key (the
     anti-join becomes co-located) or swapped for MERGE INTO on a
@@ -111,19 +119,42 @@ def stream_upsert_to_parquet(
             )
         else:
             batch_df = batch_df.dropDuplicates([key])
-        try:
+
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        target = HPath(target_dir)
+        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+        matches = fs.globStatus(HPath(target_dir + ".staging-*")) or []
+        stagings = sorted(
+            (s.getPath() for s in matches),
+            key=lambda p: int(p.getName().rsplit("-", 1)[1]),
+        )
+        if fs.exists(target):
             current = spark.read.parquet(target_dir)
-        except Exception:
+        elif stagings:
+            # prior attempt crashed between delete(target) and rename:
+            # the newest staging dir holds the complete merged snapshot
+            current = spark.read.parquet(str(stagings[-1].toUri()))
+        else:
             current = None
         merged = (
             batch_df if current is None
             else upsert(current, batch_df.select(*current.columns), key)
         )
-        # materialize (executor-side) before overwrite: the merge plan
-        # reads the same directory it is about to rewrite
-        merged.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(target_dir)
+        # materialize (executor-side) before the swap: the merge plan
+        # reads the directory tree it is about to rewrite
+        merged = merged.localCheckpoint(eager=True)
+        staging = HPath(f"{target_dir}.staging-{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging.toUri()))
+        # the staging write is complete → safe to retire target + old stagings
+        fs.delete(target, True)
+        for old in stagings:
+            if str(old) != str(staging):
+                fs.delete(old, True)
+        if not fs.rename(staging, target):
+            raise IOError(
+                f"rename {staging} -> {target} failed; snapshot left in staging"
+            )
 
     return (
         updates_stream.writeStream.foreachBatch(_merge)

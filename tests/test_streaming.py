@@ -154,3 +154,36 @@ def test_stream_upsert_parity(spark, sf_dir, tmp_path):
     want_ts = {r.user_id: r.ts for r in want_rows}
     assert set(got) == set(want_ts)
     assert all(got[u][0] == want_ts[u] for u in got)
+
+
+def test_stream_upsert_recovers_from_staging(spark, tmp_path):
+    """A crash between delete(target) and rename(staging, target) leaves
+    only the staging snapshot; the next micro-batch must recover the
+    previously merged keys from it instead of restarting from batch data."""
+    import shutil
+
+    from bigdata2016w_spark.streaming.stateful import stream_upsert_to_parquet
+
+    target = tmp_path / "target"
+
+    def run_batch(rows, ckpt):
+        src = tmp_path / f"src-{ckpt}"
+        spark.createDataFrame(rows, ["k", "v", "ord"]).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema("k long, v string, ord long")
+            .parquet(str(src))
+        )
+        q = stream_upsert_to_parquet(
+            stream, str(target), key="k",
+            checkpoint_dir=str(tmp_path / f"ckpt-{ckpt}"), order_col="ord",
+        )
+        q.awaitTermination()
+
+    run_batch([(1, "a", 1), (2, "b", 1)], "one")
+    # simulate the crash window: target gone, staged snapshot present
+    shutil.move(str(target), str(tmp_path / "target.staging-99"))
+    run_batch([(2, "b2", 2), (3, "c", 2)], "two")
+
+    got = {r.k: r.v for r in spark.read.parquet(str(target)).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    assert not (tmp_path / "target.staging-99").exists()
