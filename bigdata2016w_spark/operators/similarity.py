@@ -94,8 +94,10 @@ def knn_bruteforce(
     ).select("query_id", "vec_id", "cosine")
 
 
-def _planes(dim: int, num_planes: int = LSH_PLANES) -> list[list[float]]:
-    rng = np.random.RandomState(LSH_SEED)
+def _planes(
+    dim: int, num_planes: int = LSH_PLANES, seed: int = LSH_SEED
+) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
     return rng.randn(num_planes, dim).round(6).tolist()
 
 
@@ -219,29 +221,87 @@ def knn_ivf(
     ).select("query_id", "vec_id", "cosine")
 
 
-def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
-                         num_planes: int = 4, dim: int = 64) -> DataFrame:
-    """Embedding-cosine near-dup pairs (doc-level dedup by embedding):
-    coarse LSH blocking (few planes → high recall at moderate thresholds),
-    exact cosine verification, pairs with cosine ≥ threshold.
+# embedding_near_dupes blocking geometry: target per-bucket occupancy (B),
+# plane-count clamp, and table fan-out for recall amplification
+EMB_BUCKET_TARGET = 32
+EMB_MIN_PLANES = 4
+EMB_MAX_PLANES = 24
+EMB_TABLES_AT_SCALE = 4
 
-    Bucket-occupancy math — size ``num_planes`` to the corpus: P planes
-    give 2^P buckets, so near-isotropic data puts ~N/2^P vectors per
-    bucket and the within-bucket verify join costs Σ n_b² ≈ N²/2^P
-    comparisons. That is quadratic in N for fixed P; to keep per-bucket
-    work bounded at B vectors, choose P ≈ log2(N/B) (e.g. N=10⁹, B=10⁴ →
-    P≈17). Recall falls as P grows — a pair at cosine θ survives one
-    plane with probability 1 − arccos(θ)/π, all P planes with that to the
-    P-th power — so at high P, production deployments re-probe
-    1-bit-distant buckets (as ``knn_lsh`` does) or run multiple
-    independent plane sets and union candidates."""
-    planes = _planes(dim, num_planes)
-    emb_b = embeddings.withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), planes)
-    ).withColumn("__n", norm(F.col("embedding")))
+
+def adaptive_num_planes(
+    n_vectors: int, bucket_target: int = EMB_BUCKET_TARGET
+) -> int:
+    """P ≈ log2(N/B): enough hyperplanes that a near-isotropic corpus puts
+    ~``bucket_target`` vectors per bucket, clamped to [4, 24]."""
+    import math
+
+    return min(
+        EMB_MAX_PLANES,
+        max(
+            EMB_MIN_PLANES,
+            math.ceil(math.log2(max(1.0, n_vectors / bucket_target))),
+        ),
+    )
+
+
+def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
+                         num_planes: int | None = None, dim: int = 64,
+                         n_tables: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc-level dedup by embedding):
+    LSH blocking, exact cosine verification, pairs with cosine ≥ threshold.
+
+    Bucket-occupancy math — ``num_planes`` defaults to a function of the
+    corpus: P planes give 2^P buckets, so near-isotropic data puts ~N/2^P
+    vectors per bucket and the within-bucket verify join costs Σ n_b² ≈
+    N²/2^P comparisons — quadratic in N for any FIXED P. Choosing
+    P = log2(N/B) (``adaptive_num_planes``; B = per-bucket occupancy
+    target) makes the verify cost ≈ N·B/2 per table — linear in N — at
+    e.g. N=10⁹, B=10⁴ → P≈17.
+
+    Recall falls as P grows — a pair at cosine θ = cos⁻¹(c) survives one
+    plane with probability r = 1 − θ/π and one table of P planes with
+    r^P — so past the oracle-scale minimum P the blocker amplifies the
+    standard way: L independent plane tables (distinct seeds), candidates
+    = union of same-bucket pairs across tables, recall 1 − (1 − r^P)^L.
+    Candidates stay O(L·N·B), preserving linearity (unlike widening the
+    probe radius, whose candidate factor grows with P). Fully
+    deterministic given the seeds."""
+    if num_planes is None:
+        num_planes = adaptive_num_planes(embeddings.count())
+    if n_tables is None:
+        n_tables = 1 if num_planes <= EMB_MIN_PLANES else EMB_TABLES_AT_SCALE
+    # the plane-dot projection and verify join parallelize per partition;
+    # widen coarse scan splits (small files) to the core count — a no-op
+    # on inputs that already carry ≥ defaultParallelism splits
+    sc = embeddings.sparkSession.sparkContext
+    if embeddings.rdd.getNumPartitions() < sc.defaultParallelism:
+        embeddings = embeddings.repartition(sc.defaultParallelism)
+    emb_b = (
+        embeddings.withColumn("__n", norm(F.col("embedding")))
+        .withColumn(
+            "__tb",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(
+                            F.col("embedding"),
+                            _planes(dim, num_planes, seed=LSH_SEED + t),
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ])
+            ),
+        )
+        .select(
+            "vec_id", "embedding", "__n",
+            F.col("__tb.t").alias("t"), F.col("__tb.bucket").alias("bucket"),
+        )
+    )
     return (
         emb_b.alias("x")
-        .join(emb_b.alias("y"), "bucket")
+        .join(emb_b.alias("y"), ["t", "bucket"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),

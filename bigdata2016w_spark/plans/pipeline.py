@@ -284,6 +284,13 @@ ranked AS (
 SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
 """
 
+# The operator sizes its plane count from the corpus (P = log2(N/B),
+# B = EMB_BUCKET_TARGET = 32) and amplifies with extra plane tables only
+# past the P=4 minimum. At the driver's gate scale the embeddings table
+# has N = 500 → P = 4, L = 1, so this static 4-plane / single-table SQL
+# is the exact twin of what the adaptive operator executes there; at
+# larger corpora the operator grows P (keeping candidates ~linear in N)
+# and this oracle no longer applies.
 _EMB_NEAR_DUPES_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding,

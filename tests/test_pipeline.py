@@ -68,11 +68,86 @@ def test_embedding_near_dupes_plane_count_scaling(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     p4 = {(r.vec_a, r.vec_b) for r in
-          embedding_near_dupes(emb, num_planes=4).collect()}
-    p8_rows = embedding_near_dupes(emb, num_planes=8).collect()
+          embedding_near_dupes(emb, num_planes=4, n_tables=1).collect()}
+    p8_rows = embedding_near_dupes(emb, num_planes=8, n_tables=1).collect()
     p8 = {(r.vec_a, r.vec_b) for r in p8_rows}
     assert p8 <= p4
     assert all(r.cosine >= 0.4 for r in p8_rows)
+
+
+def test_embedding_near_dupes_candidates_linear_in_n(spark):
+    """The registered query's blocking must not go quadratic as the corpus
+    grows: P = log2(N/B) keeps candidate pairs ≈ L·N·B/2. Measured via
+    bucket occupancy (Σ n_b·(n_b−1)/2 per table) on near-isotropic
+    synthetic corpora: 8× the rows must cost ~8× the candidates — a
+    fixed-P blocker would cost ~64×."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        EMB_MIN_PLANES,
+        EMB_TABLES_AT_SCALE,
+        LSH_SEED,
+        _planes,
+        adaptive_num_planes,
+        lsh_bucket,
+    )
+
+    dim = 16
+
+    def candidate_count(n: int) -> float:
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(n, dim).round(3).tolist()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        p = adaptive_num_planes(n)
+        tables = 1 if p <= EMB_MIN_PLANES else EMB_TABLES_AT_SCALE
+        total = 0.0
+        for t in range(tables):
+            occ = (
+                df.select(
+                    lsh_bucket(
+                        F.col("embedding"), _planes(dim, p, seed=LSH_SEED + t)
+                    ).alias("bucket")
+                )
+                .groupBy("bucket")
+                .count()
+                .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+                .collect()[0][0]
+            )
+            total += occ
+        return total
+
+    c_small, c_big = candidate_count(2048), candidate_count(16384)
+    assert c_small > 0
+    assert c_big / c_small < 20  # ~8 expected; 64 would mean quadratic
+
+
+def test_embedding_near_dupes_amplified_tables_keep_recall(spark):
+    """Past the P=4 minimum the operator unions L independent plane
+    tables; an identical-vector pair lands in the same bucket of EVERY
+    table and must be reported exactly once despite the multi-table
+    candidate union."""
+    import numpy as np
+
+    from bigdata2016w_spark.operators.similarity import (
+        adaptive_num_planes,
+        embedding_near_dupes,
+    )
+
+    n, dim = 2048, 16
+    assert adaptive_num_planes(n) > 4  # exercises the amplified path
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(n, dim).round(3)
+    vecs[1] = vecs[0]  # planted exact duplicate
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_near_dupes(df, threshold=0.999, dim=dim).collect()
+    assert [(r.vec_a, r.vec_b) for r in rows] == [(0, 1)]
 
 
 def test_jaccard_is_exact_on_known_pair(spark):
