@@ -35,6 +35,21 @@ def main() -> None:
 
     specs = all_specs()
     timings: dict[str, float] = {}
+
+    # The shared shingle/Jaccard-pairs pipeline (plans/pipeline.py) is
+    # memoized per (session, sf_dir) and consumed by several registered
+    # queries — whichever consumer runs first would otherwise be charged
+    # its full cost and the rest ~0. Materialize it up front as an
+    # explicit bench line so the PPJoin path can't hide in consumer
+    # timings; consumers below then show their marginal cost.
+    from bigdata2016w_spark.plans.pipeline import _shared_jaccard_pairs
+
+    t0 = time.perf_counter()
+    _shared_jaccard_pairs(spark, sf_dir).count()
+    timings["shared_shingle_pairs_pipeline"] = round(
+        time.perf_counter() - t0, 3
+    )
+
     for name, spec in specs.items():
         # best of 2: the first execution of a plan shape pays one-time
         # whole-stage-codegen (Janino) compilation that a long-lived
