@@ -23,6 +23,17 @@ def test_cli_list():
     assert "q7_top_revenue" in p.stdout and "[oracle]" in p.stdout
 
 
+def test_cli_retrieve():
+    p = _run("retrieve", "scan column AND",
+             "--sf-dir", "/root/testdata/sf0.001", "--limit", "3")
+    assert p.returncode == 0
+    assert "doc_id" in p.stdout and "text" in p.stdout
+    p2 = _run("retrieve", "scan column AND OR",
+              "--sf-dir", "/root/testdata/sf0.001")
+    assert p2.returncode == 2
+    assert "malformed" in p2.stderr
+
+
 def test_cli_run_and_unknown():
     p = _run("run", "nation_distinct_counts",
              "--sf-dir", "/root/testdata/sf0.001", "--limit", "3")
