@@ -119,7 +119,7 @@ def bigram_relfreq_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pmi_over_docs(docs: DataFrame) -> DataFrame:
     """a1 PMI: log10(N·c(x,y)/(c(x)·c(y))) over line-window co-occurrence.
 
     Reference: 2 chained MR jobs with special marginal keys + side-file maps
@@ -127,9 +127,10 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair self-join, the word marginals, and (via cross-join of a 1-row agg)
     the line count N. Thresholds: cnt ≥ 10 pairs (PairsPMI.java:115), first
     100 tokens per line (PairsPMI.java:62). All counting stays int64; one
-    double division; log10 rounded to 6 (libm last-ulp differences).
+    double division; log10 rounded to 6 (libm last-ulp differences —
+    also covers the reference's float32 PMI argument, PairsPMI.java:217,
+    whose drift vs double is ~1e-8; see the assignment1.md golden test).
     """
-    docs = load_table(spark, sf_dir, "documents")
     x = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.slice(tokenize("text"), 1, PMI_TOKEN_CAP)))
@@ -160,6 +161,10 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_over_docs(load_table(spark, sf_dir, "documents"))
 
 
 # --- DuckDB oracles ---
