@@ -3,11 +3,17 @@
 Design: media travel as opaque ``binary`` columns next to typed metadata
 (the lakehouse pattern), and every decode/feature step is an Arrow-batched
 ``mapInPandas`` whose *Spark-side contract* — schema, batch shape,
-partitioning — is real and tested. The decoders themselves are STUBS:
-the image/audio libraries are not in this container, so ``decode_image``
-raises ``NotImplementedError`` unless handed an injected decoder, and
-tests exercise the pipeline with ``fake_decode_image`` (a deterministic
-pure-Python "decoder").
+partitioning — is real and tested.
+
+``decode_image`` is a REAL decoder for the two headerful uncompressed
+raster formats parseable with numpy alone (no imaging library in this
+container): binary PPM (P6) and uncompressed 24/32-bit BMP. The
+registered query renders genuine P6 payloads from the documents table
+(``documents_as_ppm``) and decodes them with it — header-parsed
+dimensions, pixel-averaged intensity, no injected stand-in. Compressed
+formats (PNG/JPEG) still need an injected codec via
+``image_features(..., decoder=...)``; ``fake_decode_image`` remains for
+exercising that injection seam in tests.
 
 At scale this shape matters more than the codec: binary payloads stay in
 Arrow record batches end-to-end (no per-row pickling), metadata predicates
@@ -37,13 +43,53 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Real decoder hook — (width, height, mean_intensity).
+    """Real decoder — (width, height, mean_intensity) for binary PPM (P6)
+    and uncompressed 24/32-bit BMP, parsed with numpy alone.
 
-    STUB: no imaging library in this environment. Inject a decoder into
-    ``image_features(..., decoder=...)`` (e.g. PIL/opencv in production).
+    Compressed formats (PNG/JPEG/...) need a codec library this container
+    lacks — inject one via ``image_features(..., decoder=...)``.
     """
-    raise NotImplementedError(
-        "image decoding requires an imaging library; inject decoder="
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> raster
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while payload[pos] in b" \t\r\n":
+                pos += 1
+            if payload[pos] == 0x23:  # '#' comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while payload[end] not in b" \t\r\n":
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # the single whitespace byte after maxval
+        width, height, maxval = fields
+        raster = np.frombuffer(payload, np.uint8, count=width * height * 3,
+                               offset=pos)
+        mean = float(int(raster.sum(dtype=np.int64))
+                     / raster.size) / float(maxval)
+        return width, height, mean
+    if payload[:2] == b"BM":
+        data_off = int(np.frombuffer(payload, np.uint32, 1, 10)[0])
+        width = int(np.frombuffer(payload, np.int32, 1, 18)[0])
+        height = abs(int(np.frombuffer(payload, np.int32, 1, 22)[0]))
+        bpp = int(np.frombuffer(payload, np.uint16, 1, 28)[0])
+        if bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP bit depth {bpp}")
+        step = bpp // 8
+        row_bytes = (width * step + 3) & ~3  # rows pad to 4-byte boundary
+        px = np.frombuffer(payload, np.uint8, count=row_bytes * height,
+                           offset=data_off)
+        rows = px.reshape(height, row_bytes)[:, : width * step]
+        rgb = rows.reshape(height, width, step)[:, :, :3]  # drop alpha
+        mean = float(int(rgb.sum(dtype=np.int64)) / rgb.size) / 255.0
+        return width, height, mean
+    raise ValueError(
+        "unsupported image format (PPM P6 and uncompressed BMP decode "
+        "natively; inject decoder= for compressed codecs)"
     )
 
 
@@ -109,4 +155,26 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def documents_as_ppm(docs: DataFrame) -> DataFrame:
+    """Render each document into a GENUINE binary-PPM (P6) image payload,
+    entirely JVM-side: raster dimensions derived from the text length
+    (width 2–32, height 2–16), pixel bytes = the text's ASCII bytes
+    rpad-truncated to exactly width·height·3. ``decode_image`` then
+    parses the actual P6 header — the deterministic binary-column twin of
+    an image-bearing lakehouse table, derived from testdata."""
+    w = F.length("text") % 31 + 2
+    h = F.length("text") % 15 + 2
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    raster = F.expr(
+        "rpad(text, (length(text) % 31 + 2) * (length(text) % 15 + 2) * 3, ' ')"
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(header, raster), "UTF-8").alias("payload"),
     )

@@ -3,13 +3,14 @@
 The multimodal component (``operators/multimodal.py``) carries opaque
 ``binary`` payloads through Arrow-batched ``mapInPandas``. No reference
 counterpart (the reference is text-only); this is the engine's
-LLM-pipeline extension. The container has no imaging library, so the
-registered queries run the deterministic ``fake_decode_image`` stand-in —
-but because the fake decoder is pure byte math and ``documents.text`` is
-ASCII (verified: octet_length == length at every SF), its output is
-exactly expressible in DuckDB SQL. That promotes the whole mapInPandas
-pipeline — schema, batch shape, adapter — from pytest-only to the
-driver's rows+schema+hash correctness gate.
+LLM-pipeline extension. ``media_image_features`` is END-TO-END REAL: the
+payloads are genuine binary-PPM (P6) images rendered JVM-side from the
+documents table (``documents_as_ppm``) and the default ``decode_image``
+parses their actual headers/raster with numpy — no injected stand-in.
+Because the raster bytes are the documents' ASCII text (verified:
+octet_length == length at every SF) padded with spaces, the decoded
+features are also exactly expressible in DuckDB SQL, keeping the whole
+mapInPandas pipeline under the driver's rows+schema+hash gate.
 
 Scale notes: one decode pass per payload batch, no shuffle at all for
 ``media_image_features`` (map-only over the scan); ``media_frame_sample``
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 
 from bigdata2016w_spark.operators.multimodal import (
     documents_as_media,
-    fake_decode_image,
+    documents_as_ppm,
     frame_sample_plan,
     image_features,
 )
@@ -34,10 +35,11 @@ from bigdata2016w_spark.sources.catalog import load_table
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract every media payload (documents-as-media
-    adapter) via the Arrow-batched ``mapInPandas`` image pipeline."""
+    """Decode real binary-PPM payloads (rendered from the documents
+    table) via the Arrow-batched ``mapInPandas`` image pipeline — the
+    default header-parsing ``decode_image``, no injected decoder."""
     docs = load_table(spark, sf_dir, "documents")
-    return image_features(documents_as_media(docs), decoder=fake_decode_image)
+    return image_features(documents_as_ppm(docs))
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,19 +54,30 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# fake_decode_image byte math transcribed to SQL: payload = UTF-8 bytes of
-# text (ASCII ⇒ byte i == ascii(char i), n_bytes == length(text)).
+# documents_as_ppm + decode_image transcribed to SQL. The P6 payload is
+# "P6\n{w} {h}\n255\n" + text rpadded with spaces (ascii 32) to w·h·3
+# bytes (ASCII text ⇒ byte i == ascii(char i)); decode_image returns the
+# header dims, total payload length, and raster mean / 255.0 computed as
+# double(int_sum / n_raster) / 255.0 — mirrored exactly below.
 _IMAGE_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id, text,
+         (length(text) % 31) + 2 AS w,
+         (length(text) % 15) + 2 AS h,
+         ((length(text) % 31) + 2) * ((length(text) % 15) + 2) * 3 AS npix
+  FROM documents
+)
 SELECT doc_id AS media_id,
-       CAST((length(text) % 64) + 1 AS INTEGER) AS width,
-       CAST(((length(text) // 64) % 64) + 1 AS INTEGER) AS height,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       (CAST(coalesce(list_aggregate(
-              list_transform(range(1, least(length(text), 256) + 1),
-                             i -> ascii(text[i])), 'sum'), 0) AS DOUBLE)
-        / CAST(greatest(least(length(text), 256), 1) AS DOUBLE)) / 255.0
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+            + 5 + npix AS BIGINT) AS n_bytes,
+       ((coalesce(list_aggregate(
+             list_transform(range(1, least(length(text), npix) + 1),
+                            i -> ascii(text[i])), 'sum'), 0)
+         + 32 * (npix - least(length(text), npix))) / npix) / 255.0
          AS mean_intensity
-FROM documents
+FROM dims
 """
 
 _FRAME_SAMPLE_SQL = """
