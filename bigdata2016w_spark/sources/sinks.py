@@ -32,6 +32,26 @@ def write_text_golden(df: DataFrame, path: str, sep: str = "\t",
     df.write.mode(mode).option("sep", sep).csv(path)
 
 
+def write_range_partitioned(
+    df: DataFrame, path: str, cols: list[str],
+    num_partitions: int | None = None, mode: str = "overwrite",
+) -> None:
+    """Globally range-partitioned, in-file-sorted output — the engine's
+    twin of the reference's RangePartitioner (RangePartitioner.java:23-25,
+    which splits PageRank node ids into contiguous ranges per reducer).
+    ``repartitionByRange`` samples range bounds (TotalOrderPartitioner's
+    sampled split points, but in-plan), ``sortWithinPartitions`` orders
+    rows inside each part file: every file then holds a disjoint key
+    range, internally sorted, so concatenating files in range order is a
+    total order and Parquet min/max prune point/range reads to one file."""
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sorted, bloom-filtered postings table — the MapFile/HBase
     replacement. Term-sorted row groups give Parquet min/max pruning on
