@@ -41,14 +41,20 @@ def main() -> None:
     # queries — whichever consumer runs first would otherwise be charged
     # its full cost and the rest ~0. Materialize it up front as an
     # explicit bench line so the PPJoin path can't hide in consumer
-    # timings; consumers below then show their marginal cost.
-    from bigdata2016w_spark.plans.pipeline import _shared_jaccard_pairs
+    # timings; consumers below then show their marginal cost. Same
+    # best-of-2 protocol as the queries (the caches are cleared between
+    # runs so both fully re-materialize; run 1 pays one-time codegen);
+    # the second materialization stays cached for the consumers.
+    from bigdata2016w_spark.plans import pipeline as _pipe
 
-    t0 = time.perf_counter()
-    _shared_jaccard_pairs(spark, sf_dir).count()
-    timings["shared_shingle_pairs_pipeline"] = round(
-        time.perf_counter() - t0, 3
-    )
+    best = float("inf")
+    for _ in range(2):
+        _pipe._JACCARD_PAIRS_CACHE.clear()
+        _pipe._SHINGLES_CACHE.clear()
+        t0 = time.perf_counter()
+        _pipe._shared_jaccard_pairs(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["shared_shingle_pairs_pipeline"] = round(best, 3)
 
     for name, spec in specs.items():
         # best of 2: the first execution of a plan shape pays one-time
