@@ -1,7 +1,16 @@
-"""Registered graph queries (a4). Iterative → no SQL oracle (driver runs
-the weaker rows-only check; the pytest suite checks against a NumPy
-power-iteration oracle instead, replacing the reference's JUNG sequential
-validator, ``JAVA/assignment4/SequentialPersonalizedPageRank.java:117-126``).
+"""Registered graph queries (a4).
+
+``pagerank_top10`` IS oracle-backed despite being iterative: the fixed
+10-iteration power iteration unrolls into a chain of 30 plain CTEs
+(link/miss/rank per iteration — no recursive CTE, no aggregation over a
+recursive reference), generated programmatically below. Float caveats
+handled: the SQL writes ``(1.0 - 0.15)`` wherever the engine computes
+``1.0 - alpha`` (the double literal 0.85 is a DIFFERENT value), and the
+6-decimal output rounding absorbs summation-order drift (≤ ~1e-13 over
+10 iterations on [0,1]-scale ranks). The pytest suite additionally
+checks against a NumPy power-iteration oracle at 1e-12, replacing the
+reference's JUNG sequential validator
+(``JAVA/assignment4/SequentialPersonalizedPageRank.java:117-126``).
 """
 
 from __future__ import annotations
@@ -45,7 +54,68 @@ def pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_source(ranks, PR_SOURCES, k=10)
 
 
-register(QuerySpec("pagerank_top10", pagerank_top10, None,
+def _pagerank_sql(sources: list[int], iters: int, k: int = 10) -> str:
+    """Unroll the exact engine iteration (operators/pagerank.py:99-141)
+    into chained CTEs: link = Σ_in rank/deg, miss = 1 − Σ link, rank' =
+    (1−α)·(link + miss·[id=s]) + α·[id=s]."""
+    # every CTE is MATERIALIZED: each iteration references the previous
+    # one from two places, so inlining (DuckDB's default for single-ref
+    # CTEs and older versions) would expand the 10-level chain into 2^10
+    # plan copies
+    rcols = list(range(len(sources)))
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % {PR_MOD} AS src, o_orderkey % {PR_MOD} AS dst
+  FROM orders WHERE o_custkey % {PR_MOD} <> o_orderkey % {PR_MOD}
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+i0 AS MATERIALIZED (
+  SELECT id, {', '.join(
+      f'CASE WHEN id = {s} THEN 1.0 ELSE 0.0 END AS r{i}'
+      for i, s in zip(rcols, sources))}
+  FROM nodes
+)"""]
+    for t in range(1, iters + 1):
+        sums = ", ".join(f"sum(r.r{i} / d.d) AS s{i}" for i in rcols)
+        miss = ", ".join(
+            f"1.0 - coalesce(sum(s{i}), 0.0) AS m{i}" for i in rcols
+        )
+        ranks = ", ".join(
+            f"(1.0 - 0.15) * (coalesce(l.s{i}, 0.0)"
+            f" + CASE WHEN n.id = {s} THEN m.m{i} ELSE 0.0 END)"
+            f" + CASE WHEN n.id = {s} THEN 0.15 ELSE 0.0 END AS r{i}"
+            for i, s in zip(rcols, sources)
+        )
+        parts.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT e.dst AS id, {sums}
+  FROM i{t-1} r JOIN e ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+m{t} AS MATERIALIZED (SELECT {miss} FROM l{t}),
+i{t} AS MATERIALIZED (
+  SELECT n.id, {ranks}
+  FROM nodes n LEFT JOIN l{t} l ON n.id = l.id CROSS JOIN m{t} m
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS source, id, r{i} AS rank FROM i{iters}"
+        for i, s in zip(rcols, sources)
+    )
+    return f"""
+WITH {','.join(parts)},
+u AS ({union}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rank DESC, id ASC) AS rn
+  FROM u
+)
+SELECT source, id, round(rank, 6) AS rank FROM ranked WHERE rn <= {k}
+"""
+
+
+register(QuerySpec("pagerank_top10", pagerank_top10,
+                   _pagerank_sql(PR_SOURCES, PR_ITERS),
                    doc=pagerank_top10.__doc__))
 
 
