@@ -47,11 +47,13 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.curation",
     "bigdata2016w_spark.plans.lm_quality",
     "bigdata2016w_spark.plans.multimodal_plans",
+    # graph before pipeline: pagerank_top10's oracle upgrade (r03) needs a
+    # driver row; its r02 record predates the unrolled-CTE oracle
+    "bigdata2016w_spark.plans.graph",
     "bigdata2016w_spark.plans.pipeline",
     "bigdata2016w_spark.plans.relational",
     "bigdata2016w_spark.plans.text_analytics",
     "bigdata2016w_spark.plans.retrieval",
-    "bigdata2016w_spark.plans.graph",
     "bigdata2016w_spark.plans.ml",
     "bigdata2016w_spark.plans.events",
 ]
