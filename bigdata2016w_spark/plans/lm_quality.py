@@ -279,6 +279,63 @@ register(QuerySpec("documents_weighted_sample", documents_weighted_sample,
                    _WSAMPLE_SQL, doc=weighted_sample.__doc__))
 
 
+# GPT-2-flavored pre-tokenization, simplified to the regex dialect Java
+# (Spark) and RE2 (DuckDB) evaluate identically (no lookahead, ASCII
+# classes, leftmost-first alternation — cross-engine behavior pinned in
+# the oracle): contraction suffix | space?-word | space?-number |
+# space?-punctuation-run. Piece counts approximate BPE token counts the
+# way tiktoken-style tokenizers split before merging.
+BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting, both ways a training pipeline needs it:
+    whitespace words (the tokenizer the corpus stats use) and BPE-ish
+    regex pieces (the pre-merge subword segmentation that approximates
+    LLM token billing). pieces_per_word > ~1.3 flags code/symbol-heavy
+    text that tokenizes expensively."""
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PAT), 0)
+    words = tokenize("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_ws_tokens"),
+            F.size(pieces).cast("bigint").alias("n_bpe_pieces"),
+        )
+        .where(F.col("n_ws_tokens") > 0)
+        .withColumn(
+            "pieces_per_word",
+            F.round(
+                F.col("n_bpe_pieces").cast("double")
+                / F.col("n_ws_tokens").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len({tokenize_sql('text')}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_PAT.replace("'", "''")}'))
+         AS n_bpe_pieces,
+       round(CAST(len(regexp_extract_all(lower(text),
+                                         '{BPE_PAT.replace("'", "''")}'))
+                  AS DOUBLE)
+             / CAST(len({tokenize_sql('text')}) AS DOUBLE), 6)
+         AS pieces_per_word
+FROM documents
+WHERE len({tokenize_sql('text')}) > 0
+"""
+
+register(QuerySpec("doc_bpe_token_stats", doc_bpe_token_stats, _BPE_SQL,
+                   doc=bpe_token_stats.__doc__))
+
+
 HH_THRESHOLD = 200
 
 

@@ -316,6 +316,10 @@ SELECT doc_id, {lang_id_sql(_TOK)} AS lang_pred, lang FROM documents
 
 register(QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
                    doc=exact_dedup_groups.__doc__))
+# registered early within this module: the adaptive-plane change (r03)
+# needs a fresh driver row inside the 50-query correctness window
+register(QuerySpec("embedding_near_dupes", emb_near_dupes, _EMB_NEAR_DUPES_SQL,
+                   doc=embedding_near_dupes.__doc__))
 register(QuerySpec("dedup_jaccard", dedup_jaccard, _DEDUP_JACCARD_SQL,
                    doc=jaccard_near_dupes.__doc__))
 register(QuerySpec("dedup_minhash_lsh", dedup_minhash, None,
@@ -326,8 +330,6 @@ register(QuerySpec("ann_bruteforce", ann_bruteforce, _ANN_SQL,
                    doc=knn_bruteforce.__doc__))
 register(QuerySpec("ann_lsh", ann_lsh, _ANN_LSH_SQL, doc=knn_lsh.__doc__))
 register(QuerySpec("ann_ivf", ann_ivf, None, doc=knn_ivf.__doc__))
-register(QuerySpec("embedding_near_dupes", emb_near_dupes, _EMB_NEAR_DUPES_SQL,
-                   doc=embedding_near_dupes.__doc__))
 register(QuerySpec("doc_stats", doc_stats, _DOC_STATS_SQL, doc=doc_stats.__doc__))
 register(QuerySpec("doc_lang_id", doc_lang_id, _LANG_ID_SQL,
                    doc=doc_lang_id.__doc__))

@@ -87,9 +87,26 @@ def test_weighted_sample_is_deterministic(spark, sf_dir):
 
 def test_lm_quality_oracles(spark, sf_dir, duck):
     for name in ["doc_lm_score", "vocab_coverage", "doc_tfidf_terms",
-                 "documents_weighted_sample"]:
+                 "documents_weighted_sample", "doc_bpe_token_stats"]:
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_bpe_pieces_known_values(spark):
+    """Piece segmentation pinned on a hand-tokenized sample: contraction
+    split, leading-space fusion, punctuation runs, number pieces."""
+    from bigdata2016w_spark.plans.lm_quality import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "It's e=mc^2... ok 42")], ["doc_id", "text"]
+    )
+    r = bpe_token_stats(docs).collect()[0]
+    # pieces: [it]['s][ e][=][mc][^][2][...][ ok][ 42] = 10
+    assert r.n_bpe_pieces == 10
+    # whitespace tokens after end-stripping: it's / e=mc / ok ("42" strips
+    # to empty and drops)
+    assert r.n_ws_tokens == 3
+    assert r.pieces_per_word == round(10 / 3, 6)
 
 
 def test_heavy_hitters_oracle(spark, sf_dir, duck):
