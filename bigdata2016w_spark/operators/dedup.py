@@ -20,8 +20,15 @@ Four tiers, all DataFrame-native and shuffle-scalable:
 - SimHash: 64-bit signatures, 16-bit chunk blocking (pigeonhole: hamming
   ≤ 3 ⇒ ≥ 1 of 4 chunks equal), verify with ``bit_count(xor)``.
 
-Everything uses deterministic JVM hashes (xxhash64) — results are stable
-across runs and partitionings.
+Everything is deterministic — results are stable across runs and
+partitionings. Two hash families:
+
+- ``xxhash64`` (default): one JVM pass, the scale path;
+- ``portable=True``: a 60-bit md5-hex family with a bit-identical ANSI-SQL
+  twin (``('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT``), so
+  LSH results can be verified end-to-end by a DuckDB oracle — the
+  registered queries use it; the signature/banding/verify plan shape is
+  identical either way.
 """
 
 from __future__ import annotations
@@ -30,6 +37,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata2016w_spark.functions.tokenizer import tokenize
+
+
+def portable_hash60(col, seed) -> F.Column:
+    """60-bit seeded hash whose value is reproducible in ANSI SQL.
+
+    Spark ``conv(substring(md5(concat(seed, ':', s)), 1, 15), 16, 10)``
+    equals DuckDB ``('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT``
+    bit-for-bit (verified). 15 hex digits < 2^60 always fits a signed
+    64-bit long. Slower than one-pass xxhash64 (md5 + hex round-trip), so
+    it is the *verification* family; operators default to xxhash64.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -139,25 +160,30 @@ def jaccard_near_dupes(
     )
 
 
-def minhash_signatures(shingled: DataFrame, num_perm: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{P-1}): per-doc min of seeded xxhash64 per perm.
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 16, portable: bool = False
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{P-1}): per-doc min of seeded hash per perm.
 
     One explode + P min-aggregates — partial (map-side) aggregation means
     the shuffle carries one P-wide row per (partition, doc), not per
     shingle. The explicit repartition keeps the hash computation parallel
-    when AQE would coalesce the small-bytes shuffle.
+    when AQE would coalesce the small-bytes shuffle. ``portable`` swaps
+    xxhash64 for the SQL-reproducible md5 family (see
+    :func:`portable_hash60`).
     """
     par = shingled.sparkSession.sparkContext.defaultParallelism
     exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+
+    def h(p):
+        if portable:
+            return portable_hash60(F.col("sh"), p)
+        return F.xxhash64(F.lit(p), F.col("sh"))
+
     return (
         exploded.repartition(par, "doc_id")
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh_{p}")
-                for p in range(num_perm)
-            ]
-        )
+        .agg(*[F.min(h(p)).alias(f"mh_{p}") for p in range(num_perm)])
     )
 
 
@@ -167,26 +193,34 @@ def minhash_lsh_near_dupes(
     num_perm: int = 16,
     bands: int = 4,
     shingled: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash banding, then exact-Jaccard
     verification of candidates. Same output schema as jaccard_near_dupes —
     a subset of it with high probability (LSH recall). ``shingled``: see
-    :func:`jaccard_near_dupes`."""
+    :func:`jaccard_near_dupes`. ``portable``: use the SQL-reproducible
+    md5 hash family and a decimal-string band key so a DuckDB oracle can
+    recompute the exact pair set (band key equality ⇔ signature-slice
+    equality either way; plan shape is identical)."""
     rows = num_perm // bands
     # materialize shingling once: it feeds signatures and both verify sides
     s = (shingled if shingled is not None
          else shingle_sets(docs).localCheckpoint(eager=True))
-    sig = minhash_signatures(s, num_perm)
+    sig = minhash_signatures(s, num_perm, portable=portable)
+
+    def band_key(bi):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        if portable:
+            return F.concat_ws(",", *cols)
+        return F.xxhash64(*cols)
+
     band_rows = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-                        ).alias("bh"),
+                        F.lit(bi).alias("band"), band_key(bi).alias("bh")
                     )
                     for bi in range(bands)
                 ]
@@ -214,8 +248,9 @@ def minhash_lsh_near_dupes(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over token xxhash64 bit votes.
+def simhash_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over token xxhash64 bit votes
+    (60-bit over :func:`portable_hash60` votes when ``portable``).
 
     One exchange total: the explicit repartition hash-distributes docs by
     doc_id, so the explode → groupBy(doc_id) vote aggregation reuses that
@@ -223,21 +258,22 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     Exchange) and partial aggregation folds votes map-side. Measured
     faster than a shuffle-free per-row higher-order-function fold, which
     leaves whole-stage codegen (interpreted lambda per token per bit)."""
+    nbits = 60 if portable else 64
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
-    h = F.xxhash64("w")
+    h = portable_hash60(F.col("w"), "sim") if portable else F.xxhash64("w")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(nbits)
         ]
     )
     sim = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(
             F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -245,13 +281,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_dupes(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dupes(
+    docs: DataFrame, max_hamming: int = 3, portable: bool = False
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k (k < 4).
 
-    Blocking on 16-bit chunks: hamming ≤ 3 over 4 chunks forces ≥ 1 equal
-    chunk, so candidates come from 4 equi-joins, not a cross product.
+    Blocking on 16-bit chunks (15-bit when ``portable`` — 60-bit
+    signatures): hamming ≤ 3 over 4 chunks forces ≥ 1 equal chunk, so
+    candidates come from 4 equi-joins, not a cross product.
     """
-    sig = simhash_signatures(docs)
+    chunk_bits = 15 if portable else 16
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(docs, portable=portable)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -260,8 +301,8 @@ def simhash_near_dupes(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", chunk_bits * c)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
                     for c in range(4)

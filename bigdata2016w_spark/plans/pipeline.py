@@ -1,10 +1,12 @@
 """Registered training-data-pipeline queries: dedup, similarity search,
 text stats, language ID (pipeline extension — SURVEY §7.1 step 8).
 
-Exact-semantics operators carry DuckDB oracles; the LSH/SimHash approximate
-scale paths are deterministic (fixed seeds/hashes) but depend on xxhash64,
-which DuckDB lacks → rows-only driver checks, with recall/consistency
-covered in pytest (tests/test_pipeline.py).
+Every dedup tier carries a DuckDB oracle: the exact operators trivially,
+and the MinHash-LSH / SimHash approximate paths via the ``portable``
+md5-hex hash family (bit-identical in Spark and DuckDB), so even the
+banded-LSH candidate generation is replayed by the oracle. The xxhash64
+scale-path variants keep recall/consistency pytest coverage
+(tests/test_pipeline.py). ann_ivf (KMeans quantizer) stays rows-only.
 """
 
 from __future__ import annotations
@@ -98,15 +100,21 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable hash family → the full LSH pipeline (signatures, banding,
+    # candidate join, exact-Jaccard verify) is recomputed by the DuckDB
+    # oracle; the xxhash64 scale path keeps its own pytest recall check
     return minhash_lsh_near_dupes(
         load_table(spark, sf_dir, "documents"),
         JACCARD_THRESHOLD,
         shingled=shared_shingle_sets(spark, sf_dir),
+        portable=True,
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dupes(load_table(spark, sf_dir, "documents"))
+    return simhash_near_dupes(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +203,99 @@ SELECT doc_a, doc_b, jaccard FROM (
            AS jaccard
   FROM s a JOIN s b ON a.doc_id < b.doc_id
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+# ---- SQL twins of the portable-hash LSH dedup tiers -------------------
+# The registered MinHash/SimHash queries use portable_hash60 (md5-hex →
+# BIGINT, bit-identical across Spark and DuckDB), so the *entire* LSH
+# pipeline — signatures, banding, candidate equi-join, verify — replays in
+# plain SQL. P/band/chunk constants mirror the operator defaults.
+
+_MH_P, _MH_BANDS = 16, 4
+_MH_ROWS = _MH_P // _MH_BANDS
+_SIM_BITS, _SIM_CHUNK_BITS, _SIM_MAXHAM = 60, 15, 3
+
+
+def _phash_sql(seed, expr: str) -> str:
+    """DuckDB twin of operators.dedup.portable_hash60."""
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+_MH_SIG_COLS = ",\n         ".join(
+    f"min({_phash_sql(p, 'sh')}) AS mh_{p}" for p in range(_MH_P)
+)
+_MH_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    + " || ',' || ".join(
+        f"CAST(mh_{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+    )
+    + " AS bh FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{_MH_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN s a ON a.doc_id = c.doc_a
+  JOIN s b ON b.doc_id = c.doc_b
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+_SIM_VOTE_COLS = ",\n         ".join(
+    f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(_SIM_BITS)
+)
+_SIM_SIG_EXPR = "\n         + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIM_BITS)
+)
+_SIM_CHUNK_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {c} AS chunk,"
+    f" (simhash >> {c * _SIM_CHUNK_BITS}) & {(1 << _SIM_CHUNK_BITS) - 1}"
+    f" AS cv FROM sig"
+    for c in range(4)
+)
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS w FROM documents
+),
+h AS (SELECT doc_id, {_phash_sql('sim', 'w')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {_SIM_VOTE_COLS}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {_SIM_SIG_EXPR} AS simhash
+  FROM votes
+),
+chunks AS (
+{_SIM_CHUNK_SELECTS}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM chunks x JOIN chunks y
+  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIM_MAXHAM}
 """
 
 _ANN_SQL = f"""
@@ -322,9 +423,9 @@ register(QuerySpec("embedding_near_dupes", emb_near_dupes, _EMB_NEAR_DUPES_SQL,
                    doc=embedding_near_dupes.__doc__))
 register(QuerySpec("dedup_jaccard", dedup_jaccard, _DEDUP_JACCARD_SQL,
                    doc=jaccard_near_dupes.__doc__))
-register(QuerySpec("dedup_minhash_lsh", dedup_minhash, None,
+register(QuerySpec("dedup_minhash_lsh", dedup_minhash, _DEDUP_MINHASH_SQL,
                    doc=minhash_lsh_near_dupes.__doc__))
-register(QuerySpec("dedup_simhash", dedup_simhash, None,
+register(QuerySpec("dedup_simhash", dedup_simhash, _DEDUP_SIMHASH_SQL,
                    doc=simhash_near_dupes.__doc__))
 register(QuerySpec("ann_bruteforce", ann_bruteforce, _ANN_SQL,
                    doc=knn_bruteforce.__doc__))

@@ -6,8 +6,9 @@ from pyspark.sql import functions as F
 from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
-ORACLE_BACKED = ["dedup_exact", "dedup_jaccard", "ann_bruteforce",
-                 "doc_stats", "doc_lang_id"]
+ORACLE_BACKED = ["dedup_exact", "dedup_jaccard", "dedup_minhash_lsh",
+                 "dedup_simhash", "ann_bruteforce", "doc_stats",
+                 "doc_lang_id"]
 
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
@@ -32,6 +33,29 @@ def test_simhash_finds_near_dupes(spark, sf_dir):
     out = all_specs()["dedup_simhash"].fn(spark, sf_dir)
     rows = out.collect()
     assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
+
+
+def test_xxhash_scale_path_variants(spark, sf_dir):
+    """The registered queries use the portable md5 family; the xxhash64
+    default remains the 100 TB scale path and must keep the same
+    guarantees: LSH output ⊆ exact Jaccard pairs with high recall, and
+    simhash pairs within the hamming bound."""
+    from bigdata2016w_spark.operators.dedup import (
+        minhash_lsh_near_dupes,
+        simhash_near_dupes,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in
+             all_specs()["dedup_jaccard"].fn(spark, sf_dir).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in
+              minhash_lsh_near_dupes(docs, 0.5, portable=False).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.8
+    sim = simhash_near_dupes(docs, portable=False).collect()
+    assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in sim)
 
 
 def test_ann_lsh_recall(spark, sf_dir):
