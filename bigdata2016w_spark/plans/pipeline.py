@@ -25,8 +25,10 @@ from bigdata2016w_spark.functions.textstats import (
 )
 from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
 from bigdata2016w_spark.operators.dedup import (
+    MH_PRIME,
     exact_dedup_groups,
     jaccard_near_dupes,
+    mh_affine,
     minhash_lsh_near_dupes,
     shingle_sets,
     simhash_near_dupes,
@@ -222,7 +224,10 @@ def _phash_sql(seed, expr: str) -> str:
 
 
 _MH_SIG_COLS = ",\n         ".join(
-    f"min({_phash_sql(p, 'sh')}) AS mh_{p}" for p in range(_MH_P)
+    "min(({a} * hb + {b}) % {pr}) AS mh_{p}".format(
+        a=mh_affine(p)[0], b=mh_affine(p)[1], pr=MH_PRIME, p=p
+    )
+    for p in range(_MH_P)
 )
 _MH_BAND_SELECTS = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band, "
@@ -235,7 +240,8 @@ _MH_BAND_SELECTS = "\n  UNION ALL\n".join(
 
 _DEDUP_MINHASH_SQL = f"""
 WITH {_SHINGLES},
-ex AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+ex AS (SELECT doc_id, {_phash_sql('mh', 'unnest(sh)')} % {MH_PRIME} AS hb
+       FROM s),
 sig AS (
   SELECT doc_id,
          {_MH_SIG_COLS}
