@@ -230,6 +230,75 @@ def knn_ivf(
     ).select("query_id", "vec_id", "cosine")
 
 
+def knn_ivf_flat(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat with a deterministic seed-centroid quantizer: the
+    ``n_cells`` lowest-vec_id embeddings ARE the centroids (no training
+    pass), every vector joins its max-cosine centroid's cell, queries
+    probe their ``n_probe`` best cells by exact cosine.
+
+    The inverted-file mechanics are identical to :func:`knn_ivf` — cell
+    assignment is a broadcast map-side argmax (the corpus never
+    shuffles; at 100 TB the cell table is written bucketed by cell so a
+    probe reads only its buckets) — but with no iterative fit the whole
+    pipeline is closed-form and a DuckDB oracle replays it exactly.
+    KMeans-trained ``knn_ivf`` remains the recall-quality path.
+    """
+    cent = broadcast(
+        embeddings.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("a_cos"), F.asc("cell")
+    )
+    assigned = (
+        embeddings.crossJoin(cent)
+        .select(
+            "vec_id", "embedding", "cell",
+            cosine(F.col("embedding"), F.col("centroid")).alias("a_cos"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probes = (
+        broadcast(q)
+        .crossJoin(cent)
+        .select(
+            "query_id", "q_emb", "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    pairs = (
+        broadcast(probes)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
+
+
 # embedding_near_dupes blocking geometry: target per-bucket occupancy (B),
 # plane-count clamp, and table fan-out for recall amplification
 EMB_BUCKET_TARGET = 32

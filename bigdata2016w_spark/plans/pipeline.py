@@ -604,3 +604,64 @@ GROUP BY label, cand
 register(QuerySpec("embedding_nearest_centroid", embedding_nearest_centroid,
                    _NEAREST_CENTROID_SQL,
                    doc=embedding_nearest_centroid.__doc__))
+
+
+def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_flat
+
+    return knn_ivf_flat(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K
+    )
+
+
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+_ANN_IVF_FLAT_SQL = f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+ac AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, q.qe, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {_IVF_PROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('p.qe', 'a.embedding')} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec("ann_ivf_flat", ann_ivf_flat, _ANN_IVF_FLAT_SQL,
+                   doc="Deterministic seed-centroid IVF-Flat; see "
+                       "operators/similarity.knn_ivf_flat."))

@@ -212,6 +212,23 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.35
 
 
+def test_ann_ivf_flat_oracle_and_recall(spark, sf_dir, duck):
+    """Deterministic IVF-Flat: exact oracle parity AND recall@10 vs brute
+    force above the scanned fraction (n_probe/n_cells = 1/4)."""
+    spec = all_specs()["ann_ivf_flat"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    flat = spec.fn(spark, sf_dir).collect()
+    bf_sets, fl_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in flat:
+        fl_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & fl_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
 def test_label_centroids_oracle(spark, sf_dir, duck):
     from tests.oracle import compare_spark_duckdb
 
