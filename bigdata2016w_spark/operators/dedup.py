@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata2016w_spark.functions.tokenizer import tokenize
 
@@ -113,12 +114,15 @@ def jaccard_near_dupes(
          else shingle_sets(docs).localCheckpoint(eager=True))
     par = docs.sparkSession.sparkContext.defaultParallelism
     ex = s.select("doc_id", F.explode("shingles").alias("sh"))
-    freq = ex.groupBy("sh").agg(F.count("*").alias("cf"))
     # canonical rarest-first order per doc: sort (cf, sh) structs. The
-    # explicit repartition keeps the array rebuild parallel (AQE would
-    # coalesce this small-bytes/high-CPU shuffle to one partition).
+    # shingle frequency comes from an unordered count window over sh —
+    # one exchange of ex total, vs two + a join for the
+    # groupBy(sh)+join formulation (A/B: 1.08 s → 0.30 s at sf0.1; same
+    # skew exposure, both hash-distribute by sh). The explicit
+    # repartition keeps the array rebuild parallel (AQE would coalesce
+    # this small-bytes/high-CPU shuffle to one partition).
     canon = (
-        ex.join(freq, "sh")
+        ex.withColumn("cf", F.count("*").over(Window.partitionBy("sh")))
         .repartition(par, "doc_id")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("cf", "sh"))).alias("cs"))
