@@ -85,3 +85,44 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write JSON-lines (the interchange format most external corpus
     tooling consumes)."""
     df.write.mode(mode).json(path)
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, table: str, header: bool = True
+) -> DataFrame:
+    """Read CSV with the catalog schema declared up front — like JSONL,
+    schema/type inference is a full extra pass at scale and is never
+    relied on for known tables. Timestamps parse ISO-8601."""
+    return (
+        spark.read.schema(SCHEMAS[table])
+        .options(header=str(header).lower(), timestampNTZFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV export for downstream non-columnar consumers."""
+    (
+        df.write.mode(mode)
+        .options(header=str(header).lower(), timestampNTZFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar with predicate pushdown like parquet; schema
+    travels with the file."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with optional hive partitioning (zlib default codec)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -28,6 +28,41 @@ def test_tbl_roundtrip_q1(spark, sf_dir, tmp_path):
     assert back.where(pred).count() == li.where(pred).count()
 
 
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    """parquet → CSV (declared schema, no inference pass) → parquet must
+    preserve the orders table exactly, including the timestamp column."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.text_formats import read_csv_table, write_csv
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv_table(spark, path, "orders")
+    assert back.dtypes == orders.dtypes
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """parquet → hive-partitioned ORC → scan with a partition filter:
+    rows preserved and the filter prunes at the partition level."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.text_formats import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["order_year"])
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    got = back.where(F.col("order_year") == 1996)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert got.count() == orders.where(F.col("order_year") == 1996).count()
+
+
 def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     """parquet → JSONL → parquet must preserve rows exactly (documents
     table: long/string columns)."""
