@@ -33,6 +33,13 @@ def roc_auc(scored: DataFrame, label_col: str = "label",
     ``cum_before + 1``, every row's average rank is ``cum_before +
     (cnt + 1)/2``; positives contribute ``pos × that`` to the rank sum —
     identical to per-row ``rank() + (nties − 1)/2``, without ranking rows.
+
+    Rank sums are kept in *doubled* integer space (2·avg_rank =
+    2·cum − cnt + 1 is always integral), so every aggregate is an exact
+    long sum — no float-addition order sensitivity — and only the final
+    AUC ratio divides in double. That makes the whole computation
+    bit-reproducible across engines (DuckDB-oracle-verifiable given a
+    SQL-expressible scorer).
     """
     grouped = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.count("*").alias("cnt"),
@@ -43,26 +50,19 @@ def roc_auc(scored: DataFrame, label_col: str = "label",
         Window.unboundedPreceding, Window.currentRow
     )
     ranked = grouped.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "r", F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        "r2", 2 * F.col("cum") - F.col("cnt") + 1
     )
     agg = ranked.agg(
-        F.sum(F.col("pos") * F.col("r")).alias("rsum"),
+        F.sum(F.col("pos") * F.col("r2")).alias("rsum2"),
         F.sum("pos").alias("p"),
         F.sum("neg").alias("n"),
     )
+    auc = (F.col("rsum2") - F.col("p") * (F.col("p") + 1)) / (
+        2 * F.col("p") * F.col("n")
+    )
     return agg.select(
-        (
-            (F.col("rsum") - F.col("p") * (F.col("p") + 1) / 2.0)
-            / (F.col("p") * F.col("n"))
-        ).alias("auc"),
-        (
-            F.lit(100.0)
-            * (
-                1.0
-                - (F.col("rsum") - F.col("p") * (F.col("p") + 1) / 2.0)
-                / (F.col("p") * F.col("n"))
-            )
-        ).alias("one_minus_roca_pct"),
+        auc.alias("auc"),
+        (F.lit(100.0) * (1.0 - auc)).alias("one_minus_roca_pct"),
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
     )

@@ -97,3 +97,56 @@ def sgd_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec("sgd_scores", sgd_scores, None, doc=sgd_scores.__doc__))
 register(QuerySpec("sgd_ensemble", sgd_ensemble, None, doc=sgd_ensemble.__doc__))
 register(QuerySpec("sgd_auc", sgd_auc, None, doc=sgd_auc.__doc__))
+
+
+def auc_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roc_auc over a closed-form scorer so the rank-sum AUC machinery
+    itself is DuckDB-oracle-verified (sgd_auc stays rows-only because its
+    scores come from the sequential fold): label = even doc_id, score =
+    (doc_id·2654435761) mod 97 — 97 buckets over the corpus guarantees
+    heavy score ties, exercising the average-rank correction. All rank
+    arithmetic is exact-integer (see operators/evaluation.roc_auc), so
+    the oracle matches bit-for-bit."""
+    from bigdata2016w_spark.operators.evaluation import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0).alias("label"),
+        ((F.col("doc_id") * 2654435761) % 97).cast("double").alias("s"),
+    )
+    return roc_auc(scored, label_col="label", score_col="s")
+
+
+_AUC_RANK_SQL = """
+WITH scored AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS label,
+         CAST((doc_id * 2654435761) % 97 AS DOUBLE) AS s
+  FROM documents
+),
+grouped AS (
+  SELECT s, count(*) AS cnt,
+         sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN label <> 1.0 THEN 1 ELSE 0 END) AS neg
+  FROM scored GROUP BY s
+),
+ranked AS (
+  SELECT *,
+         sum(cnt) OVER (ORDER BY s ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM grouped
+),
+agg AS (
+  SELECT CAST(sum(pos * (2 * cum - cnt + 1)) AS BIGINT) AS rsum2,
+         CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT (rsum2 - p * (p + 1)) / (2 * p * n) AS auc,
+       100.0 * (1.0 - (rsum2 - p * (p + 1)) / (2 * p * n))
+         AS one_minus_roca_pct,
+       p AS n_pos, n AS n_neg
+FROM agg
+"""
+
+register(QuerySpec("auc_rank_check", auc_rank_check, _AUC_RANK_SQL,
+                   doc=auc_rank_check.__doc__))
