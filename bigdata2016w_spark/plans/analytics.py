@@ -222,3 +222,84 @@ register(QuerySpec("customer_acctbal_quartiles", customer_acctbal_quartiles,
 from bigdata2016w_spark.plans.text_analytics import _PMI_SQL  # noqa: E402
 
 register(QuerySpec("pmi_stripes", pmi_stripes, _PMI_SQL, doc=pmi_stripes.__doc__))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the classic *correlated scalar
+    subquery*, decorrelated Spark-first into a per-part aggregate joined
+    back (what Catalyst's RewriteCorrelatedScalarSubquery does, written
+    explicitly). The threshold compare runs in exact DECIMAL integer
+    space (qty < 0.2·sum/cnt ⇔ 5·qty·cnt < sum, all operands exact), so
+    no float crosses the predicate. Per-part agg shuffles once on
+    l_partkey; the join reuses that key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast(_DEC).alias("price"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.sum("price").alias("total_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS cnt_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(price) AS DECIMAL(28,2)) AS total_revenue,
+       count(*) AS n_lineitems
+FROM li JOIN per_part USING (l_partkey)
+WHERE 5 * qty * cnt_qty < sum_qty
+"""
+
+register(QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+                   _Q17_SQL, doc=q17_small_quantity_revenue.__doc__))
+
+
+def supplier_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: supplier-name pairs within Levenshtein
+    distance 1, blocked by nation so the pairwise distance computation
+    never goes corpus-quadratic (the blocked-join pattern every
+    record-linkage pipeline uses at scale; tighten blocks — prefix keys,
+    sorted-neighborhood — as volume grows)."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a, b = sup.alias("a"), sup.alias("b")
+    return (
+        a.join(b, "s_nationkey")
+        .where(F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+register(QuerySpec("supplier_fuzzy_name_pairs", supplier_fuzzy_name_pairs,
+                   _FUZZY_SQL, doc=supplier_fuzzy_name_pairs.__doc__))

@@ -6,7 +6,9 @@ from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
 NAMES = ["orders_rollup", "orders_cube", "customer_rank_window",
-         "nation_distinct_counts", "pmi_stripes"]
+         "nation_distinct_counts", "pmi_stripes",
+         "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
+         "auc_rank_check"]
 
 
 @pytest.mark.parametrize("name", NAMES)
