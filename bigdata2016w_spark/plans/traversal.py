@@ -1,0 +1,66 @@
+"""Registered graph-traversal queries (BFS hop distance / unweighted
+SSSP) over the orders-derived graph fixture.
+
+Registered from its own module appended LAST in the registry order:
+the round driver's 50-query correctness window is position-sensitive,
+and this module must not displace queries awaiting their first driver
+verdict (see registry._SPEC_MODULES).
+
+Like ``pagerank_top10``, the fixed ``SSSP_HOPS``-round frontier loop
+unrolls into chained MATERIALIZED CTEs so an iterative algorithm still
+gets a full DuckDB oracle: round t is ``min(dist_{t-1} ∪ relax)`` —
+min-combine is exact integer arithmetic, so there is no float caveat at
+all here (simpler than PageRank's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata2016w_spark.operators.traversal import bfs_hops
+from bigdata2016w_spark.plans.graph import PR_MOD, order_graph_edges
+from bigdata2016w_spark.registry import QuerySpec, register
+
+SSSP_SOURCE = 0
+SSSP_HOPS = 8
+
+
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum directed hop count from node 0 to every node reachable in
+    ≤ 8 hops (orders-derived ~200-node graph; small explicit partitioning
+    as in pagerank_top10)."""
+    edges = order_graph_edges(spark, sf_dir)
+    return bfs_hops(edges, SSSP_SOURCE, SSSP_HOPS, num_partitions=4)
+
+
+def _sssp_sql(source: int, hops: int) -> str:
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % {PR_MOD} AS src, o_orderkey % {PR_MOD} AS dst
+  FROM orders WHERE o_custkey % {PR_MOD} <> o_orderkey % {PR_MOD}
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) END AS dist
+  FROM nodes
+)"""]
+    for t in range(1, hops + 1):
+        parts.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + 1 AS dist
+    FROM e JOIN d{t - 1} p ON e.src = p.id
+    WHERE p.dist IS NOT NULL
+  ) u GROUP BY id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT id, dist FROM d{hops} WHERE dist IS NOT NULL"
+    )
+
+
+register(QuerySpec("graph_sssp_hops", graph_sssp_hops,
+                   _sssp_sql(SSSP_SOURCE, SSSP_HOPS),
+                   doc=graph_sssp_hops.__doc__))

@@ -64,6 +64,9 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.retrieval",
     "bigdata2016w_spark.plans.ml",
     "bigdata2016w_spark.plans.events",
+    # appended last deliberately — must not displace queries still
+    # awaiting their first driver verdict inside the 50-query window
+    "bigdata2016w_spark.plans.traversal",
 ]
 
 
