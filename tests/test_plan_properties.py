@@ -196,3 +196,35 @@ def test_lm_score_partial_aggregation(spark, sf_dir):
     plan = _formatted_plan(doc_lm_score(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Cartesian" not in plan
+
+
+def test_q17_decorrelated_single_fact_key(spark, sf_dir):
+    """The decorrelated scalar subquery must stay a plain equi-join on
+    the part key with partial+final aggregation — no cartesian product,
+    no nested-loop join, scan reads only the 3 needed columns."""
+    from bigdata2016w_spark.plans.analytics import q17_small_quantity_revenue
+
+    plan = _formatted_plan(q17_small_quantity_revenue(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read and "l_discount" not in read
+
+
+def test_fuzzy_pairs_blocked_not_cartesian(spark, sf_dir):
+    """The Levenshtein pairwise must run under the nation equi-join block,
+    never as a cartesian/broadcast-nested-loop over all suppliers."""
+    from bigdata2016w_spark.plans.analytics import supplier_fuzzy_name_pairs
+
+    plan = _formatted_plan(supplier_fuzzy_name_pairs(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ivf_flat_broadcasts_centroids(spark, sf_dir):
+    """Cell assignment must be a broadcast of the centroid table (the
+    corpus side never shuffles for assignment)."""
+    from bigdata2016w_spark.plans.pipeline import ann_ivf_flat
+
+    plan = _formatted_plan(ann_ivf_flat(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -20,6 +20,9 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "pmi_pairs", "index_stats", "retrieval_and", "dedup_exact",
     "dedup_jaccard", "doc_stats", "events_sessions", "ann_bruteforce",
     "retrieval_bm25", "doc_train_test_split",
+    "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
+    "graph_sssp_hops", "ann_ivf_flat", "dedup_minhash_lsh",
+    "dedup_simhash",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -27,6 +30,9 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     rows = all_specs()[name].fn(spark, empty_sf).collect()
     if name == "q1_count_shipped":
         assert rows[0][0] == 0
+    elif name == "q17_small_quantity_revenue":
+        # global aggregate: one row, null sum / zero count
+        assert len(rows) == 1 and rows[0].n_lineitems == 0
     else:
         assert rows == []
 
