@@ -1,0 +1,122 @@
+"""Scale smoke: run the LSH dedup tiers and ANN blocking on synthetic
+corpora 20-40x the sf0.1 bench tables, printing wall clock and the
+candidate-volume counters that decide 100 TB viability.
+
+Synthesizes (deterministically, seeded) a uniform-vocabulary corpus with
+a planted 2% near-dup rate — unrelated docs share essentially no 3-gram
+shingles, planted dups share ~96% — plus a near-isotropic embedding
+table. Not part of the pytest gate (runtime);
+run manually:
+
+    python scripts/scale_smoke.py [n_docs] [n_vecs]
+
+The interesting outputs are the RATIOS: candidate pairs per document and
+scan fraction must stay ~constant as N grows (linear total work), which
+is what the banded equi-join / adaptive-plane designs promise.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from bigdata2016w_spark import get_spark
+from bigdata2016w_spark.operators.dedup import (
+    minhash_lsh_near_dupes,
+    shingle_sets,
+    simhash_near_dupes,
+)
+from bigdata2016w_spark.operators.similarity import (
+    LSH_SEED,
+    _planes,
+    adaptive_num_planes,
+    lsh_bucket,
+)
+
+VOCAB = 5000
+DOC_LEN = 80
+DUP_RATE = 0.02
+
+
+def synth_docs(spark, n: int):
+    """n docs of DOC_LEN words over a VOCAB-word Zipf-ish vocabulary;
+    ~DUP_RATE of docs are a prior doc with one word changed."""
+    # alphabetic vocabulary — the tokenizer (reference semantics) strips
+    # digits, so words must be letters-only
+    words_v = ["".join("abcdefghij"[int(c)] for c in str(t)) + "x"
+               for t in range(VOCAB)]
+    rng = np.random.RandomState(7)
+    draws = rng.randint(0, VOCAB, size=(n, DOC_LEN))
+    texts = [" ".join(words_v[t] for t in row) for row in draws]
+    dup_idx = rng.choice(n, size=int(n * DUP_RATE), replace=False)
+    for i in dup_idx:
+        if i == 0:
+            continue
+        src = rng.randint(0, i)
+        words = texts[src].split()
+        words[rng.randint(0, len(words))] = words_v[rng.randint(0, VOCAB)]
+        texts[i] = " ".join(words)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(32, "doc_id").localCheckpoint(eager=True)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    docs = synth_docs(spark, n_docs)
+    print(f"corpus: {docs.count()} docs x {DOC_LEN} words")
+
+    t0 = time.perf_counter()
+    sh = shingle_sets(docs).localCheckpoint(eager=True)
+    print(f"shingle_sets: {time.perf_counter() - t0:.1f}s "
+          f"({sh.count()} docs shingled)")
+
+    t0 = time.perf_counter()
+    mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)
+    n_pairs = mh.count()
+    print(f"minhash_lsh (xxhash scale path): {time.perf_counter() - t0:.1f}s, "
+          f"{n_pairs} verified pairs ({n_pairs / n_docs:.4f}/doc)")
+
+    t0 = time.perf_counter()
+    sim = simhash_near_dupes(docs, portable=False)
+    n_sim = sim.count()
+    print(f"simhash: {time.perf_counter() - t0:.1f}s, {n_sim} pairs "
+          f"({n_sim / n_docs:.4f}/doc)")
+
+    # ANN blocking occupancy: candidate pairs per vector under adaptive P
+    rng = np.random.RandomState(11)
+    dim = 16
+    vecs = rng.randn(n_vecs, dim).round(3).tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(32, "vec_id").localCheckpoint(eager=True)
+    p = adaptive_num_planes(n_vecs)
+    t0 = time.perf_counter()
+    occ = (
+        emb.select(
+            lsh_bucket(F.col("embedding"),
+                       _planes(dim, p, seed=LSH_SEED)).alias("b")
+        )
+        .groupBy("b").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    print(f"embedding LSH (P={p}): bucketing {time.perf_counter() - t0:.1f}s, "
+          f"{occ:.0f} candidate pairs ({occ / n_vecs:.1f}/vec)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
