@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 
 from bigdata2016w_spark import get_spark
 from bigdata2016w_spark.operators.dedup import (
+    jaccard_near_dupes,
     minhash_lsh_near_dupes,
     shingle_sets,
     simhash_near_dupes,
@@ -81,6 +82,12 @@ def main() -> None:
     sh = shingle_sets(docs).localCheckpoint(eager=True)
     print(f"shingle_sets: {time.perf_counter() - t0:.1f}s "
           f"({sh.count()} docs shingled)")
+
+    t0 = time.perf_counter()
+    ja = jaccard_near_dupes(docs, 0.5, shingled=sh)
+    n_exact = ja.count()
+    print(f"jaccard PPJoin (exact tier): {time.perf_counter() - t0:.1f}s, "
+          f"{n_exact} pairs ({n_exact / n_docs:.4f}/doc)")
 
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)
