@@ -198,6 +198,21 @@ def knn_ivf(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+    return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
+
+
+def _ivf_probe_search(
+    assigned: DataFrame,
+    cent: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF search half (knn_ivf and knn_ivf_flat): rank centroids
+    per query by exact cosine, probe the best ``n_probe`` cells, rank
+    candidates inside probed cells, two-stage top-k. Query and probe
+    tables are broadcast; the assigned corpus is only ever the build
+    (non-shuffled) side of the cell equi-join."""
     q = assigned.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -239,64 +254,51 @@ def knn_ivf_flat(
 ) -> DataFrame:
     """IVF-Flat with a deterministic seed-centroid quantizer: the
     ``n_cells`` lowest-vec_id embeddings ARE the centroids (no training
-    pass), every vector joins its max-cosine centroid's cell, queries
+    pass), every vector takes its max-cosine centroid's cell, queries
     probe their ``n_probe`` best cells by exact cosine.
 
-    The inverted-file mechanics are identical to :func:`knn_ivf` — cell
-    assignment is a broadcast map-side argmax (the corpus never
-    shuffles; at 100 TB the cell table is written bucketed by cell so a
-    probe reads only its buckets) — but with no iterative fit the whole
-    pipeline is closed-form and a DuckDB oracle replays it exactly.
-    KMeans-trained ``knn_ivf`` remains the recall-quality path.
+    Cell assignment is genuinely map-side: the centroids are collected
+    once at plan build (n_cells driver rows, like fetching a trained
+    model) and baked into the plan as literal arrays, so assignment is a
+    pure projection — an in-expression argmax over n_cells cosines with
+    NO shuffle and NO row expansion of the corpus (at 100 TB the cell
+    table is then written bucketed by cell so a probe reads only its
+    buckets). Ties pick the lowest cell via struct-ordered
+    ``array_max((cos, -cell))``, matching the oracle's
+    ``ORDER BY a_cos DESC, cell ASC``. With no iterative fit the whole
+    pipeline is closed-form and a DuckDB oracle replays it exactly;
+    KMeans-trained :func:`knn_ivf` remains the recall-quality path.
     """
-    cent = broadcast(
-        embeddings.where(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").cast("int").alias("cell"),
-            F.col("embedding").alias("centroid"),
+    spark = embeddings.sparkSession
+    cent_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in cent_rows]
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double"
         )
+    choices = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("embedding"), F.array(*[F.lit(x) for x in v])
+                ).alias("c"),
+                F.lit(-cell).alias("nc"),
+            )
+            for cell, v in cent_lit
+        ]
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("a_cos"), F.asc("cell")
+    assigned = embeddings.select(
+        "vec_id", "embedding",
+        (-F.array_max(choices)["nc"]).cast("int").alias("cell"),
     )
-    assigned = (
-        embeddings.crossJoin(cent)
-        .select(
-            "vec_id", "embedding", "cell",
-            cosine(F.col("embedding"), F.col("centroid")).alias("a_cos"),
-        )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), F.asc("cell")
-    )
-    probes = (
-        broadcast(q)
-        .crossJoin(cent)
-        .select(
-            "query_id", "q_emb", "cell",
-            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
-    pairs = (
-        broadcast(probes)
-        .join(assigned, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
-    )
-    return topk_per_group(
-        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
-    ).select("query_id", "vec_id", "cosine")
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 
 
 # embedding_near_dupes blocking geometry: target per-bucket occupancy (B),

@@ -119,10 +119,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
-    mode: str = "overwrite",
+    mode: str = "overwrite", compression: str = "zlib",
 ) -> None:
-    """ORC sink with optional hive partitioning (zlib default codec)."""
-    w = df.write.mode(mode)
+    """ORC sink with optional hive partitioning. Codec defaults to zlib
+    explicitly (every ORC reader decodes it; Spark's session default
+    resolves to zstd, which older readers may lack)."""
+    w = df.write.mode(mode).option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)

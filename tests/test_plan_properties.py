@@ -220,11 +220,18 @@ def test_fuzzy_pairs_blocked_not_cartesian(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
-def test_ivf_flat_broadcasts_centroids(spark, sf_dir):
-    """Cell assignment must be a broadcast of the centroid table (the
-    corpus side never shuffles for assignment)."""
+def test_ivf_flat_assignment_is_mapside(spark, sf_dir):
+    """Cell assignment must be a pure projection over literal centroids —
+    exactly ONE Window in the whole plan (query-side probe ranking over
+    broadcast rows), none over the corpus; probe join broadcast; no
+    cartesian product."""
     from bigdata2016w_spark.plans.pipeline import ann_ivf_flat
 
+    import re
+
     plan = _formatted_plan(ann_ivf_flat(spark, sf_dir))
+    # window nodes: probe ranking + the two top-k stages = 3; a 4th would
+    # mean assignment regressed to a corpus-side row_number
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.MULTILINE)) == 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
