@@ -112,3 +112,57 @@ def test_rpn_random_queries_match_set_algebra(seed):
     )
     got = {r[0] for r in eval_rpn(postings_flat(docs), query).collect()}
     assert got == want
+
+
+# --- portable hash family: Spark expression ≡ python md5 reference ---
+
+def test_portable_hash60_matches_python_md5(spark):
+    """The SQL-portable hash family under the oracle-backed LSH tiers:
+    Spark's conv(substr(md5(seed:s),1,15),16,10) must equal a pure-Python
+    hashlib reimplementation on adversarial strings (unicode, quotes,
+    empties collapse upstream — tokens are never empty, but the hash
+    itself must not care)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.operators.dedup import (
+        MH_PRIME,
+        mh_affine,
+        portable_hash60,
+    )
+
+    samples = ["a", "hello world", "naïve café", "日本語", "x" * 500,
+               "it's \"quoted\"", "tab\tsep", "mixed123digits", "ZzZ"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r.s: (r.h, r.m)
+        for r in df.select(
+            "s",
+            portable_hash60(F.col("s"), "mh").alias("h"),
+            (((portable_hash60(F.col("s"), "mh") % MH_PRIME)
+              * mh_affine(3)[0] + mh_affine(3)[1]) % MH_PRIME).alias("m"),
+        ).collect()
+    }
+    for s in samples:
+        ref = int(hashlib.md5(f"mh:{s}".encode()).hexdigest()[:15], 16)
+        a, b = mh_affine(3)
+        assert got[s][0] == ref
+        assert got[s][1] == ((ref % MH_PRIME) * a + b) % MH_PRIME
+
+
+def test_mh_affine_family_is_injective_per_perm():
+    """Each affine map a_p·x + b_p mod P over the 31-bit prime field is a
+    bijection (a_p never 0 mod P), so the portable MinHash permutations
+    are genuine permutations of the hash space."""
+    import math
+
+    from bigdata2016w_spark.operators.dedup import MH_PRIME, mh_affine
+
+    seen = set()
+    for p in range(64):
+        a, b = mh_affine(p)
+        assert 0 < a < MH_PRIME and 0 <= b < MH_PRIME
+        assert math.gcd(a, MH_PRIME) == 1  # prime modulus: any a≠0 works
+        seen.add((a, b))
+    assert len(seen) == 64  # distinct permutations
