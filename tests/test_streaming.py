@@ -187,3 +187,38 @@ def test_stream_upsert_recovers_from_staging(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(str(target)).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
     assert not (tmp_path / "target.staging-99").exists()
+
+
+def test_stream_upsert_checkpoint_restart(spark, tmp_path):
+    """Stop-and-resume with the SAME checkpoint dir: the restarted query
+    must pick up only new source files and merge them into the snapshot
+    produced before the stop (offsets from the checkpoint, state from the
+    target parquet)."""
+    from bigdata2016w_spark.streaming.stateful import stream_upsert_to_parquet
+
+    src = tmp_path / "src"
+    target = tmp_path / "target"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, v string, ord long")
+            .parquet(str(src))
+        )
+        q = stream_upsert_to_parquet(
+            stream, str(target), key="k",
+            checkpoint_dir=str(ckpt), order_col="ord",
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], ["k", "v", "ord"]) \
+        .write.mode("append").parquet(str(src))
+    run_once()
+    assert {r.k: r.v for r in spark.read.parquet(str(target)).collect()} \
+        == {1: "a", 2: "b"}
+
+    spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], ["k", "v", "ord"]) \
+        .write.mode("append").parquet(str(src))
+    run_once()
+    got = {r.k: r.v for r in spark.read.parquet(str(target)).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
