@@ -94,6 +94,44 @@ def knn_bruteforce(
     ).select("query_id", "vec_id", "cosine")
 
 
+def hard_negatives(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-cosine-similar vectors with a DIFFERENT label — the
+    negatives most likely to confuse a classifier.
+
+    Same scan shape as :func:`knn_bruteforce` (broadcast anchors, one
+    corpus pass, two-stage top-k; the corpus never shuffles), plus the
+    label-inequality predicate evaluated in the scan. Returns
+    (query_id, anchor_label, vec_id, neg_label, cosine).
+    """
+    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
+    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__n").alias("__qn"),
+    )
+    pairs = (
+        broadcast(q)
+        .crossJoin(emb_n)
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine_with_norms(
+                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "anchor_label", "vec_id", "neg_label", "cosine")
+
+
 def _planes(
     dim: int, num_planes: int = LSH_PLANES, seed: int = LSH_SEED
 ) -> list[list[float]]:

@@ -665,3 +665,37 @@ SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
 register(QuerySpec("ann_ivf_flat", ann_ivf_flat, _ANN_IVF_FLAT_SQL,
                    doc="Deterministic seed-centroid IVF-Flat; see "
                        "operators/similarity.knn_ivf_flat."))
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS anchor_label, embedding AS qe
+  FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pairs AS (
+  SELECT q.query_id, q.anchor_label, e.vec_id, e.label AS neg_label,
+         {_cos_sql('q.qe', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.label <> q.anchor_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, anchor_label, vec_id, neg_label, cosine
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec("embedding_hard_negatives", embedding_hard_negatives,
+                   _HARD_NEG_SQL,
+                   doc="Hard-negative mining for contrastive training; "
+                       "see operators/similarity.hard_negatives."))

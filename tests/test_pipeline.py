@@ -271,3 +271,18 @@ def test_nearest_centroid_counts_cover_corpus(spark, sf_dir):
     out = all_specs()["embedding_nearest_centroid"].fn(spark, sf_dir)
     total = out.agg(F.sum("n_vectors")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_hard_negatives_oracle_and_labels(spark, sf_dir, duck):
+    """Oracle parity plus the defining property: every mined negative has
+    a different label than its anchor and ranks above any same-ranked
+    farther vector (cosines non-increasing per anchor)."""
+    spec = all_specs()["embedding_hard_negatives"]
+    rows = spec.fn(spark, sf_dir).collect()
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    assert rows and all(r.anchor_label != r.neg_label for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for cs in by_q.values():
+        assert cs == sorted(cs, reverse=True)
