@@ -67,6 +67,7 @@ _SPEC_MODULES = [
     # appended last deliberately — must not displace queries still
     # awaiting their first driver verdict inside the 50-query window
     "bigdata2016w_spark.plans.traversal",
+    "bigdata2016w_spark.plans.maintenance",
 ]
 
 

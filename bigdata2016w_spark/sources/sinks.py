@@ -63,3 +63,35 @@ def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> N
         .option("parquet.bloom.filter.enabled#term", "true")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (the maintenance job
+    every long-lived streaming/upsert sink needs — micro-batches and
+    per-key writers leave thousands of KB-sized files whose open/footer
+    overhead dominates scans at 100 TB).
+
+    Uses coalesce (narrow — no shuffle: compaction must not pay a full
+    re-shuffle just to merge files) and stages the rewrite next to the
+    target before an atomic-as-the-FS-allows swap, same discipline as
+    the streaming upsert sink. Returns the new file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    target = HPath(path)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(target).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    staging = HPath(path + ".compact-staging")
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(staging.toUri()))
+    fs.delete(target, True)
+    if not fs.rename(staging, target):
+        raise IOError(f"rename {staging} -> {target} failed")
+    return n_files

@@ -21,3 +21,24 @@ def test_analytics_matches_oracle(name, spark, sf_dir, duck):
 def test_groupingsets_histogram_match_oracle(name, spark, sf_dir, duck):
     spec = all_specs()[name]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_column_stats_single_scan(spark, sf_dir, duck):
+    """Oracle parity + the plan property: ONE scan of orders computes
+    every column's stats (not one scan per column)."""
+    import io
+    import contextlib
+
+    from bigdata2016w_spark.registry import all_specs
+
+    spec = all_specs()["orders_column_stats"]
+    df = spec.fn(spark, sf_dir)
+    compare_spark_duckdb(df, duck, spec.oracle)
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    # one scan NODE (multi-distinct runs via Expand over a single pass);
+    # the node name appears once in the tree and once in the detail list
+    assert len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue())) == 1

@@ -173,3 +173,27 @@ def test_text_golden_sink(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == [("a", "1"), ("b", "2")]
     # overwrite mode: second write replaces, not fails
     write_text_golden(df.coalesce(1), out)
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """64-file fragmented table -> compaction to the byte-target file
+    count with identical contents."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_parts_before = len(
+        [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_parts_before == 64
+
+    n = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
+    n_parts_after = len(
+        [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_parts_after == n < 64
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
