@@ -95,3 +95,70 @@ def compact_parquet(
     if not fs.rename(staging, target):
         raise IOError(f"rename {staging} -> {target} failed")
     return n_files
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) interleave of ``len(cols)`` numeric columns, each
+    width-bucketed into 2^bits cells between its [min, max] literals (one
+    tiny agg collects the bounds; skewed columns can pass quantile-based
+    bounds instead). Bit i of each bucket id lands at interleaved
+    position i*n_cols+j, so a range predicate on ANY participating
+    column maps to contiguous-ish z-ranges — the multi-column data-
+    skipping layout (OPTIMIZE ZORDER) built from plain expressions.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    ids = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo) or 1.0
+        cell = (
+            (F.col(c).cast("double") - float(lo)) / span * ((1 << bits) - 1)
+        ).cast("long")
+        ids.append(F.greatest(F.lit(0), F.least(cell, F.lit((1 << bits) - 1))))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(ids):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16,
+    mode: str = "overwrite", row_group_bytes: int | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Z-order clustered parquet: range-partition + sort by the Morton
+    value of ``cols`` so row-group min/max stats prune scans filtered on
+    ANY of the clustered columns (a single-column sort prunes only its
+    own column). Bounds come from one min/max aggregate."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    z = zorder_value(
+        cols,
+        [bounds[f"lo_{c}"] for c in cols],
+        [bounds[f"hi_{c}"] for c in cols],
+        bits,
+    )
+    w = (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        if num_files else df.withColumn("__z", z).repartitionByRange("__z")
+    )
+    w = (
+        w
+        .sortWithinPartitions("__z")
+        .drop("__z")  # dropped AFTER the sort: layout keeps the order
+        .write.mode(mode)
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
