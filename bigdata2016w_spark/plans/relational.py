@@ -315,3 +315,106 @@ register(QuerySpec("q4_nation_counts", q4, _Q4_SQL, doc=q4.__doc__))
 register(QuerySpec("q5_monthly_nation", q5, _Q5_SQL, doc=q5.__doc__))
 register(QuerySpec("q6_lineitem_agg", q6, _Q6_SQL, doc=q6.__doc__))
 register(QuerySpec("q7_top_revenue", q7, _Q7_SQL, doc=q7.__doc__))
+
+
+def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (the reference never got to it): order counts per
+    priority for orders with at least one LATE lineitem — the classic
+    correlated EXISTS, expressed Spark-first as a left-semi join whose
+    condition carries the correlated inequality (Catalyst's own EXISTS
+    decorrelation target). 'Late' = shipped > 60 days after the order
+    date (the snapshot schema has no commit/receipt dates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_exists = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+register(QuerySpec("q4_priority_late_exists", q4_priority_late_exists,
+                   _Q4_EXISTS_SQL, doc=q4_priority_late_exists.__doc__))
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest classic join pattern (EXISTS +
+    NOT EXISTS over the same fact): suppliers who were the ONLY late
+    shipper on multi-supplier orders, ranked by how often. Spark-first:
+    the late set is built once, NOT EXISTS becomes a left-anti self-join
+    on (same order, different supplier), EXISTS(multi-supplier) an inner
+    join against a grouped filter — no correlated subqueries survive in
+    the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    solo_late = late.alias("x").join(
+        late.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") != F.col("y.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        solo_late.join(multi, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+)
+SELECT x.l_suppkey, count(*) AS numwait
+FROM late x
+JOIN multi USING (l_orderkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM late y
+  WHERE y.l_orderkey = x.l_orderkey AND y.l_suppkey <> x.l_suppkey
+)
+GROUP BY x.l_suppkey
+ORDER BY numwait DESC, x.l_suppkey ASC
+LIMIT 20
+"""
+
+register(QuerySpec("q21_waiting_supplier", q21_waiting_supplier,
+                   _Q21_SQL, doc=q21_waiting_supplier.__doc__))

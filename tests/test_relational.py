@@ -13,6 +13,8 @@ REL = [
     "q5_monthly_nation",
     "q6_lineitem_agg",
     "q7_top_revenue",
+    "q4_priority_late_exists",
+    "q21_waiting_supplier",
 ]
 
 
