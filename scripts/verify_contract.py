@@ -22,10 +22,13 @@ from pyspark.sql import SparkSession  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from bigdata2016w_spark import TABLES  # noqa: E402
 
-# oracles that are O(n^2) in DuckDB — fine at the driver's sf0.01 gate,
-# skipped at larger scale factors
+# oracles valid only at the driver's sf0.01 gate, skipped at larger
+# scale factors: O(n^2) DuckDB formulations, plus embedding_near_dupes,
+# whose static 4-plane/1-table oracle is the exact twin ONLY at the gate
+# corpus size (N=500 -> adaptive P=4, L=1; at sf0.1 the operator grows to
+# P=6, L=4 — see plans/pipeline._EMB_NEAR_DUPES_SQL's scale note)
 QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
-             "dedup_clusters_star"}
+             "dedup_clusters_star", "embedding_near_dupes"}
 
 
 def main() -> int:
