@@ -44,6 +44,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     retp.add_argument("--limit", type=int, default=20)
 
+    expp = sub.add_parser(
+        "export",
+        help="end-to-end training-set export: curate (quality + near-dup "
+             "removal) -> 80/20 split -> parquet train/test + datacard",
+    )
+    expp.add_argument("output", help="output directory")
+    expp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+
     args = p.parse_args(argv)
 
     from bigdata2016w_spark.registry import all_specs
@@ -78,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         hits.orderBy("doc_id").show(args.limit, truncate=80)
         return 0
 
+    if args.cmd == "export":
+        return _export(args)
+
     if args.query not in specs:
         print(f"unknown query {args.query!r}; `list` shows options",
               file=sys.stderr)
@@ -98,6 +112,54 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.output}")
         return 0
     df.show(args.limit, truncate=80)
+    return 0
+
+
+def _export(args) -> int:
+    """One-command training-set export — the whole curation pipeline the
+    registered queries expose piecewise, run as a single shared-cache job:
+    quality filter + exact-Jaccard near-dup removal (corpus_curation) ∩
+    deterministic 80/20 split, joined back to full text, written as
+    train/test parquet plus a one-line JSON datacard."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark import get_spark
+    from bigdata2016w_spark.plans.pipeline import corpus_curation
+    from bigdata2016w_spark.plans.sampling import doc_train_test_split
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_parquet
+
+    spark = get_spark(app_name="cli-export")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = load_table(spark, args.sf_dir, "documents")
+    kept = corpus_curation(spark, args.sf_dir)  # doc_id, n_tokens, quality
+    tagged = (
+        kept.join(doc_train_test_split(spark, args.sf_dir), "doc_id")
+        .join(docs.select("doc_id", "text", "lang", "source"), "doc_id")
+        .localCheckpoint(eager=True)  # one materialization feeds both writes
+    )
+    card = {
+        "sf_dir": args.sf_dir,
+        "total_docs": docs.count(),
+    }
+    for split in ("train", "test"):
+        part = tagged.where(F.col("split") == split).drop("split")
+        write_parquet(part, f"{args.output}/{split}")
+        agg = part.agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").alias("tok"),
+            F.avg("quality").alias("q"),
+        ).collect()[0]
+        card[split] = {
+            "n_docs": agg["n"],
+            "n_tokens": int(agg["tok"] or 0),
+            "mean_quality": round(float(agg["q"] or 0.0), 4),
+        }
+    with open(f"{args.output}/datacard.json", "w") as fh:
+        json.dump(card, fh)
+    print(json.dumps(card))
     return 0
 
 

@@ -42,3 +42,16 @@ def test_cli_run_and_unknown():
     p2 = _run("run", "nope_not_a_query")
     assert p2.returncode == 2
     assert "unknown query" in p2.stderr
+
+
+def test_cli_export(tmp_path):
+    out = str(tmp_path / "exp")
+    p = _run("export", out, "--sf-dir", "/root/testdata/sf0.001")
+    assert p.returncode == 0, p.stderr[-500:]
+    card = json.loads(p.stdout.strip().splitlines()[-1])
+    assert card["total_docs"] == 500
+    assert card["train"]["n_docs"] > card["test"]["n_docs"] > 0
+    import os
+
+    assert os.path.exists(f"{out}/train") and os.path.exists(f"{out}/test")
+    assert json.load(open(f"{out}/datacard.json")) == card
