@@ -22,7 +22,8 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "retrieval_bm25", "doc_train_test_split",
     "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
     "graph_sssp_hops", "ann_ivf_flat", "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash", "q4_priority_late_exists", "q21_waiting_supplier",
+    "embedding_hard_negatives", "auc_rank_check",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -33,6 +34,9 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     elif name == "q17_small_quantity_revenue":
         # global aggregate: one row, null sum / zero count
         assert len(rows) == 1 and rows[0].n_lineitems == 0
+    elif name == "auc_rank_check":
+        # global aggregate: one all-null row (no scores to rank)
+        assert len(rows) == 1 and rows[0].auc is None
     else:
         assert rows == []
 
