@@ -39,12 +39,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 31 queries all hold full oracle matches in CORRECTNESS_r02.json.
 #
 # ROUND 4 TODO: rotate the window — CORRECTNESS_r03 covers the first 50
-# names in the current order; next round move pipeline (its queries past
-# index 50: ann_ivf, dedup_clusters*, centroid/nearest-centroid,
-# ann_ivf_flat, doc_stats, doc_lang_id, corpus_curation) plus
-# relational/text_analytics/retrieval/ml/events AHEAD of the
-# temporal/analytics/... block so every registered query holds a green
-# driver row across r03+r04.
+# names in the current order (all oracle-backed). Next round move the
+# 41-query tail (everything from ann_bruteforce onward: the pipeline
+# remainder incl. ann_ivf_flat + embedding_hard_negatives,
+# relational q1-q7 + q4_priority_late_exists + q21_waiting_supplier,
+# text_analytics, retrieval, ml incl. auc_rank_check, events,
+# traversal/graph_sssp_hops, maintenance/orders_column_stats) AHEAD of
+# the current front block so every registered query holds a green driver
+# row across r03+r04. Queries never driver-checked as of r03:
+# ann_ivf_flat, embedding_hard_negatives, auc_rank_check,
+# graph_sssp_hops, orders_column_stats, q4_priority_late_exists,
+# q21_waiting_supplier (+ rows-only ann_ivf, sgd_*) — put these first.
 _SPEC_MODULES = [
     "bigdata2016w_spark.plans.temporal",
     "bigdata2016w_spark.plans.analytics",
