@@ -418,3 +418,264 @@ LIMIT 20
 
 register(QuerySpec("q21_waiting_supplier", q21_waiting_supplier,
                    _Q21_SQL, doc=q21_waiting_supplier.__doc__))
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str,
+                         date: str = "1996") -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned items
+    (``l_returnflag = 'R'``) for orders placed in the year. Fact-fact join
+    shuffles on the order key; customer and nation dims ride broadcast
+    hash joins (same dim policy as ``Q3.scala:42-57``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("rev"))
+        .join(orders.where(date_prefix_filter(F.col("o_orderdate"), date))
+              .select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R' AND {date_prefix_sql('o_orderdate', '1996')}
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+register(QuerySpec("q10_returned_revenue", q10_returned_revenue,
+                   _Q10_SQL, doc=q10_returned_revenue.__doc__))
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str,
+                          date: str = "1996") -> DataFrame:
+    """TPC-H Q12 shape: per lineitem status, how many late-shipped lines
+    belong to critical- vs normal-priority orders. The snapshot schema has
+    no ``l_shipmode``, so ``l_linestatus`` carries the GROUP BY; the
+    conditional counts stay a single hash aggregate of CASE expressions —
+    one shuffle total, both counts map-side partial-aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE {date_prefix_sql('l_shipdate', '1996')}
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+register(QuerySpec("q12_priority_shipping", q12_priority_shipping,
+                   _Q12_SQL, doc=q12_priority_shipping.__doc__))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str,
+                      date: str = "1996-03") -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share for one ship month.
+    Broadcast hash join against the part dim, then a single global
+    aggregate with both the conditional and total sums in DECIMAL —
+    the ratio is one exact decimal division cast to double at the edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .join(broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(rev).cast("double")).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {date_prefix_sql('l_shipdate', '1996-03')}
+"""
+
+register(QuerySpec("q14_promo_revenue", q14_promo_revenue,
+                   _Q14_SQL, doc=q14_promo_revenue.__doc__))
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for selected part attributes, excluding distrusted suppliers
+    (``NOT IN`` → broadcast left-anti join; the snapshot's stand-in for
+    the comment-based complaint filter is a negative account balance).
+    The part dim broadcasts; the only shuffle is the final distinct
+    aggregate. ``lineitem`` (l_partkey, l_suppkey) stands in for the
+    absent ``partsupp`` table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(
+            part.where(
+                (F.col("p_brand") != "Brand#1")
+                & (~F.col("p_type").startswith("PROMO"))
+                & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            ).select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                 F.asc("p_type"), F.asc("p_size"))
+        .limit(20)
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 20
+"""
+
+register(QuerySpec("q16_supplier_count", q16_supplier_count,
+                   _Q16_SQL, doc=q16_supplier_count.__doc__))
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing part
+    attributes and lineitem quantity — the classic disjunctive-pushdown
+    test. Expressed as one boolean expression on a broadcast part join so
+    Catalyst can extract the common ``p_partkey`` join and push each
+    brand/size conjunct into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & qty.between(20, 30))
+    )
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        li.join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+register(QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue,
+                   _Q19_SQL, doc=q19_disjunctive_revenue.__doc__))
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per customer nation, count and balance of
+    above-average-balance customers with no RECENT order (none since
+    1999 — Q22's "no orders for 7 years" predicate). The scalar AVG
+    subquery is a 1-row aggregate joined by broadcast (no driver
+    round-trip); NOT EXISTS is a left-anti join against the date-filtered
+    orders — the filter pushes to the scan before the anti-join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        customer.join(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+register(QuerySpec("q22_sales_opportunity", q22_sales_opportunity,
+                   _Q22_SQL, doc=q22_sales_opportunity.__doc__))

@@ -15,6 +15,12 @@ REL = [
     "q7_top_revenue",
     "q4_priority_late_exists",
     "q21_waiting_supplier",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
 ]
 
 

@@ -24,6 +24,8 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "graph_sssp_hops", "ann_ivf_flat", "dedup_minhash_lsh",
     "dedup_simhash", "q4_priority_late_exists", "q21_waiting_supplier",
     "embedding_hard_negatives", "auc_rank_check",
+    "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q22_sales_opportunity",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -37,6 +39,9 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     elif name == "auc_rank_check":
         # global aggregate: one all-null row (no scores to rank)
         assert len(rows) == 1 and rows[0].auc is None
+    elif name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        # global aggregates: one row of null sums / zero counts
+        assert len(rows) == 1 and rows[0][0] is None
     else:
         assert rows == []
 
