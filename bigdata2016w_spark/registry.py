@@ -73,6 +73,7 @@ _SPEC_MODULES = [
     # awaiting their first driver verdict inside the 50-query window
     "bigdata2016w_spark.plans.traversal",
     "bigdata2016w_spark.plans.maintenance",
+    "bigdata2016w_spark.plans.corpus_ext",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Oracle parity + semantics for the registry-tail extension queries
+(per-source reservoir sample, exact-integer rolling anomalies, bigram LM)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+EXT = [
+    "documents_reservoir_by_source",
+    "events_user_value_anomalies",
+    "doc_bigram_surprisal",
+]
+
+
+@pytest.mark.parametrize("name", EXT)
+def test_corpus_ext_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    assert spec.oracle is not None
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_reservoir_sizes_and_stability(spark, sf_dir):
+    from bigdata2016w_spark.plans.corpus_ext import (
+        RESERVOIR_K, documents_reservoir_by_source)
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    out = documents_reservoir_by_source(spark, sf_dir).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.source] = sizes.get(r.source, 0) + 1
+    group_n = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {s: min(RESERVOIR_K, n) for s, n in group_n.items()}
+    # the selection must be a pure function of the rows, not the layout
+    again = documents_reservoir_by_source(spark, sf_dir)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+
+
+def test_anomaly_flags_known_outlier(spark):
+    # 19 calm events then a spike: mean=10, sd≈0.94 over the window —
+    # 200.0 is far beyond 3σ; the calm rows must not be flagged
+    from bigdata2016w_spark.plans.corpus_ext import events_user_value_anomalies
+    rows = [(i, 1, float(10 + (i % 3)), f"2024-01-01 00:{i:02d}:00")
+            for i in range(19)]
+    rows.append((99, 1, 200.0, "2024-01-01 00:59:00"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts string"
+    ).select("event_id", "user_id", "value",
+             F.col("ts").cast("timestamp_ntz").alias("ts"),
+             F.lit("x").alias("event_type"), F.lit("{}").alias("props"))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = events_user_value_anomalies(spark, d).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].n_window == 19
+
+
+def test_bigram_lm_matches_python_fold(spark):
+    # tiny corpus, bitwise parity against a literal Python implementation
+    from bigdata2016w_spark.plans.corpus_ext import LM_QUANT, bigram_lm_scores
+    corpus = {1: "a b a b c", 2: "b c b c", 3: "a a a"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_bigram_nll)
+           for r in bigram_lm_scores(docs).collect()}
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    c12, c1 = {}, {}
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len({w for t in toks.values() for w in t})
+    for k, t in toks.items():
+        sus = [
+            round(-math.log((c12[(a, b)] + 1) / (c1[a] + v)) * LM_QUANT)
+            for a, b in zip(t, t[1:])
+        ]
+        n = len(sus)
+        assert got[k] == (n, round(sum(sus) / n / LM_QUANT, 6))
