@@ -235,3 +235,45 @@ def test_ivf_flat_assignment_is_mapside(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window$", plan, re.MULTILINE)) == 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q19_single_stage_broadcast(spark, sf_dir):
+    """The disjunctive predicate must not force a shuffle: broadcast part
+    join + partial/final aggregate, zero hash-partition exchanges."""
+    from bigdata2016w_spark.plans.relational import q19_disjunctive_revenue
+
+    plan = _formatted_plan(q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    """NOT IN must compile to a broadcast left-anti join, never a
+    shuffled subquery."""
+    from bigdata2016w_spark.plans.relational import q16_supplier_count
+
+    plan = _formatted_plan(q16_supplier_count(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("BuildRight, ", "") \
+        or ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
+
+
+def test_q22_scalar_avg_is_broadcast_not_collect(spark, sf_dir):
+    """The scalar AVG subquery joins as a broadcast 1-row aggregate
+    (nested-loop broadcast), not a driver-side collect."""
+    from bigdata2016w_spark.plans.relational import q22_sales_opportunity
+
+    plan = _formatted_plan(q22_sales_opportunity(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_anomalies_single_shuffle_window(spark, sf_dir):
+    """Rolling anomaly scan: exactly one exchange (the user_id window);
+    everything else stays narrow."""
+    from bigdata2016w_spark.plans.corpus_ext import events_user_value_anomalies
+
+    import re
+
+    plan = _formatted_plan(events_user_value_anomalies(spark, sf_dir))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "Window" in plan
