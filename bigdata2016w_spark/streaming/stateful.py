@@ -162,3 +162,74 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_window", T.LongType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [T.StructField("recent_cents", T.ArrayType(T.LongType()))]
+)
+
+
+def rolling_anomalies(events: DataFrame, frame: int = 20,
+                      min_n: int = 8, z: int = 3) -> DataFrame:
+    """Streaming twin of ``plans/corpus_ext.events_user_value_anomalies``:
+    per-user rolling z-score outliers with BOUNDED explicit state — the
+    last ``frame`` cents-quantized values per user, nothing else.
+
+    The test is the same exact-int64 inequality as the batch query
+    ((c·n − S)²·(n−1) > z²·n·(n·Q − S²)), so on an in-order replay
+    (availableNow over a sorted source, or any in-order stream) the
+    emitted rows are bit-identical to the batch plan — asserted in
+    tests/test_streaming.py. State is O(frame) longs per active user and
+    lives in the state store, partitioned by user_id like any keyed agg.
+    Cross-batch ordering is the stream's responsibility (event-time
+    ordered sources); within a batch rows are sorted by (ts, event_id).
+    """
+
+    def detect(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        recent: list[int] = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(ordered["event_id"], ordered["value"]):
+                c = round(float(v) * 100)
+                n = len(recent)
+                if n >= min_n:
+                    s = sum(recent)
+                    q = sum(x * x for x in recent)
+                    lhs = c * n - s
+                    if lhs * lhs * (n - 1) > z * z * n * (n * q - s * s):
+                        out.append((int(eid), user_id, float(v), n))
+                recent.append(c)
+                if len(recent) > frame:
+                    del recent[0]
+        state.update((recent,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "value", "n_window"]
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

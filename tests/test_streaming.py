@@ -222,3 +222,64 @@ def test_stream_upsert_checkpoint_restart(spark, tmp_path):
     run_once()
     got = {r.k: r.v for r in spark.read.parquet(str(target)).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_stream_anomaly_parity(spark, sf_dir):
+    """The stateful rolling-anomaly stream must emit exactly the batch
+    query's rows on an availableNow replay (exact-int64 test on both
+    sides, so equality is bitwise, not approximate)."""
+    from bigdata2016w_spark.streaming.stateful import rolling_anomalies
+    from bigdata2016w_spark.streaming.windows import events_stream, run_to_memory
+
+    stream = rolling_anomalies(events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_anomalies", output_mode="append")
+    want = all_specs()["events_user_value_anomalies"].fn(spark, sf_dir)
+    cols = ["event_id", "user_id", "value", "n_window"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_anomaly_state_survives_batches(spark, sf_dir, tmp_path):
+    """Split the events by time into two files and replay them as separate
+    micro-batches (maxFilesPerTrigger=1): the per-user state must carry
+    across the batch boundary, reproducing the batch result exactly."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.stateful import rolling_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(
+        F.percentile_approx(us, F.lit(0.5)).alias("m")
+    ).collect()[0][0]
+    d = tmp_path / "ev"
+    ev.where(us <= cut).coalesce(1).write.parquet(str(d / "part1"))
+    ev.where(us > cut).coalesce(1).write.parquet(str(d / "part2"))
+    # stream dir with two files, lexicographic names = time order
+    files = sorted(str(p) for p in d.rglob("*.parquet"))
+    sdir = tmp_path / "stream_in"
+    sdir.mkdir()
+    import shutil
+    for i, f in enumerate(files):
+        shutil.copy(f, sdir / f"{i:03d}.parquet")
+
+    schema = ev.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(sdir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        rolling_anomalies(src)
+        .writeStream.format("memory").queryName("t_anom2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_anom2")
+    want = all_specs()["events_user_value_anomalies"].fn(spark, sf_dir)
+    cols = ["event_id", "user_id", "value", "n_window"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # and it genuinely ran as more than one micro-batch
+    assert len(q.recentProgress) >= 2
