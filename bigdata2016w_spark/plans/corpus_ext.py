@@ -245,3 +245,75 @@ register(QuerySpec("events_user_value_anomalies",
                    doc=events_user_value_anomalies.__doc__))
 register(QuerySpec("doc_bigram_surprisal", doc_bigram_surprisal,
                    _BIGRAM_LM_SQL, doc=doc_bigram_surprisal.__doc__))
+
+
+PACK_BUDGET = 512   # tokens per packed training sequence
+PACK_SHARDS = 16    # parallel packing lanes per source
+
+
+def documents_pack_sequences(spark: SparkSession, sf_dir: str,
+                             budget: int = PACK_BUDGET,
+                             shards: int = PACK_SHARDS) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate documents
+    in a deterministic order and cut the token stream into fixed
+    ``budget``-token training sequences, reporting for each document
+    which chunk range its tokens land in.
+
+    Scale shape: a single global concatenation order would make the
+    prefix sum one sequential window — so the stream is split into
+    (source, shard) lanes, ``shard`` = Knuth-hashed ``doc_id``. Each
+    lane is an independent window prefix-sum (shuffle keyed on the lane,
+    bounded partition size, no global order), which is exactly how
+    production packing runs per output shard. Chunk ids are
+    lane-relative; (source, shard, chunk) is globally unique.
+
+    Output per doc: its lane, token count, the first/last chunk indices
+    covering its tokens, and its start offset inside the first chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(2147483648) % shards)
+        .alias("shard"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id", "source", "shard", "n_tokens",
+        (prev % budget).alias("start_offset"),
+        F.floor(prev / budget).cast("bigint").alias("chunk_first"),
+        F.floor((prev + F.col("n_tokens") - 1) / budget).cast("bigint")
+        .alias("chunk_last"),
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         (doc_id * {KNUTH}) % 2147483648 % {PACK_SHARDS} AS shard,
+         len({_TOK}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, source, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prev % {PACK_BUDGET} AS BIGINT) AS start_offset,
+       CAST(FLOOR(prev / {PACK_BUDGET}) AS BIGINT) AS chunk_first,
+       CAST(FLOOR((prev + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT)
+         AS chunk_last
+FROM c
+"""
+
+register(QuerySpec("documents_pack_sequences", documents_pack_sequences,
+                   _PACK_SQL, doc=documents_pack_sequences.__doc__))

@@ -87,3 +87,30 @@ def test_bigram_lm_matches_python_fold(spark):
         ]
         n = len(sus)
         assert got[k] == (n, round(sum(sus) / n / LM_QUANT, 6))
+
+
+def test_pack_sequences_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_pack_sequences"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_pack_sequences_is_a_partition_of_the_token_stream(spark, sf_dir):
+    """Within every (source, shard) lane the docs must tile the
+    concatenated token stream exactly: each doc starts where the
+    previous ended, chunk indices follow from the running offset."""
+    from bigdata2016w_spark.plans.corpus_ext import (
+        PACK_BUDGET, documents_pack_sequences)
+
+    rows = documents_pack_sequences(spark, sf_dir).collect()
+    lanes = {}
+    for r in rows:
+        lanes.setdefault((r.source, r.shard), []).append(r)
+    assert lanes
+    for lane in lanes.values():
+        lane.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in lane:
+            assert r.start_offset == pos % PACK_BUDGET
+            assert r.chunk_first == pos // PACK_BUDGET
+            assert r.chunk_last == (pos + r.n_tokens - 1) // PACK_BUDGET
+            pos += r.n_tokens
