@@ -317,3 +317,45 @@ FROM c
 
 register(QuerySpec("documents_pack_sequences", documents_pack_sequences,
                    _PACK_SQL, doc=documents_pack_sequences.__doc__))
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL 8-bit PCM RIFF/WAVE payloads (rendered from the
+    documents table by ``documents_as_wav``) through the Arrow-batched
+    ``mapInPandas`` audio pipeline — actual chunk-walking header parse,
+    exact-integer energy/peak/zero-crossing features. Registered here
+    (not in plans/multimodal_plans) only for the registry-window reason
+    in the module docstring. Map-only: no shuffle anywhere."""
+    from bigdata2016w_spark.operators.multimodal import (
+        audio_features, documents_as_wav)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(documents_as_wav(docs))
+
+
+_AUDIO_SQL = """
+WITH s AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(text[i]) - 64) AS c
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       n / 8000.0 AS duration_s,
+       CAST(coalesce(list_aggregate(list_transform(c, x -> x * x), 'sum'), 0)
+            AS BIGINT) AS energy,
+       CAST(coalesce(list_aggregate(list_transform(c, x -> abs(x)), 'max'), 0)
+            AS INTEGER) AS peak,
+       CAST(coalesce(list_aggregate(
+              list_transform(range(1, n),
+                             i -> CASE WHEN c[i] * c[i+1] < 0
+                                  THEN 1 ELSE 0 END), 'sum'), 0)
+            AS BIGINT) AS zero_crossings
+FROM s
+"""
+
+register(QuerySpec("media_audio_features", media_audio_features,
+                   _AUDIO_SQL, doc=media_audio_features.__doc__))

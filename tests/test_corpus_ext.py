@@ -114,3 +114,35 @@ def test_pack_sequences_is_a_partition_of_the_token_stream(spark, sf_dir):
             assert r.chunk_first == pos // PACK_BUDGET
             assert r.chunk_last == (pos + r.n_tokens - 1) // PACK_BUDGET
             pos += r.n_tokens
+
+
+def test_audio_features_match_oracle(spark, sf_dir, duck):
+    spec = all_specs()["media_audio_features"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_decode_audio_16bit_stereo():
+    """The PCM parser must handle 16-bit interleaved stereo too — crafted
+    payload, features checked against hand arithmetic on channel 0."""
+    import struct
+
+    import numpy as np
+
+    from bigdata2016w_spark.operators.multimodal import decode_audio
+
+    ch0 = np.array([100, -200, 300, -1, 5], dtype="<i2")
+    ch1 = np.array([7, 7, 7, 7, 7], dtype="<i2")
+    inter = np.empty(10, dtype="<i2")
+    inter[0::2], inter[1::2] = ch0, ch1
+    data = inter.tobytes()
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    nch, rate, n, dur, energy, peak, zc = decode_audio(payload)
+    assert (nch, rate, n) == (2, 44100, 5)
+    assert dur == 5 / 44100
+    assert energy == int((ch0.astype(np.int64) ** 2).sum())
+    assert peak == 300
+    assert zc == 4
