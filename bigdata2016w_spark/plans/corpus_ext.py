@@ -359,3 +359,99 @@ FROM s
 
 register(QuerySpec("media_audio_features", media_audio_features,
                    _AUDIO_SQL, doc=media_audio_features.__doc__))
+
+
+BPE_MERGES = 10
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction over the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al.
+    2016 recipe, word-level: merges never cross the whitespace
+    pre-tokenization).
+
+    Distributed shape: everything heavy stays on the (word, freq)
+    VOCABULARY table — corpus-sized data is touched once for the word
+    count. Each round
+      1. explodes adjacent symbol pairs weighted by word freq (hash agg
+         with map-side combine, shuffle is vocab-sized),
+      2. takes the single most-frequent pair via TakeOrdered with a
+         deterministic tiebreak (freq desc, then lexicographic),
+      3. rewrites symbol arrays with one JVM-side left-to-right
+         ``aggregate`` fold (the standard greedy merge pass; no Python
+         in the loop).
+    The per-round driver transfer is ONE row (the winning pair) — the
+    same O(1)-rows-per-round class as PageRank's convergence probe.
+    Lineage is truncated by ``localCheckpoint`` every 3 rounds.
+
+    No SQL oracle (iterative, data-dependent driver decisions — same
+    rows-only class as sequential SGD); pytest replays a pure-Python
+    BPE fold and asserts the merge table matches bitwise.
+
+    Returns (round, left, right, pair_freq) — the learned merge table.
+    """
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("sym"),
+        )
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            words.where(F.size("sym") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(element_at(sym, i) as l,"
+                        "             element_at(sym, i + 1) as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+        )
+        top = pairs.orderBy(F.desc("pf"), F.asc("l"), F.asc("r")).limit(1)
+        row = top.collect()
+        if not row:
+            break
+        left, right, pf = row[0].l, row[0].r, int(row[0].pf)
+        merges.append((r, left, right, pf))
+        lq, rq = left.replace("'", "''"), right.replace("'", "''")
+        fold = (
+            "aggregate(sequence(1, size(sym)),"
+            " struct(cast(array() as array<string>) as out,"
+            "        false as skip),"
+            " (acc, i) -> if(acc.skip,"
+            "   struct(acc.out as out, false as skip),"
+            f"  if(i < size(sym) and element_at(sym, i) = '{lq}'"
+            f"     and element_at(sym, i + 1) = '{rq}',"
+            f"    struct(concat(acc.out, array('{lq}{rq}')) as out,"
+            "            true as skip),"
+            "     struct(concat(acc.out, array(element_at(sym, i))) as out,"
+            "            false as skip))),"
+            " acc -> acc.out)"
+        )
+        words = words.select("freq", F.expr(fold).alias("sym"))
+        if r % 3 == 0:
+            words = words.localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_freq bigint"
+    )
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn(load_table(spark, sf_dir, "documents"))
+
+
+register(QuerySpec("bpe_merge_table", bpe_merge_table, None,
+                   doc=bpe_learn.__doc__))

@@ -146,3 +146,63 @@ def test_decode_audio_16bit_stereo():
     assert energy == int((ch0.astype(np.int64) ** 2).sum())
     assert peak == 300
     assert zc == 4
+
+
+def _python_bpe(word_freqs, n_merges):
+    """Literal Sennrich-style BPE fold (reference oracle)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = {}
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (l, rt), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, l, rt, pf))
+        new = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == rt:
+                    out.append(l + rt)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_matches_python_fold(spark, sf_dir):
+    from collections import Counter
+
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+    from bigdata2016w_spark.plans.corpus_ext import bpe_merge_table
+    from bigdata2016w_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    got = [
+        (r.round, r.left, r.right, r.pair_freq)
+        for r in bpe_merge_table(spark, sf_dir).collect()
+    ]
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("w")).collect()
+    )
+    want = _python_bpe(Counter(r.w for r in toks), 10)
+    assert got == want
+    assert len(got) == 10
+
+
+def test_bpe_learns_multichar_units(spark, sf_dir):
+    """After a few rounds, merges must chain (some left/right symbol is
+    itself a previous merge's output) — the defining BPE behavior."""
+    from bigdata2016w_spark.plans.corpus_ext import bpe_merge_table
+
+    rows = bpe_merge_table(spark, sf_dir).collect()
+    assert any(len(r.left) > 1 or len(r.right) > 1 for r in rows)
