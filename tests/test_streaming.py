@@ -259,9 +259,14 @@ def test_stream_anomaly_state_survives_batches(spark, sf_dir, tmp_path):
     files = sorted(str(p) for p in d.rglob("*.parquet"))
     sdir = tmp_path / "stream_in"
     sdir.mkdir()
+    import os
     import shutil
     for i, f in enumerate(files):
-        shutil.copy(f, sdir / f"{i:03d}.parquet")
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders by modification time: pin strictly
+        # increasing mtimes so batch order matches time order
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
 
     schema = ev.schema
     src = (
