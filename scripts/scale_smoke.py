@@ -122,6 +122,53 @@ def main() -> None:
     )
     print(f"embedding LSH (P={p}): bucketing {time.perf_counter() - t0:.1f}s, "
           f"{occ:.0f} candidate pairs ({occ / n_vecs:.1f}/vec)")
+
+    # --- round-3 operators at scale: rolling anomalies, packing, BPE ---
+    import tempfile
+
+    from bigdata2016w_spark.plans.corpus_ext import (
+        bpe_merge_table,
+        documents_pack_sequences,
+        events_user_value_anomalies,
+    )
+
+    n_events = n_docs * 20  # 2M at the default 100k docs
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (F.lit(1_600_000_000_000_000)
+                 + F.col("id") * 1_000_000)
+            ).cast("timestamp_ntz").alias("ts"),
+            F.pmod(F.xxhash64("id"), F.lit(n_events // 100))
+            .alias("user_id"),
+            F.lit("view").alias("event_type"),
+            # heavy-tailed values so some rolling windows flag outliers
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000))
+             / F.lit(100.0)
+             + F.when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(997)) == 0,
+                      5_000.0).otherwise(0.0)).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.parquet(f"{tmp}/events.parquet")
+        t0 = time.perf_counter()
+        n_anom = events_user_value_anomalies(spark, tmp).count()
+        print(f"rolling anomalies: {time.perf_counter() - t0:.1f}s over "
+              f"{n_events} events, {n_anom} flagged "
+              f"({n_anom / n_events:.5f}/event; one shuffle)")
+
+        docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20))
+        ).write.parquet(f"{tmp}/documents.parquet")
+        t0 = time.perf_counter()
+        n_pack = documents_pack_sequences(spark, tmp).count()
+        print(f"sequence packing: {time.perf_counter() - t0:.1f}s, "
+              f"{n_pack} docs placed across 20x16 lanes")
+
+        t0 = time.perf_counter()
+        n_merges = bpe_merge_table(spark, tmp).count()
+        print(f"bpe (10 rounds over {VOCAB}-word vocab table): "
+              f"{time.perf_counter() - t0:.1f}s, {n_merges} merges")
     spark.stop()
 
 
