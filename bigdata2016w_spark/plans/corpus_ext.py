@@ -460,3 +460,80 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec("bpe_merge_table", bpe_merge_table, None,
                    doc=bpe_learn.__doc__))
+
+
+EMB_QUANT = 1_000_000
+
+
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sufficient statistics for the embedding covariance matrix —
+    the distributed half of PCA. For every dimension pair i ≤ j, emit
+    (n, Σxy, Σx, Σy) over micro-quantized components; the driver (or a
+    pytest) assembles Cov = (Σxy − ΣxΣy/n)/(n−1) and runs the d×d
+    eigendecomposition locally — d² values, never data-sized.
+    Quantization uses floor (not round): floor has no ties, so Spark and
+    DuckDB agree bit-for-bit even on dyadic float32 components that land
+    exactly on .5 (where the engines' rounding modes differ).
+
+    Scale shape: one explode of the d(d+1)/2 upper-triangle products per
+    vector into a single map-side-combined hash aggregate; the shuffle
+    carries at most d(d+1)/2 × partitions rows. All sums are exact int64
+    (|component| ≤ ~1 ⇒ |xy| ≤ ~1e12; safe to n ≈ 9e6 vectors per
+    aggregation — shard and combine the stats beyond that).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {EMB_QUANT}) as bigint))"
+        ).alias("v")
+    )
+    pairs = v.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v)), i ->"
+                " transform(sequence(i, size(v)), j ->"
+                "  struct(cast(i as int) as i, cast(j as int) as j,"
+                "         element_at(v, i) * element_at(v, j) as xy,"
+                "         element_at(v, i) as x,"
+                "         element_at(v, j) as y))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xy").alias("sum_xy"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_COV_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_QUANT})
+                                  AS BIGINT)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT unnest(flatten(list_transform(range(1, len(v) + 1), i ->
+           list_transform(range(i, len(v) + 1), j ->
+             {{'i': i, 'j': j, 'xy': v[i] * v[j],
+               'x': v[i], 'y': v[j]}})))) AS p
+  FROM q
+)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       COUNT(*) AS n,
+       CAST(SUM(p.xy) AS BIGINT) AS sum_xy,
+       CAST(SUM(p.x) AS BIGINT) AS sum_x,
+       CAST(SUM(p.y) AS BIGINT) AS sum_y
+FROM p
+GROUP BY 1, 2
+ORDER BY i, j
+"""
+
+register(QuerySpec("embedding_covariance_stats", embedding_covariance_stats,
+                   _COV_SQL, doc=embedding_covariance_stats.__doc__))

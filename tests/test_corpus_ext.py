@@ -206,3 +206,39 @@ def test_bpe_learns_multichar_units(spark, sf_dir):
 
     rows = bpe_merge_table(spark, sf_dir).collect()
     assert any(len(r.left) > 1 or len(r.right) > 1 for r in rows)
+
+
+def test_covariance_stats_match_oracle(spark, sf_dir, duck):
+    spec = all_specs()["embedding_covariance_stats"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_covariance_stats_reconstruct_numpy_pca(spark, sf_dir):
+    """Assembling the stats must reproduce numpy's covariance of the
+    quantized data exactly, and its eigenvalues must be a valid PCA
+    spectrum (non-negative, trace-preserving)."""
+    import numpy as np
+
+    from bigdata2016w_spark.plans.corpus_ext import (
+        EMB_QUANT, embedding_covariance_stats)
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    rows = embedding_covariance_stats(spark, sf_dir).collect()
+    d = max(r.j for r in rows)
+    n = rows[0].n
+    cov = np.zeros((d, d))
+    for r in rows:
+        c = (r.sum_xy - r.sum_x * r.sum_y / n) / (n - 1)
+        cov[r.i - 1, r.j - 1] = cov[r.j - 1, r.i - 1] = c
+
+    x = np.array(
+        [r.embedding for r in
+         load_table(spark, sf_dir, "embeddings").collect()]
+    )
+    xq = np.floor(x * EMB_QUANT)
+    want = np.cov(xq, rowvar=False)
+    assert np.allclose(cov, want, rtol=0, atol=1e-6 * np.abs(want).max())
+
+    evals = np.linalg.eigvalsh(cov)
+    assert (evals > -1e-6 * evals.max()).all()
+    assert np.isclose(evals.sum(), np.trace(cov))
