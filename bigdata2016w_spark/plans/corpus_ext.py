@@ -407,6 +407,13 @@ def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         # on the 100k-doc scale smoke)
         .localCheckpoint(eager=True)
     )
+    # size the iteration's partition count to the VOCAB, not the corpus:
+    # a 10-round loop over a small vocabulary otherwise pays 32 tasks
+    # per job purely in scheduling (measured 11 s → ~3 s at sf0.1)
+    n_words = words.count()
+    parts = max(1, min(32, n_words // 50_000 + 1))
+    if parts != words.rdd.getNumPartitions():
+        words = words.repartition(parts).localCheckpoint(eager=True)
     merges = []
     for r in range(1, n_merges + 1):
         pairs = (
