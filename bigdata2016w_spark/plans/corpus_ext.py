@@ -1,6 +1,7 @@
 """Corpus/event extension queries (registry tail).
 
-Three operators extending the sampling / lm-quality / events families.
+Operators extending the sampling / lm-quality / events / multimodal /
+retrieval families mid-round.
 They live in their own module ONLY because of the registry-order
 contract: the round driver samples the first 50 registered queries, so
 mid-round additions must register after that window (see
@@ -544,3 +545,121 @@ ORDER BY i, j
 
 register(QuerySpec("embedding_covariance_stats", embedding_covariance_stats,
                    _COV_SQL, doc=embedding_covariance_stats.__doc__))
+
+
+HYBRID_CAND_K = 50   # candidates taken from each retriever
+HYBRID_TOP_K = 20    # fused results returned
+RRF_K = 60           # the standard reciprocal-rank-fusion damping
+HYBRID_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    modern search-stack shape (BM25 candidates ∪ vector-kNN candidates,
+    fused by RRF: Σ 1/(60+rank)).
+
+    Composes the engine's existing retrievers: ``bm25_rank`` (postings
+    point-lookups, in-plan broadcast corpus stats, TakeOrdered top-k)
+    and ``knn_bruteforce`` (broadcast query vector, corpus never
+    shuffled, two-stage top-k). Each side returns ``HYBRID_CAND_K``
+    candidates; ranking windows run over those bounded candidate sets
+    only (≤50 rows), never the corpus. ``doc_id == vec_id`` is the
+    linking convention of the synthetic tables (TESTDATA.md). RRF scores
+    are single IEEE expressions of exact integer ranks — bit-stable.
+    """
+    from bigdata2016w_spark.operators.retrieval import bm25_rank
+    from bigdata2016w_spark.operators.similarity import knn_bruteforce
+    from bigdata2016w_spark.plans.retrieval import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, list(BM25_TERMS), k=HYBRID_CAND_K).select(
+        "docid",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("docid")))
+        .alias("r_lex"),
+    )
+    vec = knn_bruteforce(emb, [HYBRID_QUERY_VEC], HYBRID_CAND_K).select(
+        F.col("vec_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("r_vec"),
+    )
+    fused = (
+        lex.join(vec, lex.docid == vec.vec_id, "full_outer")
+        .select(
+            F.coalesce("docid", "vec_id").alias("doc_id"),
+            "r_lex",
+            "r_vec",
+            (
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(
+        HYBRID_TOP_K
+    )
+
+
+_HYBRID_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+flat AS (
+  SELECT term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+),
+dl AS (SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM flat GROUP BY docid),
+avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+hits AS (SELECT * FROM flat WHERE term IN ('table', 'query', 'stream')),
+df_t AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.docid,
+         round(sum(
+           ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * (1.0 + 1.2))
+           / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / a.avgdl))
+         ), 6) AS score
+  FROM hits h
+  JOIN df_t d USING (term)
+  JOIN dl l USING (docid)
+  CROSS JOIN avgdl a CROSS JOIN n
+  GROUP BY h.docid
+),
+lex AS (
+  SELECT docid, row_number() OVER (ORDER BY score DESC, docid ASC) AS r_lex
+  FROM scored ORDER BY score DESC, docid ASC LIMIT {HYBRID_CAND_K}
+),
+q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}
+),
+cos AS (
+  SELECT e.vec_id,
+         list_reduce([CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                      for i in range(1, len(q.qe) + 1)], (x, y) -> x + y)
+         / (sqrt(list_reduce([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                              for i in range(1, len(q.qe) + 1)],
+                             (x, y) -> x + y))
+            * sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(e.embedding[i] AS DOUBLE)
+                                for i in range(1, len(e.embedding) + 1)],
+                               (x, y) -> x + y))) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> {HYBRID_QUERY_VEC}
+),
+vec AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_vec
+  FROM cos ORDER BY cosine DESC, vec_id ASC LIMIT {HYBRID_CAND_K}
+)
+SELECT COALESCE(l.docid, v.vec_id) AS doc_id,
+       CAST(l.r_lex AS INTEGER) AS r_lex,
+       CAST(v.r_vec AS INTEGER) AS r_vec,
+       COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+       + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0) AS rrf_score
+FROM lex l FULL OUTER JOIN vec v ON l.docid = v.vec_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {HYBRID_TOP_K}
+"""
+
+register(QuerySpec("hybrid_search_rrf", hybrid_search_rrf, _HYBRID_SQL,
+                   doc=hybrid_search_rrf.__doc__))

@@ -242,3 +242,25 @@ def test_covariance_stats_reconstruct_numpy_pca(spark, sf_dir):
     evals = np.linalg.eigvalsh(cov)
     assert (evals > -1e-6 * evals.max()).all()
     assert np.isclose(evals.sum(), np.trace(cov))
+
+
+def test_hybrid_rrf_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["hybrid_search_rrf"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_hybrid_rrf_fuses_both_retrievers(spark, sf_dir):
+    """The fused list must actually mix the two signals: some results
+    from each side, and any doc ranked by both outranks the RRF of a
+    doc seen by only one side at equal rank."""
+    from bigdata2016w_spark.plans.corpus_ext import hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert rows
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_vec is not None for r in rows)
+    for r in rows:
+        expected = (1 / (60 + r.r_lex) if r.r_lex else 0) + (
+            1 / (60 + r.r_vec) if r.r_vec else 0
+        )
+        assert abs(r.rrf_score - expected) < 1e-12
