@@ -277,3 +277,29 @@ def test_anomalies_single_shuffle_window(spark, sf_dir):
     plan = _formatted_plan(events_user_value_anomalies(spark, sf_dir))
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert "Window" in plan
+
+
+def test_covariance_stats_single_aggregation(spark, sf_dir):
+    """The PCA stats must be one partial+final hash aggregate over the
+    exploded upper triangle — no join, no window, one exchange."""
+    import re
+
+    from bigdata2016w_spark.plans.corpus_ext import embedding_covariance_stats
+
+    plan = _formatted_plan(embedding_covariance_stats(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+    # one hash exchange (the aggregate) + optionally one range (orderBy)
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) <= 2
+
+
+def test_pack_sequences_single_lane_shuffle(spark, sf_dir):
+    """Sequence packing must shuffle once, keyed on the (source, shard)
+    lane — no global-order window anywhere."""
+    import re
+
+    from bigdata2016w_spark.plans.corpus_ext import documents_pack_sequences
+
+    plan = _formatted_plan(documents_pack_sequences(spark, sf_dir))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "source" in plan and "shard" in plan

@@ -26,6 +26,10 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "embedding_hard_negatives", "auc_rank_check",
     "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
     "q16_supplier_count", "q19_disjunctive_revenue", "q22_sales_opportunity",
+    "documents_reservoir_by_source", "events_user_value_anomalies",
+    "doc_bigram_surprisal", "documents_pack_sequences",
+    "media_audio_features", "embedding_covariance_stats",
+    "hybrid_search_rrf", "bpe_merge_table",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
