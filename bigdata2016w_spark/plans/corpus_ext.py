@@ -663,3 +663,122 @@ LIMIT {HYBRID_TOP_K}
 
 register(QuerySpec("hybrid_search_rrf", hybrid_search_rrf, _HYBRID_SQL,
                    doc=hybrid_search_rrf.__doc__))
+
+
+SG_WINDOW = 2       # skip-gram context window (±W)
+SG_NEGATIVES = 2    # deterministic negatives per center word
+SG_BUCKETS = 64     # vocab buckets for negative selection
+
+
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style training table: positive (center, context) counts
+    from a ±``SG_WINDOW`` token window, plus ``SG_NEGATIVES``
+    deterministic negative examples per center (label 0) weighted by the
+    center's positive mass.
+
+    Negative sampling is a scale-safe hash scheme — NO global vocab sort
+    or funnel window: the vocabulary hashes into ``SG_BUCKETS`` buckets
+    (portable md5 family), each bucket elects its min-hash representative
+    (one bounded aggregate), and center k's negative is the
+    representative of bucket hash(center#k) — a broadcast join against a
+    64-row table. Deterministic across engines/partitionings, and
+    oracle-replayable because the hash family is bit-identical in DuckDB.
+    Self-collisions (negative == center) are dropped, as in standard
+    word2vec implementations.
+    """
+    from bigdata2016w_spark.operators.dedup import portable_hash60
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize("text").alias("t")).where(F.size("t") >= 2)
+    offsets = [d for d in range(-SG_WINDOW, SG_WINDOW + 1) if d != 0]
+    pair_expr = (
+        "flatten(transform(sequence(1, size(t)), i -> "
+        "filter(transform(array(" + ", ".join(str(d) for d in offsets)
+        + "), d -> if(i + d >= 1 and i + d <= size(t),"
+        " struct(element_at(t, i) as center,"
+        " element_at(t, i + d) as context), null)),"
+        " x -> x is not null)))"
+    )
+    pos = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.center", "p.context")
+        .agg(F.count("*").alias("cnt"))
+    )
+    centers = pos.groupBy("center").agg(F.sum("cnt").alias("ct"))
+    vocab = (
+        toks.select(F.explode("t").alias("word")).distinct()
+        .select("word", portable_hash60(F.col("word"), "sgv").alias("h"))
+        .select("word", F.pmod(F.col("h"), F.lit(SG_BUCKETS)).alias("bucket"),
+                "h")
+    )
+    reps = vocab.groupBy("bucket").agg(F.min_by("word", "h").alias("rep"))
+    ks = spark.range(SG_NEGATIVES).select(F.col("id").alias("k"))
+    negs = (
+        centers.crossJoin(broadcast(ks))
+        .select(
+            "center", "ct",
+            F.pmod(
+                portable_hash60(
+                    F.concat(F.col("center"), F.lit("#"), F.col("k")), "sgn"
+                ),
+                F.lit(SG_BUCKETS),
+            ).alias("bucket"),
+        )
+        .join(broadcast(reps), "bucket")
+        .where(F.col("rep") != F.col("center"))
+        .select("center", F.col("rep").alias("context"),
+                F.lit(0).alias("label"), F.col("ct").alias("cnt"))
+    )
+    return pos.select(
+        "center", "context", F.lit(1).alias("label"), "cnt"
+    ).unionByName(negs)
+
+
+_SG_OFFSETS = ", ".join(
+    str(d) for d in range(-SG_WINDOW, SG_WINDOW + 1) if d != 0
+)
+
+
+def _md5h(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+_SKIPGRAM_SQL = f"""
+WITH toks AS (
+  SELECT {_TOK} AS t FROM documents
+), tt AS (
+  SELECT t FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+    list_transform(
+      list_filter([{_SG_OFFSETS}],
+                  d -> i + d >= 1 AND i + d <= len(t)),
+      d -> {{'center': t[i], 'context': t[i + d]}})))) AS p
+  FROM tt
+), pos AS (
+  SELECT p.center AS center, p.context AS context, count(*) AS cnt
+  FROM pairs GROUP BY 1, 2
+), centers AS (
+  SELECT center, CAST(sum(cnt) AS BIGINT) AS ct FROM pos GROUP BY center
+), vocab AS (
+  SELECT word, {_md5h('word', 'sgv')} AS h,
+         {_md5h('word', 'sgv')} % {SG_BUCKETS} AS bucket
+  FROM (SELECT DISTINCT unnest(t) AS word FROM tt)
+), reps AS (
+  SELECT bucket, arg_min(word, h) AS rep FROM vocab GROUP BY bucket
+), negs AS (
+  SELECT c.center, r.rep AS context, 0 AS label, c.ct AS cnt
+  FROM centers c
+  CROSS JOIN (SELECT unnest(range({SG_NEGATIVES})) AS k) kk
+  JOIN reps r
+    ON r.bucket = {_md5h("c.center || '#' || kk.k", 'sgn')} % {SG_BUCKETS}
+  WHERE r.rep <> c.center
+)
+SELECT center, context, 1 AS label, CAST(cnt AS BIGINT) AS cnt FROM pos
+UNION ALL
+SELECT center, context, label, cnt FROM negs
+"""
+
+register(QuerySpec("skipgram_training_pairs", skipgram_training_pairs,
+                   _SKIPGRAM_SQL, doc=skipgram_training_pairs.__doc__))

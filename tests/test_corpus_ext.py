@@ -264,3 +264,35 @@ def test_hybrid_rrf_fuses_both_retrievers(spark, sf_dir):
             1 / (60 + r.r_vec) if r.r_vec else 0
         )
         assert abs(r.rrf_score - expected) < 1e-12
+
+
+def test_skipgram_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["skipgram_training_pairs"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_skipgram_positive_counts_are_symmetric_window(spark):
+    """On a crafted doc the positive pairs must be exactly the +-2 window
+    co-occurrences, and every center must carry label-0 negatives."""
+    import tempfile
+
+    from bigdata2016w_spark.plans.corpus_ext import skipgram_training_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = skipgram_training_pairs(spark, d).collect()
+    pos = {(r.center, r.context): r.cnt for r in rows if r.label == 1}
+    # a: b,c ; b: a,c,d ; c: a,b,d ; d: b,c
+    want = {
+        ("a", "b"): 1, ("a", "c"): 1,
+        ("b", "a"): 1, ("b", "c"): 1, ("b", "d"): 1,
+        ("c", "a"): 1, ("c", "b"): 1, ("c", "d"): 1,
+        ("d", "b"): 1, ("d", "c"): 1,
+    }
+    assert pos == want
+    negs = [r for r in rows if r.label == 0]
+    assert negs and all(r.context != r.center for r in negs)
