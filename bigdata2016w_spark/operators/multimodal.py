@@ -73,10 +73,10 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
                      / raster.size) / float(maxval)
         return width, height, mean
     if payload[:2] == b"BM":
-        data_off = int(np.frombuffer(payload, np.uint32, 1, 10)[0])
-        width = int(np.frombuffer(payload, np.int32, 1, 18)[0])
-        height = abs(int(np.frombuffer(payload, np.int32, 1, 22)[0]))
-        bpp = int(np.frombuffer(payload, np.uint16, 1, 28)[0])
+        data_off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+        width = int(np.frombuffer(payload, "<i4", 1, 18)[0])
+        height = abs(int(np.frombuffer(payload, "<i4", 1, 22)[0]))
+        bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
         if bpp not in (24, 32):
             raise ValueError(f"unsupported BMP bit depth {bpp}")
         step = bpp // 8
@@ -212,7 +212,7 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, int, int, int]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
-        size = int(np.frombuffer(payload, np.uint32, 1, pos + 4)[0])
+        size = int(np.frombuffer(payload, "<u4", 1, pos + 4)[0])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -221,12 +221,12 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, int, int, int]:
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format = int(np.frombuffer(fmt, np.uint16, 1, 0)[0])
+    audio_format = int(np.frombuffer(fmt, "<u2", 1, 0)[0])
     if audio_format != 1:
         raise ValueError(f"unsupported (non-PCM) audio format {audio_format}")
-    n_channels = int(np.frombuffer(fmt, np.uint16, 1, 2)[0])
-    sample_rate = int(np.frombuffer(fmt, np.uint32, 1, 4)[0])
-    bits = int(np.frombuffer(fmt, np.uint16, 1, 14)[0])
+    n_channels = int(np.frombuffer(fmt, "<u2", 1, 2)[0])
+    sample_rate = int(np.frombuffer(fmt, "<u4", 1, 4)[0])
+    bits = int(np.frombuffer(fmt, "<u2", 1, 14)[0])
     if bits == 8:
         centered = np.frombuffer(data, np.uint8).astype(np.int64) - 128
     elif bits == 16:

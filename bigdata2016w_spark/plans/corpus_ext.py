@@ -19,10 +19,10 @@ Scale notes:
 - ``events_user_value_anomalies`` is one shuffle on ``user_id`` plus a
   sequential ROWS-frame scan. The rolling z-score test is evaluated in
   EXACT int64 arithmetic (cents quantization, both sides of the
-  inequality multiplied out) — no float mean/stddev anywhere, so results
-  are bit-identical across engines and partitionings even at z≈3
-  boundaries. Bounds: |cents| ≤ ~5.7e4, frame ≤ 20 rows ⇒ every term
-  ≤ ~3e14, comfortably inside int64.
+  inequality multiplied out, products widened to DECIMAL(38,0)/HUGEINT)
+  — no float mean/stddev anywhere, so results are bit-identical across
+  engines and partitionings even at z≈3 boundaries, with no overflow
+  for any event value the schema can hold.
 - ``doc_bigram_surprisal`` estimates an add-one bigram LM from the
   corpus itself (the KenLM/CCNet perplexity-filter recipe one order up
   from ``plans/lm_quality.unigram_lm_scores``). The model table is
@@ -61,7 +61,8 @@ def documents_reservoir_by_source(spark: SparkSession, sf_dir: str,
     selects the same rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pri = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(2147483648)).alias("pri")
+    pri = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(KNUTH))
+           % F.lit(2147483648)).alias("pri")
     return (
         topk_per_group(
             docs.select("source", "doc_id", pri),
@@ -78,7 +79,7 @@ WITH ranked AS (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * {KNUTH}) % 2147483648 ASC, doc_id ASC
+           ORDER BY ((doc_id % 2147483648) * {KNUTH}) % 2147483648 ASC, doc_id ASC
          ) AS rn
   FROM documents
 )
@@ -98,7 +99,11 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c·n − S)² · (n − 1)  >  Z² · n · (n·Q − S²)
 
     is the z-test with both sides multiplied by n²·(n−1) — exact, no
-    division, no sqrt, no float accumulation.
+    division, no sqrt, no float accumulation. The window sums stay in
+    int64 (safe to |value| ≈ 4e14 dollars); the inequality's PRODUCTS
+    run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which keeps them
+    exact far past the ~$1.1e5 event value where raw int64 products
+    would wrap silently on Spark and error on DuckDB.
     """
     ev = load_table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("bigint")
@@ -113,12 +118,16 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c).over(w).alias("s"),
         F.sum(c * c).over(w).alias("q"),
     )
-    lhs = (F.col("c") * F.col("n") - F.col("s"))
+
+    def _d(col):
+        return col.cast("decimal(38,0)")
+
+    lhs = _d(F.col("c")) * _d(F.col("n")) - _d(F.col("s"))
     test = (
-        lhs * lhs * (F.col("n") - 1)
+        lhs * lhs * (_d(F.col("n")) - 1)
         > F.lit(ANOMALY_Z * ANOMALY_Z)
-        * F.col("n")
-        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        * _d(F.col("n"))
+        * (_d(F.col("n")) * _d(F.col("q")) - _d(F.col("s")) * _d(F.col("s")))
     )
     return (
         ev.where((F.col("n") >= ANOMALY_MIN_N) & test)
@@ -142,8 +151,9 @@ WITH x AS (
 SELECT event_id, user_id, value, n AS n_window
 FROM x
 WHERE n >= {ANOMALY_MIN_N}
-  AND (c*n - s) * (c*n - s) * (n - 1)
-      > {ANOMALY_Z * ANOMALY_Z} * n * (n*q - s*s)
+  AND (CAST(c AS HUGEINT)*n - s) * (CAST(c AS HUGEINT)*n - s) * (n - 1)
+      > {ANOMALY_Z * ANOMALY_Z} * CAST(n AS HUGEINT)
+        * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
 """
 
 
@@ -274,7 +284,8 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source",
-        ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(2147483648) % shards)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(KNUTH)
+         % F.lit(2147483648) % shards)
         .alias("shard"),
         F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
@@ -296,7 +307,7 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str,
 _PACK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
-         (doc_id * {KNUTH}) % 2147483648 % {PACK_SHARDS} AS shard,
+         ((doc_id % 2147483648) * {KNUTH}) % 2147483648 % {PACK_SHARDS} AS shard,
          len({_TOK}) AS n_tokens
   FROM documents
 ),
@@ -338,7 +349,7 @@ _AUDIO_SQL = """
 WITH s AS (
   SELECT doc_id, length(text) AS n,
          list_transform(range(1, length(text) + 1),
-                        i -> ascii(text[i]) - 64) AS c
+                        i -> ((ascii(text[i]) + 64) % 256) - 128) AS c
   FROM documents
 )
 SELECT doc_id AS media_id,
@@ -438,7 +449,12 @@ def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             break
         left, right, pf = row[0].l, row[0].r, int(row[0].pf)
         merges.append((r, left, right, pf))
-        lq, rq = left.replace("'", "''"), right.replace("'", "''")
+        # escape for a Spark SQL string literal: backslashes first (the
+        # parser processes \-escapes), then doubled single quotes
+        def _lit(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "''")
+
+        lq, rq = _lit(left), _lit(right)
         fold = (
             "aggregate(sequence(1, size(sym)),"
             " struct(cast(array() as array<string>) as out,"

@@ -23,15 +23,18 @@ STRATA_PCT = {"en": 30, "de": 60, "es": 60, "fr": 60, "zh": 60}
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic 0..buckets-1 bucket from an integer key.
 
-    Range limit: ``key * KNUTH`` is plain int64 arithmetic, so keys above
-    ~2^63/KNUTH ≈ 3.4e9 overflow (Spark and DuckDB both wrap two's-
-    complement, so the *comparison* still matches the oracle, but bucket
-    quality degrades). For genuinely unbounded 100 TB keyspaces use the
-    xxhash64 variant below — it trades away the DuckDB oracle (DuckDB has
-    no xxhash64), which is why the oracle-checked queries keep the Knuth
-    form over bounded ``doc_id`` keys.
+    The key is reduced mod 2^31 BEFORE the Knuth multiply, so the
+    product is ≤ (2^31)·KNUTH ≈ 5.7e18 < 2^63 for EVERY int64 key —
+    no overflow on either engine (DuckDB errors on int64 overflow
+    rather than wrapping, so the pre-reduction is what keeps the oracle
+    runnable at all on large ids; (k mod m)·h ≡ k·h (mod m) keeps the
+    bucket value identical for keys < 2^31). Bucket quality over a
+    keyspace wider than 2^31 degrades to the low-31-bits distribution;
+    for genuinely unbounded adversarial keyspaces use the xxhash64
+    variant below — it trades away the DuckDB oracle.
     """
-    return ((key * F.lit(KNUTH)) % F.lit(2147483648)) % F.lit(buckets)
+    return (((key % F.lit(2147483648)) * F.lit(KNUTH))
+            % F.lit(2147483648)) % F.lit(buckets)
 
 
 def hash_bucket_xx(key: Column, buckets: int = 100) -> Column:
@@ -63,7 +66,7 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_SQL = f"""
 SELECT doc_id,
-       CASE WHEN ((doc_id * {KNUTH}) % 2147483648) % 100 < {TRAIN_PCT}
+       CASE WHEN (((doc_id % 2147483648) * {KNUTH}) % 2147483648) % 100 < {TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split
 FROM documents
 """
@@ -74,7 +77,7 @@ _STRATA_CASE = " ".join(
 
 _STRATA_SQL = f"""
 SELECT doc_id, lang FROM documents
-WHERE ((doc_id * {KNUTH}) % 2147483648) % 100
+WHERE (((doc_id % 2147483648) * {KNUTH}) % 2147483648) % 100
       < (CASE {_STRATA_CASE} ELSE 0 END)
 """
 

@@ -15,6 +15,7 @@ state store with checkpointing.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -51,9 +52,12 @@ def spend_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
         (user_id,) = key
         total, alerts = state.get if state.exists else (0.0, 0)
         out = []
-        for pdf in pdfs:
-            # deterministic within-batch order
-            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+        # concat BEFORE sorting: a group larger than one Arrow record
+        # batch arrives as several chunks in arbitrary order, and a
+        # chunk-local sort would interleave them wrongly
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            for v in batch.sort_values(["ts", "event_id"])["value"]:
                 total += float(v)
                 while total >= (alerts + 1) * threshold:
                     alerts += 1
@@ -202,20 +206,29 @@ def rolling_anomalies(events: DataFrame, frame: int = 20,
         (user_id,) = key
         recent: list[int] = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(ordered["event_id"], ordered["value"]):
-                c = round(float(v) * 100)
-                n = len(recent)
-                if n >= min_n:
-                    s = sum(recent)
-                    q = sum(x * x for x in recent)
-                    lhs = c * n - s
-                    if lhs * lhs * (n - 1) > z * z * n * (n * q - s * s):
-                        out.append((int(eid), user_id, float(v), n))
-                recent.append(c)
-                if len(recent) > frame:
-                    del recent[0]
+        # concat BEFORE sorting: a group larger than one Arrow record
+        # batch arrives as several chunks in arbitrary order; a
+        # chunk-local sort would process later-chunk events with earlier
+        # timestamps out of order and corrupt the rolling window
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ordered = batch.sort_values(["ts", "event_id"]) if len(batch) else batch
+        for eid, v in zip(ordered.get("event_id", []),
+                          ordered.get("value", [])):
+            x = float(v) * 100
+            # half-away-from-zero, matching Spark's HALF_UP round() and
+            # DuckDB round(); Python's built-in round is half-to-even
+            # and would disagree on exact-.5 cent values
+            c = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            n = len(recent)
+            if n >= min_n:
+                s = sum(recent)
+                q = sum(x2 * x2 for x2 in recent)
+                lhs = c * n - s
+                if lhs * lhs * (n - 1) > z * z * n * (n * q - s * s):
+                    out.append((int(eid), user_id, float(v), n))
+            recent.append(c)
+            if len(recent) > frame:
+                del recent[0]
         state.update((recent,))
         if out:
             yield pd.DataFrame(

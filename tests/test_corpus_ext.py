@@ -296,3 +296,105 @@ def test_skipgram_positive_counts_are_symmetric_window(spark):
     assert pos == want
     negs = [r for r in rows if r.label == 0]
     assert negs and all(r.context != r.center for r in negs)
+
+
+def test_anomaly_survives_extreme_values_and_matches_oracle(spark, tmp_path):
+    """$150k+ events would overflow a raw-int64 z-test product (Spark
+    wraps, DuckDB errors); the DECIMAL/HUGEINT widening must keep both
+    engines exact and in agreement."""
+    import duckdb
+
+    from bigdata2016w_spark.plans.corpus_ext import events_user_value_anomalies
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    rows = [(i, 1, 150_000.0 + (i % 5), f"2024-01-01 00:{i:02d}:00")
+            for i in range(20)]
+    rows.append((99, 1, 900_000.0, "2024-01-01 00:30:00"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts string"
+    ).selectExpr("event_id", "user_id", "value",
+                 "cast(ts as timestamp_ntz) as ts",
+                 "'x' as event_type", "'{}' as props")
+    d = tmp_path / "big"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    spec = all_specs()["events_user_value_anomalies"]
+    compare_spark_duckdb(events_user_value_anomalies(spark, str(d)),
+                         con, spec.oracle)
+    got = events_user_value_anomalies(spark, str(d)).collect()
+    assert [r.event_id for r in got] == [99]
+    con.close()
+
+
+def test_stream_anomaly_rounds_half_away_like_batch(spark, tmp_path):
+    """value 10.125 quantizes to 1013 cents under HALF_UP (batch/DuckDB);
+    Python's banker's rounding would give 1012 — the stream must match
+    the batch on such ties."""
+    from bigdata2016w_spark.plans.corpus_ext import events_user_value_anomalies
+    from bigdata2016w_spark.streaming.stateful import rolling_anomalies
+
+    rows = [(i, 1, 10.125, f"2024-01-01 00:{i:02d}:00") for i in range(12)]
+    rows.append((99, 1, 10.125 + 50.0, "2024-01-01 00:20:00"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts string"
+    ).selectExpr("event_id", "user_id", "value",
+                 "cast(ts as timestamp_ntz) as ts",
+                 "'x' as event_type", "'{}' as props")
+    d = tmp_path / "ties"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    want = sorted(
+        (r.event_id, r.n_window)
+        for r in events_user_value_anomalies(spark, str(d)).collect()
+    )
+    import pyspark.sql.functions as F
+
+    src = (
+        spark.readStream.schema(df.schema)
+        .parquet(str(d / "events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        rolling_anomalies(src)
+        .writeStream.format("memory").queryName("t_ties")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.event_id, r.n_window) for r in spark.table("t_ties").collect()
+    )
+    assert got == want == [(99, 12)]
+
+
+def test_reservoir_oracle_survives_large_doc_ids(spark, tmp_path):
+    """doc_id beyond ~3.4e9 used to overflow the Knuth product: DuckDB
+    raises on int64 overflow, so the oracle could not even run. The
+    pre-reduction (doc_id % 2^31) must keep both engines running and
+    agreeing."""
+    import duckdb
+
+    from bigdata2016w_spark.plans.corpus_ext import (
+        _RESERVOIR_SQL, documents_reservoir_by_source)
+    from tests.oracle import compare_spark_duckdb
+
+    docs = spark.createDataFrame(
+        [(4_000_000_000 + i, f"doc {i}", "en", f"s{i % 2}", 5)
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "bigids"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    compare_spark_duckdb(documents_reservoir_by_source(spark, str(d)),
+                         con, _RESERVOIR_SQL)
+    con.close()
