@@ -679,3 +679,137 @@ ORDER BY c_nationkey
 
 register(QuerySpec("q22_sales_opportunity", q22_sales_opportunity,
                    _Q22_SQL, doc=q22_sales_opportunity.__doc__))
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fixed
+    fraction of the grand total — grouped HAVING against a global scalar.
+    Both the per-part aggregate and the 1-row total come from the SAME
+    shuffled aggregate (self-reused plan); the scalar joins by broadcast,
+    so no second scan of the fact. ``lineitem`` stands in for the absent
+    ``partsupp``; money in DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_d"))
+    )
+    total = per_part.agg(F.sum("value_d").alias("total_d"))
+    return (
+        per_part.join(broadcast(total))
+        .where(F.col("value_d") > F.col("total_d") * F.lit(0.001).cast(_DEC))
+        .select("l_partkey", F.col("value_d").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_d > (SELECT SUM(value_d) FROM per_part)
+                * CAST(0.001 AS DECIMAL(18,2))
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+register(QuerySpec("q11_important_stock", q11_important_stock,
+                   _Q11_SQL, doc=q11_important_stock.__doc__))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str,
+                     date: str = "1996") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in the year
+    — the classic view + scalar-MAX + equality pattern, ties kept. The
+    revenue view aggregates once; MAX is a broadcast 1-row aggregate of
+    that same view (no re-scan); exact DECIMAL revenue makes the
+    equality tie-safe across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+            ).alias("rev_d")
+        )
+    )
+    mx = rev.agg(F.max("rev_d").alias("max_d"))
+    return (
+        rev.join(broadcast(mx))
+        .where(F.col("rev_d") == F.col("max_d"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("rev_d").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev_d
+  FROM lineitem
+  WHERE {date_prefix_sql('l_shipdate', '1996')}
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_d AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_d = (SELECT MAX(rev_d) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+register(QuerySpec("q15_top_supplier", q15_top_supplier,
+                   _Q15_SQL, doc=q15_top_supplier.__doc__))
+
+
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str,
+                          date: str = "1996") -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding 'surplus' positions in
+    small-size parts — nested IN subqueries become a chain of semi-joins:
+    (part filter) → (supplier, part) shipped-quantity aggregate with a
+    threshold → left-semi into supplier. No correlated subquery survives;
+    the quantity aggregate shuffles once on (suppkey, partkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    small_parts = part.where(F.col("p_size") <= 5).select("p_partkey")
+    qty = (
+        li.where(date_prefix_filter(F.col("l_shipdate"), date))
+        .join(broadcast(small_parts),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_d"))
+        .where(F.col("qty_d") > F.lit(80).cast(_DEC))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(qty, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+    AND {date_prefix_sql('l_shipdate', '1996')}
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 80
+)
+ORDER BY s_suppkey
+"""
+
+register(QuerySpec("q20_surplus_suppliers", q20_surplus_suppliers,
+                   _Q20_SQL, doc=q20_surplus_suppliers.__doc__))

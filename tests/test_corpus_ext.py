@@ -398,3 +398,10 @@ def test_reservoir_oracle_survives_large_doc_ids(spark, tmp_path):
     compare_spark_duckdb(documents_reservoir_by_source(spark, str(d)),
                          con, _RESERVOIR_SQL)
     con.close()
+
+
+def test_incremental_agg_matches_full_recompute(spark, sf_dir, duck):
+    """The oracle is the FULL recompute; the Spark plan merges stored +
+    delta partials — equality proves the algebraic-merge maintenance."""
+    spec = all_specs()["orders_incremental_daily_agg"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)

@@ -21,6 +21,9 @@ REL = [
     "q16_supplier_count",
     "q19_disjunctive_revenue",
     "q22_sales_opportunity",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_surplus_suppliers",
 ]
 
 
