@@ -813,3 +813,90 @@ ORDER BY s_suppkey
 
 register(QuerySpec("q20_surplus_suppliers", q20_surplus_suppliers,
                    _Q20_SQL, doc=q20_surplus_suppliers.__doc__))
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers — the outer-join-then-histogram pattern. The
+    left outer join keeps every customer; the two-level aggregate
+    (per-customer count, then histogram) is two shuffles, the second over
+    at most |distinct counts| rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register(QuerySpec("q13_customer_distribution", q13_customer_distribution,
+                   _Q13_SQL, doc=q13_customer_distribution.__doc__))
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str,
+                               qty: int = 250) -> DataFrame:
+    """TPC-H Q18 shape: customers with any single order totalling more
+    than ``qty`` units — a grouped-HAVING filter on the fact that then
+    drives the joins. The heavy groupBy runs FIRST and its tiny survivor
+    set broadcasts into orders/customer, so the dimensional joins never
+    see the full fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_d"))
+        .where(F.col("sum_qty_d") > F.lit(qty).cast(_DEC))
+    )
+    return (
+        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice"),
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice,
+       CAST(b.sum_qty_d AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+register(QuerySpec("q18_large_volume_customers", q18_large_volume_customers,
+                   _Q18_SQL, doc=q18_large_volume_customers.__doc__))

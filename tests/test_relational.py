@@ -24,6 +24,8 @@ REL = [
     "q11_important_stock",
     "q15_top_supplier",
     "q20_surplus_suppliers",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
 ]
 
 
