@@ -40,16 +40,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # ROUND 4 TODO: rotate the window — CORRECTNESS_r03 covers the first 50
 # names in the current order (all oracle-backed). Next round move the
-# 41-query tail (everything from ann_bruteforce onward: the pipeline
-# remainder incl. ann_ivf_flat + embedding_hard_negatives,
-# relational q1-q7 + q4_priority_late_exists + q21_waiting_supplier,
-# text_analytics, retrieval, ml incl. auc_rank_check, events,
-# traversal/graph_sssp_hops, maintenance/orders_column_stats) AHEAD of
-# the current front block so every registered query holds a green driver
-# row across r03+r04. Queries never driver-checked as of r03:
-# ann_ivf_flat, embedding_hard_negatives, auc_rank_check,
-# graph_sssp_hops, orders_column_stats, q4_priority_late_exists,
-# q21_waiting_supplier (+ rows-only ann_ivf, sgd_*) — put these first.
+# 62-query tail (everything from ann_bruteforce onward) AHEAD of the
+# current front block so every registered query accumulates a green
+# driver row across r03+r04+r05. Queries never driver-checked as of r03,
+# highest priority for the front of the r04 window:
+#   - pipeline remainder: ann_ivf_flat, embedding_hard_negatives
+#     (+ rows-only ann_ivf)
+#   - relational: q4_priority_late_exists, q21_waiting_supplier, and the
+#     round-3 additions q10/q12/q14/q16/q19/q22/q11/q15/q20/q13/q18
+#   - ml: auc_rank_check (+ rows-only sgd_*)
+#   - traversal: graph_sssp_hops; maintenance: orders_column_stats
+#   - ALL of plans.corpus_ext (reservoir, anomalies, bigram LM, packing,
+#     audio, covariance, hybrid RRF, skip-gram, incremental agg,
+#     + rows-only bpe_merge_table)
+# That is ~32 never-checked names — they fit one 50-row window with room
+# for the oldest r02-only greens; the long-green text/retrieval/events
+# block can wait for r05.
 _SPEC_MODULES = [
     "bigdata2016w_spark.plans.temporal",
     "bigdata2016w_spark.plans.analytics",
