@@ -879,3 +879,52 @@ ORDER BY day
 register(QuerySpec("orders_incremental_daily_agg",
                    orders_incremental_daily_agg, _INCR_SQL,
                    doc=orders_incremental_daily_agg.__doc__))
+
+
+TREND_TOP_K = 3
+
+
+def events_trending_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour trending JSON keys: the top-``TREND_TOP_K`` ``props.k``
+    values by event count in each 1-hour tumbling window — the
+    dashboard "what's hot right now" shape. One keyed aggregate, then
+    the two-stage bounded top-k per window (``operators/topk.py``) so
+    no window ever sorts more than k·P survivor rows. The streaming twin
+    (``streaming/windows.trending_key_counts`` + the same rank) is
+    parity-tested in tests/test_streaming.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"), "k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return topk_per_group(
+        counts, ["window_start"],
+        [F.desc("cnt"), F.asc("k")], TREND_TOP_K,
+    ).orderBy("window_start", F.desc("cnt"), F.asc("k"))
+
+
+_TRENDING_SQL = f"""
+WITH counts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY window_start ORDER BY cnt DESC, k ASC) AS rn
+  FROM counts
+)
+SELECT window_start, k, cnt FROM ranked WHERE rn <= {TREND_TOP_K}
+ORDER BY window_start, cnt DESC, k ASC
+"""
+
+register(QuerySpec("events_trending_keys", events_trending_keys,
+                   _TRENDING_SQL, doc=events_trending_keys.__doc__))

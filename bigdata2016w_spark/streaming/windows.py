@@ -212,3 +212,29 @@ def run_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def trending_key_counts(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of the trending-keys query: watermarked tumbling
+    per-(window, props.k) counts. Ranking (top-k per window) is not a
+    streaming-supported window function, so the counts stream into a
+    sink and the bounded rank runs downstream per micro-batch or over
+    the sink table — exactly how production trending dashboards split
+    the work. Parity with the batch twin is asserted in
+    tests/test_streaming.py by ranking this stream's availableNow
+    output."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "k",
+            "cnt",
+        )
+    )

@@ -32,7 +32,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "hybrid_search_rrf", "bpe_merge_table", "skipgram_training_pairs",
     "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
     "orders_incremental_daily_agg", "q13_customer_distribution",
-    "q18_large_volume_customers",
+    "q18_large_volume_customers", "events_trending_keys",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs

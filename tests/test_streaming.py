@@ -288,3 +288,24 @@ def test_stream_anomaly_state_survives_batches(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
     # and it genuinely ran as more than one micro-batch
     assert len(q.recentProgress) >= 2
+
+
+def test_trending_keys_stream_parity(spark, sf_dir):
+    """Ranking the streamed (window, key) counts must reproduce the
+    registered batch trending query exactly."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.operators.topk import topk_per_group
+    from bigdata2016w_spark.plans.corpus_ext import TREND_TOP_K
+    from bigdata2016w_spark.streaming.windows import (
+        events_stream, run_to_memory, trending_key_counts)
+
+    counts = run_to_memory(
+        trending_key_counts(events_stream(spark, sf_dir)), "t_trend"
+    )
+    got = topk_per_group(
+        counts, ["window_start"], [F.desc("cnt"), F.asc("k")], TREND_TOP_K
+    )
+    want = all_specs()["events_trending_keys"].fn(spark, sf_dir)
+    cols = ["window_start", "k", "cnt"]
+    assert _rows(got, cols) == _rows(want, cols)
