@@ -99,11 +99,13 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c·n − S)² · (n − 1)  >  Z² · n · (n·Q − S²)
 
     is the z-test with both sides multiplied by n²·(n−1) — exact, no
-    division, no sqrt, no float accumulation. The window sums stay in
-    int64 (safe to |value| ≈ 4e14 dollars); the inequality's PRODUCTS
-    run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which keeps them
-    exact far past the ~$1.1e5 event value where raw int64 products
-    would wrap silently on Spark and error on DuckDB.
+    division, no sqrt, no float accumulation. The squared-cents window
+    sum and every inequality product run in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — raw int64 products would wrap silently on Spark
+    (or raise under ANSI) and error on DuckDB from ~$1.1e5 event values.
+    The widened math is exact to |value| ≈ 1e15 dollars (DECIMAL(38)
+    headroom on the z²·n·(n·Q − S²) product), far past any value the
+    cents quantization itself can represent faithfully.
     """
     ev = load_table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("bigint")
@@ -112,11 +114,14 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-ANOMALY_FRAME, -1)
     )
+    cd = c.cast("decimal(38,0)")
     ev = ev.select(
         "event_id", "user_id", "value", c.alias("c"),
         F.count("value").over(w).alias("n"),
         F.sum(c).over(w).alias("s"),
-        F.sum(c * c).over(w).alias("q"),
+        # the squared-cents sum is the first quantity to leave int64
+        # range, so it accumulates in DECIMAL(38,0) from the start
+        F.sum(cd * cd).over(w).alias("q"),
     )
 
     def _d(col):
@@ -142,8 +147,8 @@ WITH x AS (
          CAST(round(value * 100) AS BIGINT) AS c,
          COUNT(value) OVER w AS n,
          SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
-         SUM(CAST(round(value * 100) AS BIGINT)
-             * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+         SUM(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) OVER w AS q
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {ANOMALY_FRAME} PRECEDING AND 1 PRECEDING)
@@ -514,7 +519,10 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & F.expr("NOT exists(embedding, x -> isnan(x))")
+    )
 
     part_schema = T.StructType(
         [
@@ -569,6 +577,8 @@ WITH q AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_QUANT})
                                   AS BIGINT)) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x))) = 0
 ),
 p AS (
   SELECT unnest(flatten(list_transform(range(1, len(v) + 1), i ->
@@ -854,7 +864,12 @@ def orders_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tp_d"),
         )
 
-    stored = daily(orders.where(F.col("o_orderdate") < cut))
+    # null-safe split: NULL orderdates satisfy neither < nor >=, which
+    # would silently drop those rows from the incremental plan while the
+    # full-recompute oracle keeps them as a day=NULL group
+    stored = daily(orders.where(
+        (F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull()
+    ))
     delta = daily(orders.where(F.col("o_orderdate") >= cut))
     return (
         stored.unionByName(delta)
@@ -894,11 +909,17 @@ def events_trending_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity-tested in tests/test_streaming.py.
     """
     ev = load_table(spark, sf_dir, "events")
+    # try_cast + IS NOT NULL on BOTH engines: a missing or non-numeric
+    # props.k must be skipped identically (plain CAST raises in DuckDB
+    # and under ANSI Spark; NULL keys would also expose the engines'
+    # opposite NULLS FIRST/LAST defaults at the top-k boundary)
     counts = (
         ev.select(
             F.window("ts", "1 hour").alias("w"),
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.expr("try_cast(get_json_object(props, '$.k') as int)")
+            .alias("k"),
         )
+        .where(F.col("k").isNotNull())
         .groupBy(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                  .alias("window_start"), "k")
         .agg(F.count("*").alias("cnt"))
@@ -913,9 +934,10 @@ _TRENDING_SQL = f"""
 WITH counts AS (
   SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS window_start,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
          count(*) AS cnt
   FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
   GROUP BY 1, 2
 ), ranked AS (
   SELECT *, row_number() OVER (

@@ -682,21 +682,27 @@ register(QuerySpec("q22_sales_opportunity", q22_sales_opportunity,
 
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose shipped value exceeds a fixed
-    fraction of the grand total — grouped HAVING against a global scalar.
-    Both the per-part aggregate and the 1-row total come from the SAME
+    """TPC-H Q11 shape: parts whose shipped value exceeds 1.5x the MEAN
+    part value — grouped HAVING against a global scalar. Both the
+    per-part aggregate and the 1-row (total, n_parts) come from the SAME
     shuffled aggregate (self-reused plan); the scalar joins by broadcast,
-    so no second scan of the fact. ``lineitem`` stands in for the absent
-    ``partsupp``; money in DECIMAL."""
+    so no second scan of the fact. The threshold is scale-free (Q11's
+    fixed fraction divided by table size), expressed multiply-only in
+    exact DECIMAL/int math — 2*n*value > 3*total — because a small
+    fraction literal cast to DECIMAL(18,2) rounds to 0.00 and would
+    degenerate the filter. ``lineitem`` stands in for the absent
+    ``partsupp``."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_d"))
     )
-    total = per_part.agg(F.sum("value_d").alias("total_d"))
+    total = per_part.agg(F.sum("value_d").alias("total_d"),
+                         F.count("*").alias("n_parts"))
     return (
         per_part.join(broadcast(total))
-        .where(F.col("value_d") > F.col("total_d") * F.lit(0.001).cast(_DEC))
+        .where(F.col("value_d") * F.col("n_parts") * 2
+               > F.col("total_d") * 3)
         .select("l_partkey", F.col("value_d").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -710,8 +716,8 @@ WITH per_part AS (
 )
 SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
 FROM per_part
-WHERE value_d > (SELECT SUM(value_d) FROM per_part)
-                * CAST(0.001 AS DECIMAL(18,2))
+WHERE value_d * (SELECT COUNT(*) FROM per_part) * 2
+      > (SELECT SUM(value_d) FROM per_part) * 3
 ORDER BY part_value DESC, l_partkey ASC
 """
 

@@ -15,8 +15,8 @@ state store with checkpointing.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -215,10 +215,14 @@ def rolling_anomalies(events: DataFrame, frame: int = 20,
         for eid, v in zip(ordered.get("event_id", []),
                           ordered.get("value", [])):
             x = float(v) * 100
-            # half-away-from-zero, matching Spark's HALF_UP round() and
-            # DuckDB round(); Python's built-in round is half-to-even
-            # and would disagree on exact-.5 cent values
-            c = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            # Spark's round() converts the double via its shortest
+            # decimal repr and applies HALF_UP; replicate exactly.
+            # (floor(x+0.5) is NOT equivalent: binary addition can carry
+            # x across an integer boundary, e.g. the largest double
+            # below 0.5; Python's round() is half-to-even and disagrees
+            # on exact .5 ties.)
+            c = int(Decimal(repr(x)).quantize(Decimal(1),
+                                              rounding=ROUND_HALF_UP))
             n = len(recent)
             if n >= min_n:
                 s = sum(recent)

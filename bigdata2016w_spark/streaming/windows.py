@@ -224,12 +224,12 @@ def trending_key_counts(events: DataFrame,
     the work. Parity with the batch twin is asserted in
     tests/test_streaming.py by ranking this stream's availableNow
     output."""
+    keyed = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.expr("try_cast(get_json_object(props, '$.k') as int)").alias("k"),
+    ).where(F.col("k").isNotNull())
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", "1 hour").alias("w"),
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
-        )
+        keyed.groupBy(F.window("ts", "1 hour").alias("w"), "k")
         .agg(F.count("*").alias("cnt"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")

@@ -12,6 +12,10 @@ from datetime import date, datetime
 
 
 def _norm(v):
+    if v is None:
+        # sortable sentinel: raw None breaks the multiset sort whenever a
+        # NULL shares a column with strings/dates
+        return "\x00NULL\x00"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

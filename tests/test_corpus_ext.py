@@ -405,3 +405,56 @@ def test_incremental_agg_matches_full_recompute(spark, sf_dir, duck):
     delta partials — equality proves the algebraic-merge maintenance."""
     spec = all_specs()["orders_incremental_daily_agg"]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_null_and_dirty_inputs_handled_uniformly(spark, tmp_path, duck):
+    """Dirty-data regression pins: a missing/non-numeric props.k is
+    skipped by trending on both engines; a NULL embedding is skipped by
+    the covariance stats; a NULL o_orderdate survives the incremental
+    split as the day=NULL group."""
+    import duckdb
+
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 1, "view", 1.0, '{"k": 7}'),
+         (2, "2024-01-01 00:02:00", 1, "view", 1.0, '{"k": "oops"}'),
+         (3, "2024-01-01 00:03:00", 1, "view", 1.0, '{}'),
+         (4, "2024-01-01 00:04:00", 1, "view", 1.0, '{"k": 9}')],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+                 "event_type", "value", "props")
+    ev.write.parquet(str(d / "events.parquet"))
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, [0.3, float("nan")]),
+         (4, [0.5, 0.6])],
+        "vec_id long, embedding array<float>",
+    ).selectExpr("vec_id", "embedding", "cast(0 as long) as label")
+    emb.write.parquet(str(d / "embeddings.parquet"))
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 10.0, "2024-01-01 00:00:00", "1-URGENT"),
+         (2, 1, "O", 20.0, None, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "cast(o_orderdate as timestamp_ntz) as o_orderdate",
+                 "o_orderpriority")
+    orders.write.parquet(str(d / "orders.parquet"))
+
+    con = duckdb.connect()
+    for t in ("events", "embeddings", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'")
+    for name in ("events_trending_keys", "embedding_covariance_stats",
+                 "orders_incremental_daily_agg"):
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
+    # and the incremental plan really kept the NULL-orderdate row
+    rows = all_specs()["orders_incremental_daily_agg"].fn(
+        spark, str(d)).collect()
+    assert sorted(((r.day or "", r.n_orders) for r in rows)) \
+        == [("", 1), ("2024-01-01", 1)]
+    con.close()
