@@ -950,3 +950,76 @@ ORDER BY window_start, cnt DESC, k ASC
 
 register(QuerySpec("events_trending_keys", events_trending_keys,
                    _TRENDING_SQL, doc=events_trending_keys.__doc__))
+
+
+CHUNK_TOKENS = 128   # tokens per retrieval chunk
+CHUNK_STRIDE = 96    # stride => 32-token overlap between neighbors
+
+
+def documents_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: split each document into
+    ``CHUNK_TOKENS``-token windows every ``CHUNK_STRIDE`` tokens (32-token
+    overlap) and materialize each chunk's text — the retrieval-corpus
+    preparation step (distinct from ``documents_pack_sequences``, which
+    tiles a training stream without overlap).
+
+    Pure narrow plan: tokenize → per-row sequence explode → slice +
+    array_join. No shuffle at all; chunk counts and offsets are exact
+    integer arithmetic, so the whole op (including the reassembled chunk
+    text) replays in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).where(F.size("t") > 0)
+    n = F.size("t")
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / CHUNK_STRIDE
+        ).cast("int")
+        + 1
+    )
+    chunks = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    length = F.least(F.lit(CHUNK_TOKENS), F.size("t") - start)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("bigint").alias("start_tok"),
+        length.cast("bigint").alias("n_tok"),
+        F.array_join(F.slice("t", start + 1, length), " ").alias("chunk_text"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), tt AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), c AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CAST(FLOOR((GREATEST(n - {CHUNK_TOKENS}, 0)
+                                     + {CHUNK_STRIDE} - 1)
+                                    / {CHUNK_STRIDE}) AS INTEGER) + 1))
+           AS chunk_id
+  FROM tt
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+         AS n_tok,
+       array_to_string(
+         t[chunk_id * {CHUNK_STRIDE} + 1 :
+           chunk_id * {CHUNK_STRIDE}
+           + LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE})],
+         ' ') AS chunk_text
+FROM c
+"""
+
+register(QuerySpec("documents_chunk_for_rag", documents_chunk_for_rag,
+                   _CHUNK_SQL, doc=documents_chunk_for_rag.__doc__))

@@ -458,3 +458,40 @@ def test_null_and_dirty_inputs_handled_uniformly(spark, tmp_path, duck):
     assert sorted(((r.day or "", r.n_orders) for r in rows)) \
         == [("", 1), ("2024-01-01", 1)]
     con.close()
+
+
+def test_rag_chunks_match_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_chunk_for_rag"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_rag_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunks must cover every token, start every STRIDE tokens, carry
+    exactly the sliced text, and overlap by TOKENS - STRIDE."""
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+    from bigdata2016w_spark.plans.corpus_ext import (
+        CHUNK_STRIDE, CHUNK_TOKENS, documents_chunk_for_rag)
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    toks = {
+        r.doc_id: r.t
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokenize("text").alias("t")).collect()
+    }
+    by_doc = {}
+    for r in documents_chunk_for_rag(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in toks.items() if t}
+    for doc_id, chunks in by_doc.items():
+        t = toks[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        for i, r in enumerate(chunks):
+            assert r.chunk_id == i and r.start_tok == i * CHUNK_STRIDE
+            assert r.chunk_text == " ".join(
+                t[r.start_tok:r.start_tok + r.n_tok]
+            )
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.start_tok + last.n_tok == len(t)
+        # every non-final chunk is full-size
+        assert all(r.n_tok == CHUNK_TOKENS for r in chunks[:-1])
