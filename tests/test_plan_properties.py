@@ -303,3 +303,13 @@ def test_pack_sequences_single_lane_shuffle(spark, sf_dir):
     plan = _formatted_plan(documents_pack_sequences(spark, sf_dir))
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
     assert "source" in plan and "shard" in plan
+
+
+def test_rag_chunker_is_shuffle_free(spark, sf_dir):
+    """The chunker must stay a narrow map plan — zero exchanges."""
+    import re
+
+    from bigdata2016w_spark.plans.corpus_ext import documents_chunk_for_rag
+
+    plan = _formatted_plan(documents_chunk_for_rag(spark, sf_dir))
+    assert not re.findall(r"Exchange \(\d+\)", plan)
