@@ -1023,3 +1023,38 @@ FROM c
 
 register(QuerySpec("documents_chunk_for_rag", documents_chunk_for_rag,
                    _CHUNK_SQL, doc=documents_chunk_for_rag.__doc__))
+
+
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour exact distinct users + event volume. COUNT(DISTINCT)
+    plans as Spark's two-phase expand-then-aggregate — the partial
+    aggregate dedups (window, user) pairs map-side, so the final shuffle
+    carries distinct pairs, not raw events. At 100 TB the same query
+    swaps to approx_count_distinct when a ±2% answer is acceptable; the
+    exact form stays the oracle-checkable default."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.window("ts", "1 hour").getField("start"),
+                          "yyyy-MM-dd HH:mm:ss").alias("window_start")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("unique_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("window_start")
+    )
+
+
+_HOURLY_USERS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY window_start
+"""
+
+register(QuerySpec("events_hourly_unique_users", events_hourly_unique_users,
+                   _HOURLY_USERS_SQL, doc=events_hourly_unique_users.__doc__))

@@ -495,3 +495,8 @@ def test_rag_chunks_cover_and_overlap(spark, sf_dir):
         assert last.start_tok + last.n_tok == len(t)
         # every non-final chunk is full-size
         assert all(r.n_tok == CHUNK_TOKENS for r in chunks[:-1])
+
+
+def test_hourly_unique_users_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["events_hourly_unique_users"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)

@@ -33,7 +33,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
     "orders_incremental_daily_agg", "q13_customer_distribution",
     "q18_large_volume_customers", "events_trending_keys",
-    "documents_chunk_for_rag",
+    "documents_chunk_for_rag", "events_hourly_unique_users",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
