@@ -238,3 +238,29 @@ def trending_key_counts(events: DataFrame,
             "cnt",
         )
     )
+
+
+def hourly_unique_users(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact distinct users per hour via CHAINED stateful
+    operators: watermarked dedup of (hour, user) pairs feeding a
+    windowed count — the supported streaming decomposition of
+    COUNT(DISTINCT), with both states bounded by the watermark horizon.
+    Parity with the batch twin is asserted in tests/test_streaming.py."""
+    pairs = (
+        events.withWatermark("ts", watermark)
+        # keep ONLY the window as the event-time column: carrying the raw
+        # ts alongside it leaves two event-time columns and the chained
+        # stateful query is rejected
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicatesWithinWatermark(["w", "user_id"])
+    )
+    return (
+        pairs.groupBy("w")
+        .agg(F.count("*").alias("unique_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "unique_users",
+        )
+    )

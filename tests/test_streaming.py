@@ -309,3 +309,17 @@ def test_trending_keys_stream_parity(spark, sf_dir):
     want = all_specs()["events_trending_keys"].fn(spark, sf_dir)
     cols = ["window_start", "k", "cnt"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_hourly_unique_users_stream_parity(spark, sf_dir):
+    """Chained stateful ops (watermarked pair dedup -> windowed count)
+    must reproduce the batch COUNT(DISTINCT) exactly on a replay."""
+    from bigdata2016w_spark.streaming.windows import hourly_unique_users
+
+    got = run_to_memory(
+        hourly_unique_users(events_stream(spark, sf_dir)), "t_uniq"
+    )
+    want = all_specs()["events_hourly_unique_users"].fn(spark, sf_dir) \
+        .select("window_start", "unique_users")
+    cols = ["window_start", "unique_users"]
+    assert _rows(got, cols) == _rows(want, cols)
