@@ -1032,7 +1032,10 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries distinct pairs, not raw events. At 100 TB the same query
     swaps to approx_count_distinct when a ±2% answer is acceptable; the
     exact form stays the oracle-checkable default."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts rows are excluded EXPLICITLY on both engines: F.window()
+    # silently drops them (TimeWindow injects isnotnull) while a SQL
+    # date_trunc would keep a NULL group — filter both sides identically
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.date_format(F.window("ts", "1 hour").getField("start"),
@@ -1052,6 +1055,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
        COUNT(*) AS n_events
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1
 ORDER BY window_start
 """

@@ -248,7 +248,11 @@ def hourly_unique_users(events: DataFrame,
     COUNT(DISTINCT), with both states bounded by the watermark horizon.
     Parity with the batch twin is asserted in tests/test_streaming.py."""
     pairs = (
-        events.withWatermark("ts", watermark)
+        # NULL users don't count as a distinct user (COUNT(DISTINCT)
+        # semantics of the batch twin) — drop them before they occupy
+        # dedup state
+        events.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
         # keep ONLY the window as the event-time column: carrying the raw
         # ts alongside it leaves two event-time columns and the chained
         # stateful query is rejected

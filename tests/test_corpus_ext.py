@@ -500,3 +500,55 @@ def test_rag_chunks_cover_and_overlap(spark, sf_dir):
 def test_hourly_unique_users_matches_oracle(spark, sf_dir, duck):
     spec = all_specs()["events_hourly_unique_users"]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_hourly_unique_users_null_ts_and_user(spark, tmp_path):
+    """NULL ts rows are excluded identically on both engines, and a NULL
+    user_id never counts as a distinct user — batch, oracle, and the
+    chained-stateful streaming twin must all agree."""
+    import duckdb
+
+    from bigdata2016w_spark.plans.corpus_ext import events_hourly_unique_users
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 7, "view", 1.0, "{}"),
+         (2, "2024-01-01 00:02:00", None, "view", 1.0, "{}"),
+         (3, None, 9, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+                 "event_type", "value", "props")
+    ev.write.parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    spec = all_specs()["events_hourly_unique_users"]
+    compare_spark_duckdb(events_hourly_unique_users(spark, str(d)),
+                         con, spec.oracle)
+    rows = events_hourly_unique_users(spark, str(d)).collect()
+    assert [(r.window_start, r.unique_users, r.n_events) for r in rows] \
+        == [("2024-01-01 00:00:00", 1, 2)]
+    con.close()
+
+    from bigdata2016w_spark.streaming.windows import hourly_unique_users
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .parquet(str(d / "events.parquet"))
+        .selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id",
+                    "event_type", "value", "props")
+    )
+    q = (
+        hourly_unique_users(src)
+        .writeStream.format("memory").queryName("t_uniq_nulls")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_uniq_nulls").collect()
+    assert [(r.window_start, r.unique_users) for r in got] \
+        == [("2024-01-01 00:00:00", 1)]
