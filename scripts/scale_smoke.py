@@ -148,7 +148,9 @@ def main() -> None:
              / F.lit(100.0)
              + F.when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(997)) == 0,
                       5_000.0).otherwise(0.0)).alias("value"),
-            F.lit("{}").alias("props"),
+            F.concat(F.lit('{"k": '),
+                     F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100)),
+                     F.lit("}")).alias("props"),
         )
         ev.write.parquet(f"{tmp}/events.parquet")
         t0 = time.perf_counter()
@@ -169,6 +171,29 @@ def main() -> None:
         n_merges = bpe_merge_table(spark, tmp).count()
         print(f"bpe (10 rounds over {VOCAB}-word vocab table): "
               f"{time.perf_counter() - t0:.1f}s, {n_merges} merges")
+
+        from bigdata2016w_spark.plans.corpus_ext import (
+            documents_chunk_for_rag,
+            embedding_covariance_stats,
+            events_trending_keys,
+        )
+
+        t0 = time.perf_counter()
+        n_chunks = documents_chunk_for_rag(spark, tmp).count()
+        print(f"rag chunker: {time.perf_counter() - t0:.1f}s, "
+              f"{n_chunks} chunks from {n_docs} docs (shuffle-free)")
+
+        t0 = time.perf_counter()
+        n_trend = events_trending_keys(spark, tmp).count()
+        print(f"trending keys: {time.perf_counter() - t0:.1f}s, "
+              f"{n_trend} (window, key) winners over {n_events} events")
+
+        emb.write.parquet(f"{tmp}/embeddings.parquet")
+        t0 = time.perf_counter()
+        n_cov = embedding_covariance_stats(spark, tmp).count()
+        print(f"pca covariance stats: {time.perf_counter() - t0:.1f}s, "
+              f"{n_cov} dimension pairs over {n_vecs} vectors "
+              f"(per-batch NumPy Gram)")
     spark.stop()
 
 
