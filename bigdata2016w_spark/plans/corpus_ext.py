@@ -107,7 +107,12 @@ def events_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom on the z²·n·(n·Q − S²) product), far past any value the
     cents quantization itself can represent faithfully.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts would sort NULLS FIRST in Spark but NULLS LAST in DuckDB
+    # (different window contents); NULL value has no cents. Exclude both
+    # identically on every engine (and in the streaming twin).
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     c = F.round(F.col("value") * 100).cast("bigint")
     w = (
         Window.partitionBy("user_id")
@@ -150,6 +155,7 @@ WITH x AS (
          SUM(CAST(round(value * 100) AS HUGEINT)
              * CAST(round(value * 100) AS HUGEINT)) OVER w AS q
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {ANOMALY_FRAME} PRECEDING AND 1 PRECEDING)
 )

@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -241,6 +242,9 @@ def rolling_anomalies(events: DataFrame, frame: int = 20,
 
     return (
         events.select("user_id", "ts", "event_id", "value")
+        # same exclusions as the batch twin: NULL ts has no stream order,
+        # NULL value has no cents (and would crash the Python fold)
+        .where(F_col("ts").isNotNull() & F_col("value").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             detect,
