@@ -918,7 +918,10 @@ def events_trending_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast + IS NOT NULL on BOTH engines: a missing or non-numeric
     # props.k must be skipped identically (plain CAST raises in DuckDB
     # and under ANSI Spark; NULL keys would also expose the engines'
-    # opposite NULLS FIRST/LAST defaults at the top-k boundary)
+    # opposite NULLS FIRST/LAST defaults at the top-k boundary).
+    # ts IS NOT NULL likewise on BOTH: F.window silently drops NULL-ts
+    # rows while DuckDB's date_trunc would keep a NULL window group.
+    ev = ev.where(F.col("ts").isNotNull())
     counts = (
         ev.select(
             F.window("ts", "1 hour").alias("w"),
@@ -944,6 +947,7 @@ WITH counts AS (
          count(*) AS cnt
   FROM events
   WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+    AND ts IS NOT NULL
   GROUP BY 1, 2
 ), ranked AS (
   SELECT *, row_number() OVER (

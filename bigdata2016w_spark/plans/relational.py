@@ -643,19 +643,25 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1999 — Q22's "no orders for 7 years" predicate). The scalar AVG
     subquery is a 1-row aggregate joined by broadcast (no driver
     round-trip); NOT EXISTS is a left-anti join against the date-filtered
-    orders — the filter pushes to the scan before the anti-join."""
+    orders — the filter pushes to the scan before the anti-join.
+
+    The above-average test is multiplied out into exact arithmetic
+    (``bal * n_pos > sum_pos`` in DECIMAL) like q11: an AVG over DOUBLE
+    is summation-order-dependent, so a balance within float error of the
+    mean could flip the strict ``>`` between engines or reruns."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (
+    bal_stats = (
         customer.where(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg(F.sum(_dec("c_acctbal")).alias("sum_pos"),
+             F.count("*").alias("n_pos"))
     )
     recent = orders.where(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
     ).select("o_custkey")
     return (
-        customer.join(broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        customer.join(broadcast(bal_stats))
+        .where(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -670,7 +676,10 @@ _Q22_SQL = """
 SELECT c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer c
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+CROSS JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+                   COUNT(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0) s
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY c_nationkey

@@ -248,11 +248,12 @@ def hourly_unique_users(events: DataFrame,
     COUNT(DISTINCT), with both states bounded by the watermark horizon.
     Parity with the batch twin is asserted in tests/test_streaming.py."""
     pairs = (
-        # NULL users don't count as a distinct user (COUNT(DISTINCT)
-        # semantics of the batch twin) — drop them before they occupy
-        # dedup state
-        events.where(F.col("user_id").isNotNull())
-        .withWatermark("ts", watermark)
+        # NULL users are KEPT through the dedup (stateful dedup keys
+        # treat NULLs as equal, so an hour's NULL-user rows collapse to
+        # one state row) so that an hour whose events are all NULL-user
+        # still emits a (window, 0) row like the batch twin's
+        # COUNT(DISTINCT); the count below skips the NULL survivor.
+        events.withWatermark("ts", watermark)
         # keep ONLY the window as the event-time column: carrying the raw
         # ts alongside it leaves two event-time columns and the chained
         # stateful query is rejected
@@ -261,7 +262,7 @@ def hourly_unique_users(events: DataFrame,
     )
     return (
         pairs.groupBy("w")
-        .agg(F.count("*").alias("unique_users"))
+        .agg(F.count("user_id").alias("unique_users"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),

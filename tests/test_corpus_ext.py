@@ -423,7 +423,11 @@ def test_null_and_dirty_inputs_handled_uniformly(spark, tmp_path, duck):
         [(1, "2024-01-01 00:01:00", 1, "view", 1.0, '{"k": 7}'),
          (2, "2024-01-01 00:02:00", 1, "view", 1.0, '{"k": "oops"}'),
          (3, "2024-01-01 00:03:00", 1, "view", 1.0, '{}'),
-         (4, "2024-01-01 00:04:00", 1, "view", 1.0, '{"k": 9}')],
+         (4, "2024-01-01 00:04:00", 1, "view", 1.0, '{"k": 9}'),
+         # NULL ts with a NUMERIC props.k: F.window drops it silently,
+         # so the oracle must filter ts IS NOT NULL too (else it keeps
+         # a window_start=NULL group and the row counts diverge)
+         (5, None, 1, "view", 1.0, '{"k": 7}')],
         "event_id long, ts string, user_id long, event_type string,"
         " value double, props string",
     ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
@@ -517,7 +521,11 @@ def test_hourly_unique_users_null_ts_and_user(spark, tmp_path):
     ev = spark.createDataFrame(
         [(1, "2024-01-01 00:01:00", 7, "view", 1.0, "{}"),
          (2, "2024-01-01 00:02:00", None, "view", 1.0, "{}"),
-         (3, None, 9, "view", 1.0, "{}")],
+         (3, None, 9, "view", 1.0, "{}"),
+         # an hour whose events are ALL NULL-user must still emit a
+         # (window, 0) row on batch, oracle, AND the streaming twin
+         (4, "2024-01-01 01:05:00", None, "view", 1.0, "{}"),
+         (5, "2024-01-01 01:06:00", None, "view", 1.0, "{}")],
         "event_id long, ts string, user_id long, event_type string,"
         " value double, props string",
     ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
@@ -532,7 +540,7 @@ def test_hourly_unique_users_null_ts_and_user(spark, tmp_path):
                          con, spec.oracle)
     rows = events_hourly_unique_users(spark, str(d)).collect()
     assert [(r.window_start, r.unique_users, r.n_events) for r in rows] \
-        == [("2024-01-01 00:00:00", 1, 2)]
+        == [("2024-01-01 00:00:00", 1, 2), ("2024-01-01 01:00:00", 0, 2)]
     con.close()
 
     from bigdata2016w_spark.streaming.windows import hourly_unique_users
@@ -550,5 +558,5 @@ def test_hourly_unique_users_null_ts_and_user(spark, tmp_path):
     )
     q.awaitTermination()
     got = spark.table("t_uniq_nulls").collect()
-    assert [(r.window_start, r.unique_users) for r in got] \
-        == [("2024-01-01 00:00:00", 1)]
+    assert sorted((r.window_start, r.unique_users) for r in got) \
+        == [("2024-01-01 00:00:00", 1), ("2024-01-01 01:00:00", 0)]
