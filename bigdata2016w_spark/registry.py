@@ -28,34 +28,8 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Modules that register specs on import.
-#
-# ORDER MATTERS for external verification: the round driver samples the
-# first 50 registered queries for its DuckDB-oracle correctness file, so
-# modules whose queries have not yet received a driver verdict register
-# FIRST (temporal's formerly-errored asof/close-pairs queries at the very
-# front), followed by pipeline (rows-only ops worth re-recording), with the
-# long-green relational/text/retrieval/graph/ml/events block last — those
-# 31 queries all hold full oracle matches in CORRECTNESS_r02.json.
-#
-# ROUND 4 TODO: rotate the window — CORRECTNESS_r03 covers the first 50
-# names in the current order (all oracle-backed). Next round move the
-# 62-query tail (everything from ann_bruteforce onward) AHEAD of the
-# current front block so every registered query accumulates a green
-# driver row across r03+r04+r05. Queries never driver-checked as of r03,
-# highest priority for the front of the r04 window:
-#   - pipeline remainder: ann_ivf_flat, embedding_hard_negatives
-#     (+ rows-only ann_ivf)
-#   - relational: q4_priority_late_exists, q21_waiting_supplier, and the
-#     round-3 additions q10/q12/q14/q16/q19/q22/q11/q15/q20/q13/q18
-#   - ml: auc_rank_check (+ rows-only sgd_*)
-#   - traversal: graph_sssp_hops; maintenance: orders_column_stats
-#   - ALL of plans.corpus_ext (reservoir, anomalies, bigram LM, packing,
-#     audio, covariance, hybrid RRF, skip-gram, incremental agg,
-#     + rows-only bpe_merge_table)
-# That is ~32 never-checked names — they fit one 50-row window with room
-# for the oldest r02-only greens; the long-green text/retrieval/events
-# block can wait for r05.
+# Modules that register specs on import (import order no longer encodes
+# the driver window — see _WINDOW_FRONT below).
 _SPEC_MODULES = [
     "bigdata2016w_spark.plans.temporal",
     "bigdata2016w_spark.plans.analytics",
@@ -83,6 +57,52 @@ _SPEC_MODULES = [
 ]
 
 
+# ORDER MATTERS for external verification: the round driver samples the
+# FIRST 50 names returned by all_specs() for its DuckDB-oracle correctness
+# file. _WINDOW_FRONT pins that window explicitly (finer-grained than
+# module import order — e.g. relational mixes long-green q1–q9 with the
+# never-checked q10–q22).
+#
+# ROUND 4 window: the 35 queries with no driver verdict in r01–r03
+# (enumerated from CORRECTNESS_r0{1,2,3}.json), then 15 queries whose only
+# green rows are r01/r02 (similarity/dedup-cluster/curation/events picks).
+#
+# ROUND 5 TODO: rotate again — the remaining 15 r02-only greens
+# (q1–q7_*, index_stats, term_postings, retrieval_and/or_and/bm25,
+# events_tumbling_hour/sliding/sessions) go to the front, the r04 window
+# moves behind them. After r05 every registered query holds a green row
+# from r03, r04, or r05.
+_WINDOW_FRONT = [
+    # --- never driver-checked as of r03 (35) ---
+    # similarity remainder
+    "ann_ivf", "ann_ivf_flat", "embedding_hard_negatives",
+    # TPC-H shapes added r2/r3
+    "q4_priority_late_exists", "q21_waiting_supplier",
+    "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q22_sales_opportunity",
+    "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
+    "q13_customer_distribution", "q18_large_volume_customers",
+    # ml
+    "sgd_scores", "sgd_ensemble", "sgd_auc", "auc_rank_check",
+    # traversal / maintenance
+    "graph_sssp_hops", "orders_column_stats",
+    # corpus_ext (all)
+    "documents_reservoir_by_source", "events_user_value_anomalies",
+    "doc_bigram_surprisal", "documents_pack_sequences",
+    "media_audio_features", "bpe_merge_table",
+    "embedding_covariance_stats", "hybrid_search_rrf",
+    "skipgram_training_pairs", "orders_incremental_daily_agg",
+    "events_trending_keys", "documents_chunk_for_rag",
+    "events_hourly_unique_users",
+    # --- oldest greens (r01/r02 only), 15 picks to fill the window ---
+    "ann_bruteforce", "ann_lsh", "dedup_clusters", "dedup_clusters_star",
+    "embedding_label_centroids", "embedding_nearest_centroid",
+    "doc_stats", "doc_lang_id", "corpus_curation", "retrieval_phrase",
+    "events_funnel", "user_retention_cohorts", "events_hourly_gapfill",
+    "orders_daily_moving_avg", "events_json_agg",
+]
+
+
 def register(spec: QuerySpec) -> QuerySpec:
     if spec.name in REGISTRY:
         raise ValueError(f"duplicate query name {spec.name!r}")
@@ -91,7 +111,9 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """Import all plan modules (idempotent) and return the full registry."""
+    """Import all plan modules (idempotent) and return the full registry,
+    reordered so _WINDOW_FRONT leads (the driver's 50-query correctness
+    window), followed by the rest in registration order."""
     for mod in _SPEC_MODULES:
         try:
             importlib.import_module(mod)
@@ -100,4 +122,9 @@ def all_specs() -> dict[str, QuerySpec]:
             # the plan module itself that is missing.
             if mod not in str(e):
                 raise
-    return dict(REGISTRY)
+    missing = [n for n in _WINDOW_FRONT if n not in REGISTRY]
+    if missing:  # fail loudly: a rename must update the window, not hide
+        raise KeyError(f"_WINDOW_FRONT names not registered: {missing}")
+    front = {n: REGISTRY[n] for n in _WINDOW_FRONT}
+    rest = {n: s for n, s in REGISTRY.items() if n not in front}
+    return {**front, **rest}
