@@ -56,12 +56,21 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["shared_shingle_pairs_pipeline"] = round(best, 3)
 
-    for name, spec in specs.items():
+    jvm_gc = spark.sparkContext._jvm.System.gc
+
+    for i, (name, spec) in enumerate(specs.items()):
         # best of 2: the first execution of a plan shape pays one-time
         # whole-stage-codegen (Janino) compilation that a long-lived
         # cluster amortizes away; steady-state is the honest number.
         # collect() fully materializes (every query returns a small
         # grouped/top-k result).
+        if i % 16 == 0:
+            # periodic full GC: a 116-query single-JVM suite accumulates
+            # old-gen + codegen-cache pressure that inflated late-suite
+            # timings ~2-3x in round 3 (q6: 2.86 s in-suite vs 0.75 s
+            # isolated); an occasional explicit collection keeps suite
+            # numbers near isolated ones without a session per block
+            jvm_gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -69,13 +78,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # Isolated re-measurement of three spot-check queries (best-of-3
+    # after a full GC): the regression-tracking reference numbers, free
+    # of suite-context noise. Suite vs isolated drift > ~1.3x on these
+    # means the suite protocol is inflating again.
+    isolated: dict[str, float] = {}
+    for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash"):
+        jvm_gc()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = specs[name].fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        isolated[name] = round(best, 3)
+
+    payload = {
         "metric": "suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "isolated": isolated,
         "sf": sf,
-    }))
+    }
+    # The driver captures stdout and has truncated it before
+    # (BENCH_r03.json: "parsed": null) — persist the full artifact
+    # locally so per-query history survives regardless.
+    Path(__file__).with_name("BENCH_LOCAL.json").write_text(
+        json.dumps(payload, indent=1) + "\n"
+    )
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: bench.py's one-line JSON contract must not
+        # be drowned by stage progress bars (BENCH_r03 was truncated to
+        # an unparseable tail by exactly this)
+        .config("spark.ui.showConsoleProgress", "false")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
         # type, so read as long and convert in the loader (ns → µs floor,
         # matching DuckDB's internal µs truncation)
