@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata2016w_spark.functions.tokenizer import tokenize
+from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
 from bigdata2016w_spark.operators.sgd import (
     ensemble_average,
     ensemble_vote,
@@ -97,6 +97,141 @@ def sgd_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(QuerySpec("sgd_scores", sgd_scores, None, doc=sgd_scores.__doc__))
 register(QuerySpec("sgd_ensemble", sgd_ensemble, None, doc=sgd_ensemble.__doc__))
 register(QuerySpec("sgd_auc", sgd_auc, None, doc=sgd_auc.__doc__))
+
+
+def _closed_form_weights(inst: DataFrame, a: int, b: int) -> DataFrame:
+    """Deterministic SQL-replayable weight table over the token vocab:
+    w(tok) = (a·ascii(tok[0]) + b·length(tok)) % 19 − 9. Integer-valued
+    doubles, so every downstream sum is exact in IEEE754 regardless of
+    order — bit-identical across engines."""
+    vocab = inst.select(F.explode("features").alias("feature")).distinct()
+    return vocab.select(
+        "feature",
+        ((F.ascii(F.substring("feature", 1, 1)) * a
+          + F.length("feature") * b) % 19 - 9)
+        .cast("double").alias("weight"),
+    )
+
+
+def _token_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_instances with RAW TOKENS as features instead of Murmur3 hashes
+    (Spark's hash() is not replayable in the DuckDB oracle; the hashing is
+    orthogonal plumbing pinned by the rows-only pipelines + pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("docid"),
+        F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0).alias("label"),
+        tokenize("text").alias("features"),
+    )
+
+
+def sgd_score_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED scoring machinery (operators/sgd.score: explode ⋈
+    broadcast(weights) → per-doc sum → sign prediction) under a
+    closed-form weight table, so it is DuckDB-oracle-verified the way
+    auc_rank_check verifies roc_auc — sgd_scores itself stays rows-only
+    because its weights come from the sequential fold
+    (TrainSpamClassifier.scala:37-49)."""
+    from bigdata2016w_spark.operators.sgd import score as sgd_score
+
+    inst = _token_instances(spark, sf_dir)
+    test = inst.where((F.col("docid").cast("long") % 5) == 0)
+    weights = _closed_form_weights(inst, 7, 13)
+    return (
+        sgd_score(test, weights)
+        .select("docid", "label", "spamminess", "prediction")
+        .orderBy("docid")
+    )
+
+
+def sgd_ensemble_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble average + sign-vote algebra
+    (ApplyEnsembleSpamClassifier.scala:90-121) over three closed-form
+    scorers — oracle-verifies operators/sgd.ensemble_average /
+    ensemble_vote exactly (integer-valued model scores ⇒ the mean's
+    single division and the sign votes are bit-identical across
+    engines)."""
+    from bigdata2016w_spark.operators.sgd import (
+        ensemble_average as e_avg,
+        ensemble_vote as e_vote,
+        score as sgd_score,
+    )
+
+    inst = _token_instances(spark, sf_dir)
+    test = inst.where((F.col("docid").cast("long") % 5) == 0)
+    scored = [
+        sgd_score(test, _closed_form_weights(inst, a, b))
+        for a, b in ((7, 13), (5, 11), (3, 17))
+    ]
+    avg = e_avg(scored).select(
+        "docid", "label",
+        F.col("spamminess").alias("avg_score"),
+        F.col("prediction").alias("avg_prediction"),
+    )
+    vote = e_vote(scored).select(
+        "docid",
+        F.col("spamminess").alias("votes"),
+        F.col("prediction").alias("vote_prediction"),
+    )
+    return avg.join(vote, "docid").orderBy("docid")
+
+
+_TOKEN_INST_SQL = f"""
+  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS docid,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS label,
+         {tokenize_sql('text')} AS features
+  FROM documents
+"""
+
+_SCORE_CF_SQL_TMPL = """
+  SELECT t.docid,
+         COALESCE(SUM(w.weight), 0.0) AS s
+  FROM test t
+  LEFT JOIN (SELECT docid, unnest(features) AS feature FROM test) ex
+    ON ex.docid = t.docid
+  LEFT JOIN (
+    SELECT feature,
+           CAST((ascii(substring(feature, 1, 1)) * {a}
+                 + length(feature) * {b}) % 19 - 9 AS DOUBLE) AS weight
+    FROM (SELECT DISTINCT unnest(features) AS feature FROM inst)
+  ) w ON w.feature = ex.feature
+  GROUP BY t.docid
+"""
+
+_SCORE_CF_SQL = f"""
+WITH inst AS ({_TOKEN_INST_SQL}),
+test AS (SELECT * FROM inst WHERE CAST(docid AS BIGINT) % 5 = 0),
+s AS ({_SCORE_CF_SQL_TMPL.format(a=7, b=13)})
+SELECT t.docid, t.label, s.s AS spamminess,
+       CASE WHEN s.s > 0 THEN 'spam' ELSE 'ham' END AS prediction
+FROM test t JOIN s ON s.docid = t.docid
+ORDER BY t.docid
+"""
+
+_ENSEMBLE_CF_SQL = f"""
+WITH inst AS ({_TOKEN_INST_SQL}),
+test AS (SELECT * FROM inst WHERE CAST(docid AS BIGINT) % 5 = 0),
+s0 AS ({_SCORE_CF_SQL_TMPL.format(a=7, b=13)}),
+s1 AS ({_SCORE_CF_SQL_TMPL.format(a=5, b=11)}),
+s2 AS ({_SCORE_CF_SQL_TMPL.format(a=3, b=17)})
+SELECT t.docid, t.label,
+       (s0.s + s1.s + s2.s) / 3 AS avg_score,
+       CASE WHEN (s0.s + s1.s + s2.s) / 3 > 0 THEN 'spam' ELSE 'ham' END
+         AS avg_prediction,
+       CAST(sign(s0.s) + sign(s1.s) + sign(s2.s) AS DOUBLE) AS votes,
+       CASE WHEN sign(s0.s) + sign(s1.s) + sign(s2.s) > 0
+            THEN 'spam' ELSE 'ham' END AS vote_prediction
+FROM test t
+JOIN s0 ON s0.docid = t.docid
+JOIN s1 ON s1.docid = t.docid
+JOIN s2 ON s2.docid = t.docid
+ORDER BY t.docid
+"""
+
+register(QuerySpec("sgd_score_closed_form", sgd_score_closed_form,
+                   _SCORE_CF_SQL, doc=sgd_score_closed_form.__doc__))
+register(QuerySpec("sgd_ensemble_closed_form", sgd_ensemble_closed_form,
+                   _ENSEMBLE_CF_SQL, doc=sgd_ensemble_closed_form.__doc__))
 
 
 def auc_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:

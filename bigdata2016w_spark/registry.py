@@ -82,8 +82,10 @@ _WINDOW_FRONT = [
     "q16_supplier_count", "q19_disjunctive_revenue", "q22_sales_opportunity",
     "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
     "q13_customer_distribution", "q18_large_volume_customers",
-    # ml
+    # ml (the *_closed_form pair are r04 additions — oracle-backed twins
+    # of the score/ensemble machinery behind the rows-only sgd_* queries)
     "sgd_scores", "sgd_ensemble", "sgd_auc", "auc_rank_check",
+    "sgd_score_closed_form", "sgd_ensemble_closed_form",
     # traversal / maintenance
     "graph_sssp_hops", "orders_column_stats",
     # corpus_ext (all)
@@ -99,7 +101,6 @@ _WINDOW_FRONT = [
     "embedding_label_centroids", "embedding_nearest_centroid",
     "doc_stats", "doc_lang_id", "corpus_curation", "retrieval_phrase",
     "events_funnel", "user_retention_cohorts", "events_hourly_gapfill",
-    "orders_daily_moving_avg", "events_json_agg",
 ]
 
 

@@ -94,3 +94,16 @@ def test_instance_reader(spark, tmp_path):
     assert got[0]["docid"] == "doc1" and got[0]["label"] == 1.0
     assert got[0]["features"] == [3, 7, 11]
     assert got[1]["label"] == 0.0 and got[1]["features"] == [5]
+
+
+def test_closed_form_score_and_ensemble_match_oracle(spark, sf_dir, duck):
+    """The distributed score/ensemble machinery under SQL-replayable
+    closed-form weights — the oracle-backed twins of the rows-only
+    sgd_scores/sgd_ensemble (whose weights come from the sequential
+    fold). Integer-valued weights keep every sum exact."""
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    for name in ("sgd_score_closed_form", "sgd_ensemble_closed_form"):
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
