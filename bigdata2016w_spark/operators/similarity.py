@@ -320,15 +320,28 @@ def knn_ivf_flat(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
         )
-    # ONE zip_with lambda over a literal centroid matrix, not n_cells
-    # inlined cosine-expression copies — the inlined form made Catalyst
-    # analyze a 16x-duplicated fold tree (measured 2.6 s of driver-side
-    # plan build per call; this form is ~10x smaller). Centroid norms are
-    # folded in Python (same left-fold double order → bit-identical to
-    # the oracle's sqrt(list_reduce)) and the row's own norm is computed
-    # once, so each row pays n_cells dot products instead of n_cells
-    # cosines with re-derived norms. Ties pick the lowest cell via
-    # struct-ordered array_max((cos, -cell)).
+    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
+
+
+def _assign_to_literal_centroids(
+    embeddings: DataFrame, cent_lit: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Map-side max-cosine cell assignment against a literal centroid
+    matrix — the shared quantizer half of :func:`knn_ivf_flat` and
+    :func:`knn_ivf_lloyd`.
+
+    ONE zip_with lambda over a literal centroid matrix, not n_cells
+    inlined cosine-expression copies — the inlined form made Catalyst
+    analyze a 16x-duplicated fold tree (measured 2.6 s of driver-side
+    plan build per call; this form is ~10x smaller). Centroid norms are
+    folded in Python (same left-fold double order → bit-identical to
+    the oracle's sqrt(list_reduce)) and the row's own norm is computed
+    once, so each row pays n_cells dot products instead of n_cells
+    cosines with re-derived norms. Ties pick the lowest cell via
+    struct-ordered array_max((cos, -cell)).
+    """
     import math
 
     def _pynorm(v: list[float]) -> float:
@@ -359,13 +372,92 @@ def knn_ivf_flat(
             m["nc"].alias("nc"),
         ),
     )
-    assigned = (
+    return (
         embeddings.withColumn("__en", norm(F.col("embedding")))
         .select(
             "vec_id", "embedding",
             (-F.array_max(choices)["nc"]).cast("int").alias("cell"),
         )
     )
+
+
+def knn_ivf_lloyd(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF whose coarse quantizer is a distributed Lloyd (KMeans) fit in
+    EXACT arithmetic — the DuckDB-oracle-verified twin of the MLlib-backed
+    :func:`knn_ivf`, the way sgd_score_closed_form twins sgd_scores.
+
+    Init seeds the ``n_cells`` lowest-vec_id embeddings; each round does
+    (a) map-side max-cosine assignment against a literal centroid matrix
+    (no corpus shuffle, no row expansion) and (b) a single hash-agg
+    centroid recompute whose per-dimension sums run over 2^24-quantized
+    int64 components, so the means are associative, partitioning-
+    independent and engine-portable (mirrors label_centroids); empty
+    cells drop out. Each round syncs ``n_cells`` driver rows — the same
+    O(1)-rows-per-iteration model-fetch pattern as PageRank's dangling
+    mass. Because every step is closed-form, the oracle replays the full
+    fit as ``n_iter`` unrolled CTE rounds (the PageRank oracle trick) and
+    the probe search bit-matches. Ref semantics: the inverted-file probe
+    of ann_ivf (SURVEY §2 similarity tier) with the training pass made
+    verifiable.
+    """
+    spark = embeddings.sparkSession
+    cent_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in cent_rows]
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double"
+        )
+    emb = embeddings.select("vec_id", "embedding")
+    for _ in range(n_iter):
+        assigned = _assign_to_literal_centroids(emb, cent_lit)
+        cent_df = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(
+                            F.col("embedding").getItem(d).cast("double")
+                            * CENTROID_QUANT
+                        ).cast("bigint")
+                    ).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .select(
+                "cell",
+                F.array(
+                    *[
+                        F.round(
+                            F.col(f"s{d}").cast("double")
+                            / F.col("n")
+                            / CENTROID_QUANT,
+                            6,
+                        )
+                        for d in range(dim)
+                    ]
+                ).alias("centroid"),
+            )
+        )
+        cent_lit = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cent_df.collect()
+        )
+    assigned = _assign_to_literal_centroids(emb, cent_lit)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 

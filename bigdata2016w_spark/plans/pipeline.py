@@ -667,6 +667,105 @@ register(QuerySpec("ann_ivf_flat", ann_ivf_flat, _ANN_IVF_FLAT_SQL,
                        "operators/similarity.knn_ivf_flat."))
 
 
+def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_lloyd
+
+    return knn_ivf_lloyd(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, n_iter=_LLOYD_ITERS,
+    )
+
+
+_LLOYD_ITERS = 2
+
+
+def _lloyd_round_sql(i: int) -> str:
+    """One unrolled Lloyd round: assign every vector to its max-cosine
+    centroid (ties → lowest cell, matching Spark's array_max struct
+    order), then recompute each surviving cell's centroid as the
+    2^24-quantized-int64 mean rounded to 6 decimals — the exact formula
+    of operators/similarity.label_centroids, so both engines produce
+    bit-identical doubles regardless of summation order."""
+    return f"""
+a{i} AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM embeddings e CROSS JOIN cent{i - 1} c
+),
+as{i} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+cent{i} AS (
+  SELECT cell, list(c ORDER BY dim) AS centroid FROM (
+    SELECT cell, dim,
+           round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 16777216) AS BIGINT))
+                      AS DOUBLE) / count(*) / 16777216, 6) AS c
+    FROM (SELECT cell, unnest(range(len(embedding))) AS dim,
+                 embedding[unnest(range(len(embedding))) + 1] AS x
+          FROM as{i})
+    GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+
+
+_ANN_IVF_LLOYD_SQL = f"""
+WITH cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+{','.join(_lloyd_round_sql(i) for i in range(1, _LLOYD_ITERS + 1))},
+fa AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM embeddings e CROSS JOIN cent{_LLOYD_ITERS} c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM fa
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, q.qe, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent{_LLOYD_ITERS} c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {_IVF_PROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('p.qe', 'a.embedding')} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec("ann_ivf_lloyd", ann_ivf_lloyd, _ANN_IVF_LLOYD_SQL,
+                   doc="Exact-arithmetic distributed Lloyd IVF — the "
+                       "oracle-verified twin of the MLlib-backed ann_ivf; "
+                       "see operators/similarity.knn_ivf_lloyd."))
+
+
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import hard_negatives
 

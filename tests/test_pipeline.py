@@ -229,6 +229,29 @@ def test_ann_ivf_flat_oracle_and_recall(spark, sf_dir, duck):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
+def test_ann_ivf_lloyd_oracle_and_recall(spark, sf_dir, duck):
+    """Exact-arithmetic Lloyd IVF (the oracle-verified twin of the
+    MLlib-backed ann_ivf): bit-exact DuckDB parity of the FULL pipeline —
+    2 unrolled training rounds, assignment, probe — plus recall@10 vs
+    brute force above the scanned fraction (n_probe/n_cells = 1/4), and
+    determinism across invocations (quantized-int64 centroid sums are
+    partitioning-independent)."""
+    spec = all_specs()["ann_ivf_lloyd"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    first = spec.fn(spark, sf_dir).collect()
+    again = spec.fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    bf_sets, iv_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in first:
+        iv_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & iv_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
 def test_label_centroids_oracle(spark, sf_dir, duck):
     from tests.oracle import compare_spark_duckdb
 
