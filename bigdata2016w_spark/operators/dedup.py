@@ -97,6 +97,7 @@ def jaccard_near_dupes(
     docs: DataFrame,
     threshold: float = 0.5,
     shingled: DataFrame | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: shingle-set Jaccard ≥ threshold.
 
@@ -107,13 +108,28 @@ def jaccard_near_dupes(
     ``shingled``: optionally pass an already-materialized
     ``shingle_sets`` output (the "shingle table written once" pattern a
     suite of dedup jobs shares at cluster scale) to skip re-shingling.
+
+    ``metrics``: optionally pass a dict; it is populated with
+    ``Observation`` objects (keys ``prefix_rows``, ``candidates``,
+    ``verified``) whose ``.get`` reads the pipeline's cost breakdown —
+    prefix-index size, post-filter candidate pairs, surviving pairs —
+    after the consuming action, so PPJoin skew growth is visible in the
+    bench/smoke without a profiler (the counters a shuffle-service
+    dashboard would chart at cluster scale).
     """
+    from pyspark.sql import Observation
     # materialize the (expensive) shingling once — it feeds the frequency
     # count, the prefix index, and both sides of the verify join
     s = (shingled if shingled is not None
          else shingle_sets(docs).localCheckpoint(eager=True))
     par = docs.sparkSession.sparkContext.defaultParallelism
     ex = s.select("doc_id", F.explode("shingles").alias("sh"))
+    if metrics is not None:
+        # ex feeds only the (eagerly checkpointed) canon build, so the
+        # observation fires exactly once, at checkpoint time
+        metrics["shingle_rows"] = Observation("ppjoin_shingle_rows")
+        ex = ex.observe(metrics["shingle_rows"],
+                        F.count(F.lit(1)).alias("n"))
     # canonical rarest-first order per doc: sort (cf, sh) structs. The
     # shingle frequency comes from an unordered count window over sh —
     # one exchange of ex total, vs two + a join for the
@@ -162,8 +178,12 @@ def jaccard_near_dupes(
         .distinct()
         .repartition(par, "doc_a")
     )
+    if metrics is not None:
+        metrics["candidates"] = Observation("ppjoin_candidates")
+        cand = cand.observe(metrics["candidates"],
+                            F.count(F.lit(1)).alias("n"))
     sh = canon
-    return (
+    out = (
         cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}),
                   "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}),
@@ -172,6 +192,10 @@ def jaccard_near_dupes(
                 _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if metrics is not None:
+        metrics["verified"] = Observation("ppjoin_verified")
+        out = out.observe(metrics["verified"], F.count(F.lit(1)).alias("n"))
+    return out
 
 
 # universal-hash family over a 31-bit prime for the portable MinHash:

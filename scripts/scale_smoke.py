@@ -84,10 +84,24 @@ def main() -> None:
           f"({sh.count()} docs shingled)")
 
     t0 = time.perf_counter()
-    ja = jaccard_near_dupes(docs, 0.5, shingled=sh)
+    jm: dict = {}
+    ja = jaccard_near_dupes(docs, 0.5, shingled=sh, metrics=jm)
     n_exact = ja.count()
+    n_cand = jm["candidates"].get["n"]
     print(f"jaccard PPJoin (exact tier): {time.perf_counter() - t0:.1f}s, "
-          f"{n_exact} pairs ({n_exact / n_docs:.4f}/doc)")
+          f"{n_exact} pairs ({n_exact / n_docs:.4f}/doc), "
+          f"{n_cand} candidates ({n_cand / n_docs:.3f}/doc)")
+
+    # linearity pin: half the corpus must cost ~half the candidates —
+    # candidates/doc stable across sizes is the 100-TB viability signal
+    half = synth_docs(spark, n_docs // 2)
+    jm2: dict = {}
+    jaccard_near_dupes(half, 0.5, metrics=jm2).count()
+    n_cand_h = jm2["candidates"].get["n"]
+    r_full, r_half = n_cand / n_docs, n_cand_h / (n_docs // 2)
+    print(f"PPJoin candidates/doc: {r_half:.3f} @ {n_docs // 2} -> "
+          f"{r_full:.3f} @ {n_docs} (ratio {r_full / max(r_half, 1e-9):.2f}x"
+          f" — ~1.0 is linear, 2.0 would be quadratic)")
 
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)

@@ -174,6 +174,48 @@ def test_embedding_near_dupes_amplified_tables_keep_recall(spark):
     assert [(r.vec_a, r.vec_b) for r in rows] == [(0, 1)]
 
 
+def test_ppjoin_candidates_linear_in_n(spark):
+    """Pins the round-3 scale fix empirically: on a corpus whose shingle
+    space is large relative to N (the 100-TB regime — random docs share
+    essentially no shingles, planted dups share ~95%), doubling the
+    corpus must ~double PPJoin's post-filter candidate pairs. A blocker
+    that funnels unrelated docs together would go ~4×. Counted via the
+    operator's own Observation metrics, not a re-derived plan."""
+    import numpy as np
+
+    from bigdata2016w_spark.operators.dedup import jaccard_near_dupes
+
+    vocab = ["".join("abcdefghij"[int(c)] for c in str(t)) + "x"
+             for t in range(5000)]
+
+    def synth(n: int):
+        rng = np.random.RandomState(7)
+        draws = rng.randint(0, 5000, size=(n, 40))
+        texts = [" ".join(vocab[t] for t in row) for row in draws]
+        for i in rng.choice(n, size=max(1, n // 50), replace=False):
+            if i == 0:
+                continue
+            words = texts[rng.randint(0, i)].split()
+            words[rng.randint(0, len(words))] = vocab[rng.randint(0, 5000)]
+            texts[i] = " ".join(words)
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).repartition(8, "doc_id")
+
+    def counts(n: int):
+        m: dict = {}
+        out = jaccard_near_dupes(synth(n), 0.5, metrics=m)
+        n_pairs = out.count()
+        return m["candidates"].get["n"], m["verified"].get["n"], n_pairs
+
+    c_small, v_small, p_small = counts(1500)
+    c_big, v_big, p_big = counts(3000)
+    assert v_small == p_small and v_big == p_big  # observe == action count
+    assert c_small > 0
+    assert c_big / c_small < 3.2  # ~2 expected; 4 would mean quadratic
+    assert v_big >= v_small  # planted dups found at both sizes
+
+
 def test_jaccard_is_exact_on_known_pair(spark):
     from bigdata2016w_spark.operators.dedup import jaccard_near_dupes
 
