@@ -76,6 +76,25 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/bigdata2016w-warehouse"),
         )
     )
+    # Streaming state store: per-key state (spend_alerts' running totals,
+    # rolling_anomalies' per-user windows, hourly-distinct dedup maps)
+    # lives in the executor state store. The default HDFSBackedStateStore
+    # keeps every key's state on the JVM heap — fine for the test corpora,
+    # but at 100x users it competes with execution memory and full-
+    # snapshots each checkpoint. RocksDB spills state to local disk with
+    # changelog (incremental) checkpointing, bounding heap usage
+    # regardless of key cardinality. Env-gated so local pytest runs skip
+    # the per-query RocksDB instance spin-up; flip on at cluster deploy.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

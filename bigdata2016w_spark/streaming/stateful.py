@@ -10,7 +10,12 @@ GroupState: {total: double, alerts: long}.
 
 State is per-key and bounded (2 numbers per user); at scale the shuffle
 partitions by user_id exactly like any keyed agg, and state lives in the
-state store with checkpointing.
+state store with checkpointing. At cluster scale set
+``SPARK_GRAFT_ROCKSDB_STATE=1`` (see ``session.get_spark``) so this
+per-user state lives in RocksDB on executor-local disk with changelog
+checkpointing instead of the JVM heap — key cardinality then bounds
+disk, not memory. Both providers produce identical results
+(tests/test_streaming.py::test_rocksdb_state_store_parity).
 """
 
 from __future__ import annotations

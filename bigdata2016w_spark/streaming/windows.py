@@ -9,7 +9,11 @@ is asserted in tests/test_streaming.py by running the stream with an
 
 At scale these run unchanged against a Kafka/object-store source: the
 watermark bounds state, and the shuffle is keyed on (window, key) exactly
-like the batch plan.
+like the batch plan. Window/dedup state defaults to the in-heap
+HDFSBackedStateStore; for high-cardinality keys (hourly-distinct user
+maps, streaming dedup) set ``SPARK_GRAFT_ROCKSDB_STATE=1`` (see
+``session.get_spark``) to keep state in executor-local RocksDB with
+changelog checkpointing — identical results, heap-independent state size.
 """
 
 from __future__ import annotations

@@ -323,3 +323,38 @@ def test_hourly_unique_users_stream_parity(spark, sf_dir):
         .select("window_start", "unique_users")
     cols = ["window_start", "unique_users"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state store (the 100x-scale config env-gated in
+    session.get_spark — per-user state on executor-local disk with
+    changelog checkpointing instead of the JVM heap) must produce exactly
+    the default HDFS-backed provider's results for a stateful stream.
+    The provider is captured from session conf at query start, so it can
+    be pinned per-query here and restored after."""
+    from bigdata2016w_spark.streaming.stateful import rolling_anomalies
+    from bigdata2016w_spark.streaming.windows import events_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(
+            rolling_anomalies(events_stream(spark, sf_dir)),
+            "t_anom_rocksdb", output_mode="append",
+        )
+        want = all_specs()["events_user_value_anomalies"].fn(spark, sf_dir)
+        cols = ["event_id", "user_id", "value", "n_window"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
