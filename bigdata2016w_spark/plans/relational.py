@@ -915,3 +915,159 @@ LIMIT 20
 
 register(QuerySpec("q18_large_volume_customers", q18_large_volume_customers,
                    _Q18_SQL, doc=q18_large_volume_customers.__doc__))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str,
+                    nation: str = "NATION_7", region: str = "ASIA",
+                    ptype: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q8 shape (national market share): for orders placed 1995-1996
+    by customers in ``region`` on parts of ``ptype``, the share of revenue
+    supplied by ``nation``, per order year.
+
+    Star-join plan: the fact scan (lineitem) keeps only its join keys and
+    revenue inputs; part, supplier->nation, and orders->customer->
+    nation->region dims all broadcast (each is a small filtered dim — at
+    cluster scale the orders leg would exceed the broadcast threshold and
+    AQE falls back to a shuffled hash join on o_orderkey, the same plan
+    the reference's cogroup would pick). Both the conditional
+    (target-nation) and total revenue sums run in DECIMAL; the share is
+    one exact decimal pair cast to double for the final division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    supp_nat = supplier.join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_region = (
+        customer.join(broadcast(nat),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(reg.where(F.col("r_name") == region)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    ord_in = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+        )
+        .join(broadcast(cust_region),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == nation, rev) \
+        .otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(broadcast(part.where(F.col("p_type") == ptype)
+                          .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_in, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(nat_rev).cast("double")
+             / F.sum(rev).cast("double")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+register(QuerySpec("q8_market_share", q8_market_share, _Q8_SQL,
+                   doc=q8_market_share.__doc__))
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str,
+                      name_part: str = "red") -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit by supplier nation and
+    order year over parts whose name contains ``name_part``. The snapshot
+    has no ``partsupp``, so supply cost is the adapted proxy
+    ``p_retailprice`` per unit (same query shape: revenue minus
+    quantity-scaled cost).
+
+    profit = SUM(extprice*(1-disc)) - SUM(retailprice*quantity), both
+    sums in DECIMAL with the products widened to DECIMAL(18,4)/(38,4)
+    BEFORE summation (identical fixed-point values in both engines), the
+    subtraction exact, and one cast to double at the edge. Part and
+    supplier->nation dims broadcast; orders joins shuffled on o_orderkey
+    with AQE sizing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+
+    supp_nat = supplier.join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast(_DEC) - _dec("l_discount"))).cast("decimal(18,4)")
+    cost = (_dec("p_retailprice") * _dec("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(broadcast(part.where(F.col("p_name").contains(name_part))
+                          .select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum(rev) - F.sum(cost)).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SUM(rev) - SUM(cost) AS DOUBLE) AS profit
+FROM (
+  SELECT sn.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2))
+                 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+           AS rev,
+         CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+              * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+register(QuerySpec("q9_product_profit", q9_product_profit, _Q9_SQL,
+                   doc=q9_product_profit.__doc__))

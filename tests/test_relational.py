@@ -26,6 +26,8 @@ REL = [
     "q20_surplus_suppliers",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q8_market_share",
+    "q9_product_profit",
 ]
 
 
