@@ -314,3 +314,67 @@ FROM stats GROUP BY source, lang
 
 register(QuerySpec("corpus_datacard", corpus_datacard, _DATACARD_SQL,
                    doc=corpus_datacard.__doc__))
+
+
+# PII patterns: a conservative subset whose semantics are identical in
+# Java regex (Spark, JVM-side regexp_replace/regexp_count) and RE2
+# (DuckDB) — char classes, bounded counts, \b anchors; no lookaround, no
+# backrefs. Redaction order is fixed (email → ssn → phone → ip) and the
+# same in both engines, so chained replacements compose identically.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction over the text column — the scrubbing
+    pass a training-data pipeline runs before anything else sees the
+    corpus. Returns per-doc match counts per PII class and the redacted
+    text. Pure JVM-side regexp projection: no shuffle, no UDF; at 100 TB
+    this is a map-only pass that pushes column pruning to the scan."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col("text")
+    for _, pat, tag in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def documents_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface: scrub the documents table, returning only docs
+    that contained any PII plus a deterministic sample of clean docs
+    (doc_id % 97 == 0) so the result exercises both branches at every
+    scale without returning the whole corpus."""
+    out = scrub_pii(load_table(spark, sf_dir, "documents"))
+    any_pii = (F.col("n_email") + F.col("n_ssn")
+               + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return out.where(any_pii | (F.col("doc_id") % 97 == 0))
+
+
+def _pii_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, tag in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id, {counts}, {clean} AS clean_text
+FROM documents
+WHERE len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}')) > 0
+   OR doc_id % 97 = 0
+"""
+
+
+register(QuerySpec("documents_pii_scrub", documents_pii_scrub, _pii_sql(),
+                   doc=documents_pii_scrub.__doc__))

@@ -85,3 +85,102 @@ register(QuerySpec("doc_train_test_split", doc_train_test_split, _SPLIT_SQL,
                    doc=doc_train_test_split.__doc__))
 register(QuerySpec("documents_stratified_sample", documents_stratified_sample,
                    _STRATA_SQL, doc=documents_stratified_sample.__doc__))
+
+
+# Token-budget corpus mixing: target share of the sampled token budget
+# per source (Pile/Dolma-style data mixing). Sources not listed share the
+# remainder uniformly via MIX_DEFAULT_W; the budget is a fraction of the
+# corpus's total tokens so the query is scale-free.
+MIX_WEIGHTS = {"src0": 0.10, "src1": 0.10, "src2": 0.10,
+               "src3": 0.10, "src4": 0.10}
+MIX_DEFAULT_W = 0.5 / 15
+MIX_BUDGET_FRAC = 0.4
+MIX_DRAW = 1_000_000
+
+
+def documents_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus mixing: sample each source at the rate
+    that hits its target share of a global token budget (upsampling
+    capped at keep-everything), the data-mixing step of assembling a
+    training corpus from heterogeneous sources.
+
+    Shape: one tiny per-source aggregate (exact int64 token sums) +
+    window total → per-source keep-rate computed IN-PLAN (no driver
+    round-trip) → broadcast back onto the corpus → map-side Knuth-hash
+    Bernoulli draw. The only shuffle is the 20-row source aggregate;
+    selection is a pure function of doc_id, so the sample is identical
+    across engines, partitionings, and cluster sizes. At 100 TB the
+    supply table is metadata-sized and the draw never moves the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    supply = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("supply")
+    ).withColumn(
+        "total", F.sum("supply").over(Window.partitionBy())
+    )
+    weight = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
+        )[F.col("source")],
+        F.lit(MIX_DEFAULT_W),
+    )
+    rates = supply.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("total").cast("double") * F.lit(MIX_BUDGET_FRAC) * weight
+            / F.col("supply").cast("double"),
+        ).alias("rate"),
+    )
+    thresh = F.floor(F.col("rate") * MIX_DRAW).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(hash_bucket(F.col("doc_id"), MIX_DRAW) < thresh)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w!r}" for s, w in MIX_WEIGHTS.items()
+    )
+    return f"(CASE {cases} ELSE {MIX_DEFAULT_W!r} END)"
+
+
+_MIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({{tok}}) AS INTEGER) AS n_tokens
+  FROM documents
+),
+supply AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS supply FROM toks
+  GROUP BY source
+),
+rates AS (
+  SELECT source,
+         least(1.0,
+               CAST(SUM(supply) OVER () AS DOUBLE) * {MIX_BUDGET_FRAC}
+               * {_mix_weight_sql()} / CAST(supply AS DOUBLE)) AS rate
+  FROM supply
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE (((t.doc_id % 2147483648) * {KNUTH}) % 2147483648) % {MIX_DRAW}
+      < CAST(floor(r.rate * {MIX_DRAW}) AS BIGINT)
+"""
+
+
+def _mix_sql() -> str:
+    from bigdata2016w_spark.functions.tokenizer import tokenize_sql
+
+    return _MIX_SQL.format(tok=tokenize_sql("text"))
+
+
+register(QuerySpec("documents_token_budget_mix", documents_token_budget_mix,
+                   _mix_sql(), doc=documents_token_budget_mix.__doc__))

@@ -96,3 +96,54 @@ def test_corpus_datacard_covers_all_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     want = docs.where(F.size(tokenize("text")) > 0).count()
     assert total == want
+
+
+def test_pii_scrub_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_pii_scrub"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
+def test_pii_scrub_planted_values(spark, tmp_path):
+    """Planted PII of every class: counts and redacted text must agree
+    between engines AND match hand-computed expectations (the registered
+    query's corpus is PII-free, so the detection branch is pinned
+    here)."""
+    import duckdb
+
+    from bigdata2016w_spark.plans.curation import scrub_pii
+
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.co.uk or 555-123-4567 now"),
+        (2, "ssn 123-45-6789 ip 10.0.255.1 email a@b.io"),
+        (3, "clean text with numbers 12345 and dots a.b but no pii"),
+        (4, "two ips 1.2.3.4 5.6.7.8 and phone 800.555.1212"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert (got[1].n_email, got[1].n_phone) == (1, 1)
+    assert got[1].clean_text == "contact [EMAIL] or [PHONE] now"
+    assert (got[2].n_ssn, got[2].n_ipv4, got[2].n_email) == (1, 1, 1)
+    assert got[2].clean_text == "ssn [ID] ip [IP] email [EMAIL]"
+    assert got[3].clean_text == rows[2][1]
+    assert sum([got[3].n_email, got[3].n_ssn, got[3].n_phone,
+                got[3].n_ipv4]) == 0
+    assert (got[4].n_ipv4, got[4].n_phone) == (2, 1)
+    assert got[4].clean_text == "two ips [IP] [IP] and phone [PHONE]"
+
+    # engine parity on the planted corpus, not just the PII-free one
+    d = tmp_path / "docs.parquet"
+    docs.write.parquet(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'"
+    )
+    from bigdata2016w_spark.registry import all_specs as _specs
+    sql = _specs()["documents_pii_scrub"].oracle
+    want = {r[0]: r for r in con.execute(sql).fetchall()}
+    for i in (1, 2, 4):  # doc 3 is clean and not a %97 sample row
+        g = got[i]
+        assert tuple(want[i]) == (
+            i, g.n_email, g.n_ssn, g.n_phone, g.n_ipv4, g.clean_text
+        )
