@@ -324,3 +324,50 @@ register(QuerySpec("events_hourly_gapfill", events_hourly_gapfill,
                    _GAPFILL_SQL, doc=events_hourly_gapfill.__doc__))
 register(QuerySpec("orders_daily_moving_avg", orders_daily_moving_avg,
                    _MOVING_AVG_SQL, doc=orders_daily_moving_avg.__doc__))
+
+
+def events_nation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enriched hourly rollup: events joined to the
+    customer→nation dim, then tumbling 1-hour count + exact value sum per
+    nation — the batch twin of the STREAM-STATIC broadcast join in
+    ``streaming/windows.nation_hourly`` (parity pinned in
+    tests/test_streaming.py). The dim broadcasts (it is per-customer
+    metadata, small relative to the fact stream at any scale); the only
+    shuffle is the (window, nation) aggregate. NULL-ts rows are filtered
+    explicitly so batch, stream, and oracle agree on dirty data."""
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(
+        broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    return (
+        ev.join(broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC6)).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "nation", "n_events", "total_value",
+        )
+    )
+
+
+_NATION_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       n.n_name AS nation, count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("events_nation_hourly", events_nation_hourly,
+                   _NATION_HOURLY_SQL, doc=events_nation_hourly.__doc__))

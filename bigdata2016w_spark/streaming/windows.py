@@ -273,3 +273,32 @@ def hourly_unique_users(events: DataFrame,
             "unique_users",
         )
     )
+
+
+def nation_hourly(events: DataFrame, dim: DataFrame,
+                  watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STATIC join: each micro-batch broadcast-joins the static
+    customer→nation dimension (the static side is re-resolved per batch,
+    so a slowly-changing dim picks up updates between batches), then the
+    watermarked tumbling rollup per nation. Twin of the batch
+    ``events_nation_hourly``; the stream never shuffles for the join —
+    only the (window, nation) aggregate is stateful, and its state is
+    watermark-bounded."""
+    from pyspark.sql.functions import broadcast
+
+    return (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .join(broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "nation", "n_events", "total_value",
+        )
+    )

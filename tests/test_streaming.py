@@ -358,3 +358,28 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_nation_hourly_stream_static_parity(spark, sf_dir):
+    """Stream-static dimension join: the streamed per-nation hourly
+    rollup must reproduce the batch twin exactly on an availableNow
+    replay (exact DECIMAL sums on both sides)."""
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.windows import (
+        events_stream,
+        nation_hourly,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(
+        nat, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    got = run_to_memory(
+        nation_hourly(events_stream(spark, sf_dir), dim), "t_nation_hourly"
+    )
+    want = all_specs()["events_nation_hourly"].fn(spark, sf_dir)
+    cols = ["window_start", "nation", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
