@@ -328,19 +328,24 @@ def knn_ivf_flat(
 def _assign_to_literal_centroids(
     embeddings: DataFrame, cent_lit: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Map-side max-cosine cell assignment against a literal centroid
+    """Map-side max-cosine cell assignment against a broadcast centroid
     matrix — the shared quantizer half of :func:`knn_ivf_flat` and
     :func:`knn_ivf_lloyd`.
 
-    ONE zip_with lambda over a literal centroid matrix, not n_cells
-    inlined cosine-expression copies — the inlined form made Catalyst
-    analyze a 16x-duplicated fold tree (measured 2.6 s of driver-side
-    plan build per call; this form is ~10x smaller). Centroid norms are
-    folded in Python (same left-fold double order → bit-identical to
-    the oracle's sqrt(list_reduce)) and the row's own norm is computed
-    once, so each row pays n_cells dot products instead of n_cells
-    cosines with re-derived norms. Ties pick the lowest cell via
-    struct-ordered array_max((cos, -cell)).
+    ONE zip_with lambda over the centroid matrix, not n_cells inlined
+    cosine-expression copies — the inlined form made Catalyst analyze a
+    16x-duplicated fold tree (measured 2.6 s of driver-side plan build
+    per call). The matrix itself rides in as a ONE-ROW broadcast
+    DataFrame (a BroadcastNestedLoopJoin of a single row — the
+    model-distribution pattern), not as n_cells x dim literal nodes:
+    inlining 1024 literals cost another ~2 s of analysis per assignment,
+    which knn_ivf_lloyd pays three times. Values are identical either
+    way, so results are bit-equal. Centroid norms are folded in Python
+    (same left-fold double order → bit-identical to the oracle's
+    sqrt(list_reduce)) and the row's own norm is computed once, so each
+    row pays n_cells dot products instead of n_cells cosines with
+    re-derived norms. Ties pick the lowest cell via struct-ordered
+    array_max((cos, -cell)).
     """
     import math
 
@@ -350,20 +355,17 @@ def _assign_to_literal_centroids(
             s = s + x * x
         return math.sqrt(s)
 
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in v]) for _, v in cent_lit]
-    )
-    meta = F.array(
-        *[
-            F.struct(
-                F.lit(-cell).alias("nc"), F.lit(_pynorm(v)).alias("cn")
-            )
-            for cell, v in cent_lit
-        ]
+    spark = embeddings.sparkSession
+    mat = spark.createDataFrame(
+        [(
+            [[float(x) for x in v] for _, v in cent_lit],
+            [(-cell, _pynorm(v)) for cell, v in cent_lit],
+        )],
+        "__cents array<array<double>>, __meta array<struct<nc:int,cn:double>>",
     )
     choices = F.zip_with(
-        cent_arr,
-        meta,
+        F.col("__cents"),
+        F.col("__meta"),
         lambda cv, m: F.struct(
             (
                 dot(_as_double(F.col("embedding")), cv)
@@ -373,7 +375,8 @@ def _assign_to_literal_centroids(
         ),
     )
     return (
-        embeddings.withColumn("__en", norm(F.col("embedding")))
+        embeddings.crossJoin(F.broadcast(mat))
+        .withColumn("__en", norm(F.col("embedding")))
         .select(
             "vec_id", "embedding",
             (-F.array_max(choices)["nc"]).cast("int").alias("cell"),
@@ -421,41 +424,40 @@ def knn_ivf_lloyd(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
         )
-    emb = embeddings.select("vec_id", "embedding")
+    # n_iter assignment jobs + the probe all re-read the corpus: pin it
+    # once (at cluster scale: cache/shuffle-file reuse across iterations,
+    # the same reason PageRank checkpoints its rank table)
+    emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
     for _ in range(n_iter):
         assigned = _assign_to_literal_centroids(emb, cent_lit)
-        cent_df = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(
-                            F.col("embedding").getItem(d).cast("double")
-                            * CENTROID_QUANT
-                        ).cast("bigint")
-                    ).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
+        # centroid recompute in the label_centroids shape: posexplode →
+        # one generic (cell, dim) hash agg over int64-quantized
+        # components — a 2-column plan Catalyst analyzes in O(1), where
+        # the dim-wide sum-per-column formulation was a 64-expression
+        # codegen unit per round. n_cells x dim rows (~1k) per round
+        # cross the driver: the model-fetch sync, same O(1)-per-round
+        # class as PageRank's dangling mass.
+        q = F.round(
+            F.col("x").cast("double") * CENTROID_QUANT
+        ).cast("bigint")
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
             .select(
-                "cell",
-                F.array(
-                    *[
-                        F.round(
-                            F.col(f"s{d}").cast("double")
-                            / F.col("n")
-                            / CENTROID_QUANT,
-                            6,
-                        )
-                        for d in range(dim)
-                    ]
-                ).alias("centroid"),
+                "cell", "dim",
+                F.round(
+                    F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
+                ).alias("c"),
             )
+            .collect()
         )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["c"])
         cent_lit = sorted(
-            (int(r["cell"]), [float(x) for x in r["centroid"]])
-            for r in cent_df.collect()
+            (cell, [vals[d] for d in range(dim)])
+            for cell, vals in by_cell.items()
         )
     assigned = _assign_to_literal_centroids(emb, cent_lit)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
