@@ -34,6 +34,10 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_incremental_daily_agg", "q13_customer_distribution",
     "q18_large_volume_customers", "events_trending_keys",
     "documents_chunk_for_rag", "events_hourly_unique_users",
+    "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
+    "documents_token_budget_mix", "documents_pii_scrub",
+    "events_nation_hourly", "sgd_score_closed_form",
+    "sgd_ensemble_closed_form",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -81,3 +85,66 @@ def test_json_agg_handles_malformed_props(spark):
              .agg(F.count("*").alias("n"), F.sum(k).alias("s")).collect()}
     assert out["a"] == (3, 1)   # malformed/missing -> null, ignored by sum
     assert out["b"] == (1, None)
+
+
+def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
+    """Dirty-data pins for the round-4 operators: NULL text flows through
+    PII scrub as NULL counts/text on both engines (kept only via the
+    doc_id%97 sample branch); a NULL source is dropped by the mixing join
+    identically; NULL ts / unmatched user_id rows are excluded from the
+    nation rollup identically."""
+    import duckdb
+
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    d = tmp_path / "dirty4"
+    d.mkdir()
+    docs = spark.createDataFrame(
+        [(0, None, "en", "srcA", 0),           # NULL text, %97 sample row
+         (1, "mail me a@b.io now", "en", "srcA", 19),
+         (2, "plain words only", "en", None, 16),   # NULL source
+         (3, "", "en", "srcB", 0),             # empty text
+         (97, "ip 1.2.3.4 here", "en", "srcB", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 0, "view", 1.5, "{}"),
+         (2, None, 0, "view", 2.5, "{}"),       # NULL ts
+         (3, "2024-01-01 00:30:00", 99, "view", 4.0, "{}"),  # no customer
+         (4, "2024-01-01 01:10:00", None, "view", 8.0, "{}")],  # NULL user
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+                 "event_type", "value", "props")
+    ev.write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [(0, "c0", 0, 1.0)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    ).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(str(d / "nation.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "events", "customer", "nation"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    for name in ("documents_pii_scrub", "documents_token_budget_mix",
+                 "events_nation_hourly"):
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
+
+    # and the semantics are the intended ones, not vacuous matches
+    pii = {r.doc_id: r for r in
+           all_specs()["documents_pii_scrub"].fn(spark, str(d)).collect()}
+    assert pii[0].clean_text is None and pii[0].n_email is None
+    assert pii[1].n_email == 1 and pii[97].n_ipv4 == 1
+    mix_sources = {r.source for r in all_specs()[
+        "documents_token_budget_mix"].fn(spark, str(d)).collect()}
+    assert None not in mix_sources
+    nh = all_specs()["events_nation_hourly"].fn(spark, str(d)).collect()
+    assert sum(r.n_events for r in nh) == 1  # only event 1 survives
