@@ -385,3 +385,74 @@ def simhash_near_dupes(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def jaccard_cross_near_dupes(
+    index_docs: DataFrame,
+    probe_docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus PPJoin: exact Jaccard near-dup pairs between a probe
+    shard and an indexed reference corpus — the incremental-dedup shape
+    (dedup today's crawl against everything already accepted) where
+    intra-side pairs must never join.
+
+    Same lossless rarest-first prefix filter as :func:`jaccard_near_dupes`,
+    but the candidate join is probe-prefix ⋈ index-prefix only, so work
+    is O(cross candidates), independent of either side's intra-corpus
+    duplication. The canonical shingle order the prefix filter requires
+    on BOTH sides comes from the union's frequencies (one count window);
+    in production the index side's frequencies ship with its prefix
+    index and the probe re-sorts by them. Returns
+    (probe_id, index_id, jaccard).
+    """
+    par = probe_docs.sparkSession.sparkContext.defaultParallelism
+    s = (
+        shingle_sets(index_docs).select(
+            "doc_id", "shingles", F.lit("i").alias("side"))
+        .unionByName(
+            shingle_sets(probe_docs).select(
+                "doc_id", "shingles", F.lit("p").alias("side")))
+    )
+    ex = s.select("side", "doc_id", F.explode("shingles").alias("sh"))
+    canon = (
+        ex.withColumn("cf", F.count("*").over(Window.partitionBy("sh")))
+        .repartition(par, "doc_id")
+        .groupBy("side", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cf", "sh"))).alias("cs"))
+        .select("side", "doc_id", F.col("cs.sh").alias("shingles"))
+        .localCheckpoint(eager=True)
+    )
+    prefix_len = (
+        F.size("shingles")
+        - F.ceil(F.size("shingles") * F.lit(float(threshold))).cast("int")
+        + 1
+    )
+    pref = canon.select(
+        "side", "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode(F.slice("shingles", 1, prefix_len)).alias("sh"),
+    )
+    cand = (
+        pref.where(F.col("side") == "p").alias("x")
+        .join(pref.where(F.col("side") == "i").alias("y"), "sh")
+        .where(
+            (F.col("x.n") >= threshold * F.col("y.n"))
+            & (F.col("y.n") >= threshold * F.col("x.n"))
+        )
+        .select(F.col("x.doc_id").alias("probe_id"),
+                F.col("y.doc_id").alias("index_id"))
+        .distinct()
+        .repartition(par, "probe_id")
+    )
+    sp = canon.where(F.col("side") == "p").select(
+        F.col("doc_id").alias("probe_id"), F.col("shingles").alias("sh_p"))
+    si = canon.where(F.col("side") == "i").select(
+        F.col("doc_id").alias("index_id"), F.col("shingles").alias("sh_i"))
+    return (
+        cand.join(sp, "probe_id")
+        .join(si, "index_id")
+        .select("probe_id", "index_id",
+                _jaccard(F.col("sh_p"), F.col("sh_i")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -798,3 +798,67 @@ register(QuerySpec("embedding_hard_negatives", embedding_hard_negatives,
                    _HARD_NEG_SQL,
                    doc="Hard-negative mining for contrastive training; "
                        "see operators/similarity.hard_negatives."))
+
+
+def documents_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-shard) dedup: classify an incoming shard
+    (doc_id % 4 == 0 stands in for "today's crawl") against the accepted
+    reference corpus (every other doc) — the admission gate a production
+    pipeline runs per ingest batch. Status per incoming doc:
+    'exact_dup' (text already in the reference — broadcast-able semi-join
+    on text), else 'near_dup' (Jaccard ≥ 0.5 against some reference doc
+    via the cross-corpus PPJoin, which never joins intra-side pairs),
+    else 'kept'. Work is O(cross candidates) — independent of the
+    reference corpus's internal duplication — which is what makes daily
+    re-dedup affordable at 100 TB."""
+    from bigdata2016w_spark.operators.dedup import jaccard_cross_near_dupes
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 4 == 0)
+    ref = docs.where(F.col("doc_id") % 4 != 0)
+    exact = (
+        inc.join(ref.select("text").distinct(), "text", "left_semi")
+        .select("doc_id").withColumn("e", F.lit(1))
+    )
+    near = (
+        jaccard_cross_near_dupes(ref, inc, JACCARD_THRESHOLD)
+        .select(F.col("probe_id").alias("doc_id")).distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e") == 1, "exact_dup")
+            .when(F.col("nd") == 1, "near_dup")
+            .otherwise("kept").alias("status"),
+        )
+    )
+
+
+_INCR_DEDUP_SQL = f"""
+WITH {_SHINGLES},
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+nd AS (
+  SELECT DISTINCT a.doc_id FROM s a JOIN s b
+    ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+               AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+ex AS (
+  SELECT DISTINCT i.doc_id FROM inc i JOIN ref r ON i.text = r.text
+)
+SELECT i.doc_id,
+       CASE WHEN i.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+            WHEN i.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM inc i
+"""
+
+register(QuerySpec("documents_incremental_dedup", documents_incremental_dedup,
+                   _INCR_DEDUP_SQL,
+                   doc=documents_incremental_dedup.__doc__))

@@ -351,3 +351,59 @@ def test_hard_negatives_oracle_and_labels(spark, sf_dir, duck):
         by_q.setdefault(r.query_id, []).append(r.cosine)
     for cs in by_q.values():
         assert cs == sorted(cs, reverse=True)
+
+
+def test_incremental_dedup_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_incremental_dedup"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
+def test_cross_near_dupes_planted(spark):
+    """Cross-corpus PPJoin semantics on a planted corpus: finds the
+    cross-boundary near-dup, classifies the exact copy as exact_dup
+    (precedence over near_dup), never emits intra-side pairs, and keeps
+    the genuinely new doc."""
+    import duckdb
+
+    from bigdata2016w_spark.operators.dedup import jaccard_cross_near_dupes
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    ref_rows = [
+        (1, base),                     # reference original
+        (2, base),                     # intra-ref duplicate (must NOT pair)
+        (3, "one two three four five six seven"),
+    ]
+    inc_rows = [
+        (4, base),                                        # exact copy
+        (8, base.replace("theta", "iota")),               # near-dup
+        (12, "totally different words here nothing shared"),  # new
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    pairs = jaccard_cross_near_dupes(ref, inc, 0.5).collect()
+    probe_ids = {r.probe_id for r in pairs}
+    index_ids = {r.index_id for r in pairs}
+    assert probe_ids <= {4, 8} and probe_ids >= {4, 8}
+    assert index_ids <= {1, 2}
+    assert all(r.probe_id in {4, 8, 12} and r.index_id in {1, 2, 3}
+               for r in pairs)  # strictly cross-boundary
+
+    # registered-query status precedence on the same corpus via tmp dir
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in ref_rows + inc_rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r.status for r in all_specs()[
+            "documents_incremental_dedup"].fn(spark, d).collect()}
+        assert got == {4: "exact_dup", 8: "near_dup", 12: "kept"}
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM"
+                f" '{d}/documents.parquet/*.parquet'")
+        want = dict(con.execute(
+            all_specs()["documents_incremental_dedup"].oracle).fetchall())
+        assert want == got

@@ -37,7 +37,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
     "documents_token_budget_mix", "documents_pii_scrub",
     "events_nation_hourly", "sgd_score_closed_form",
-    "sgd_ensemble_closed_form",
+    "sgd_ensemble_closed_form", "documents_incremental_dedup",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
