@@ -103,6 +103,18 @@ def main() -> None:
           f"{r_full:.3f} @ {n_docs} (ratio {r_full / max(r_half, 1e-9):.2f}x"
           f" — ~1.0 is linear, 2.0 would be quadratic)")
 
+    # cross-corpus incremental dedup: probe 1/4 of the corpus against the
+    # other 3/4 — work must track cross candidates, not corpus²
+    from bigdata2016w_spark.operators.dedup import jaccard_cross_near_dupes
+
+    t0 = time.perf_counter()
+    n_cross = jaccard_cross_near_dupes(
+        docs.where(F.col("doc_id") % 4 != 0),
+        docs.where(F.col("doc_id") % 4 == 0),
+    ).count()
+    print(f"cross incremental dedup (1/4 probe vs 3/4 index): "
+          f"{time.perf_counter() - t0:.1f}s, {n_cross} cross pairs")
+
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)
     n_pairs = mh.count()
