@@ -1,0 +1,87 @@
+"""Streaming ingestion with dedup admission — the end-to-end shape of a
+production training-data intake: documents arrive as a stream, each
+micro-batch is deduplicated within itself AND against everything already
+accepted, and only the survivors land in the corpus.
+
+``foreachBatch`` because the admission decision needs a batch-vs-table
+join (the cross-corpus PPJoin of ``operators.dedup``), which stock
+streaming aggregation cannot express. Exactly-once per batch id on
+retries: each batch's survivors go to a batch-stamped subdirectory with
+``overwrite`` — a replayed batch rewrites the same subdir instead of
+appending twice (the idempotence convention of
+``streaming.stateful.upsert_sink``).
+
+At 100 TB the accepted corpus is the same parquet layout bucketed by its
+prefix-index keys, and the per-batch cross PPJoin reads only the index
+buckets its probe shingles hash to; the micro-batch logic is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _accepted(spark, target_dir: str, schema) -> DataFrame:
+    """All previously admitted docs (batch-stamped subdirs), or an empty
+    frame with the right schema before the first batch commits."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(f"{target_dir}/batch=*")
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def admit_batch(
+    batch_df: DataFrame, accepted: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Pure admission logic (shared by the sink and its batch tests):
+    in-batch exact dedup (min doc_id per text) → in-batch near-dup dedup
+    (drop the higher id of each Jaccard≥t pair, the corpus_curation
+    survivor convention) → drop anything whose text already exists in
+    ``accepted`` (semi-join) or near-dups an accepted doc (cross PPJoin,
+    never intra-side)."""
+    from bigdata2016w_spark.operators.dedup import (
+        jaccard_cross_near_dupes,
+        jaccard_near_dupes,
+    )
+
+    keep_exact = batch_df.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    b = batch_df.join(keep_exact, "doc_id", "left_semi")
+    losers = jaccard_near_dupes(b, threshold).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    b = b.join(losers, "doc_id", "left_anti")
+    b = b.join(accepted.select("text").distinct(), "text", "left_anti")
+    near = jaccard_cross_near_dupes(accepted, b, threshold).select(
+        F.col("probe_id").alias("doc_id")
+    ).distinct()
+    return b.join(near, "doc_id", "left_anti").select(*batch_df.columns)
+
+
+def dedup_admission_sink(
+    docs_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Start the admission stream: returns the StreamingQuery. Survivors
+    of batch N land in ``{target_dir}/batch=N``."""
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        accepted = _accepted(spark, target_dir, batch_df.schema)
+        survivors = admit_batch(batch_df, accepted, threshold)
+        survivors.write.mode("overwrite").parquet(
+            f"{target_dir}/batch={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -383,3 +383,63 @@ def test_nation_hourly_stream_static_parity(spark, sf_dir):
     want = all_specs()["events_nation_hourly"].fn(spark, sf_dir)
     cols = ["window_start", "nation", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_admission_sink_across_batches(spark, tmp_path):
+    """Streaming ingestion gate: replay a planted corpus as two
+    micro-batches (maxFilesPerTrigger=1). In-batch exact and near dups
+    collapse to the lowest doc_id; a batch-2 doc that near-dups a
+    batch-1 SURVIVOR is rejected (state crossed the batch boundary via
+    the accepted table); a batch-2 copy of a batch-1 text is rejected
+    exactly; genuinely new docs land."""
+    import os
+
+    from bigdata2016w_spark.streaming.ingest import dedup_admission_sink
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = [(1, base),
+          (2, base),                            # in-batch exact dup of 1
+          (3, base.replace("theta", "iota")),   # in-batch near dup of 1
+          (4, "one two three four five six seven")]
+    b2 = [(10, base),                           # exact dup of accepted 1
+          (11, base.replace("theta", "kappa")),  # near dup of accepted 1
+          (12, "totally different words here nothing shared")]
+    import shutil
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "doc_id long, text string"
+    for i, rows in enumerate((b1, b2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders by modification time: pin strictly
+        # increasing mtimes so batch order matches ingest order
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(sdir))
+    )
+    q = dedup_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # genuinely two micro-batches
+    got = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert got == {1, 4, 12}
+
+    # restart against the same checkpoint: nothing replays, corpus
+    # unchanged (exactly-once per batch id)
+    q2 = dedup_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    again = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert again == {1, 4, 12}
