@@ -97,7 +97,8 @@ def main() -> None:
     # of suite-context noise. Suite vs isolated drift > ~1.3x on these
     # means the suite protocol is inflating again.
     isolated: dict[str, float] = {}
-    for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash"):
+    for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
+                 "ann_ivf_lloyd"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
