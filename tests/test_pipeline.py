@@ -407,3 +407,64 @@ def test_cross_near_dupes_planted(spark):
         want = dict(con.execute(
             all_specs()["documents_incremental_dedup"].oracle).fetchall())
         assert want == got
+
+
+def test_cross_near_dupes_equals_union_subset(spark, sf_dir):
+    """Two independent PPJoin implementations must agree exactly: the
+    cross-corpus operator's result on (ref, probe) is precisely the
+    cross-boundary subset of the full-corpus operator on ref ∪ probe —
+    both prefix filters are lossless, so this is equality of exact
+    Jaccard sets, not an approximation check."""
+    from bigdata2016w_spark.operators.dedup import (
+        jaccard_cross_near_dupes,
+        jaccard_near_dupes,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 4 == 0)
+    ref = docs.where(F.col("doc_id") % 4 != 0)
+    cross = {(r.probe_id, r.index_id, round(r.jaccard, 12))
+             for r in jaccard_cross_near_dupes(ref, probe, 0.5).collect()}
+    full = jaccard_near_dupes(docs, 0.5).collect()
+    want = set()
+    for r in full:
+        a_in = r.doc_a % 4 == 0
+        b_in = r.doc_b % 4 == 0
+        if a_in != b_in:  # cross-boundary only
+            p, i = (r.doc_a, r.doc_b) if a_in else (r.doc_b, r.doc_a)
+            want.add((p, i, round(r.jaccard, 12)))
+    assert cross == want and cross  # equal and non-vacuous
+
+
+def test_pii_scrub_idempotent(spark, sf_dir):
+    """Scrubbing already-scrubbed text is a no-op: redaction tags match
+    no PII pattern, so a second pass changes nothing and counts zero."""
+    from bigdata2016w_spark.plans.curation import scrub_pii
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    once = scrub_pii(docs).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    twice = scrub_pii(once).collect()
+    first = {r.doc_id: r.clean_text
+             for r in scrub_pii(docs).collect()}
+    for r in twice:
+        assert r.clean_text == first[r.doc_id]
+        assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (0, 0, 0, 0)
+
+
+def test_token_budget_mix_is_subset_with_valid_rates(spark, sf_dir):
+    """Mix output ⊆ corpus (same doc rows), and no source is sampled
+    above keep-everything."""
+    from bigdata2016w_spark.registry import all_specs
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    out = all_specs()["documents_token_budget_mix"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.join(docs.select("doc_id"), "doc_id", "left_anti").count() == 0
+    base = {r["source"]: r["n"] for r in docs.groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    samp = {r["source"]: r["n"] for r in out.groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    assert all(samp[s] <= base[s] for s in samp)
