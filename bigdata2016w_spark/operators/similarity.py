@@ -630,3 +630,44 @@ def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", F.col("cand").alias("predicted_label"))
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+def knn_ivf_from_index(
+    spark,
+    index_path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a PERSISTED inverted file (``sources.sinks.write_ivf_index``):
+    centroids are recovered as the per-cell integer-quantized means (the
+    label_centroids formula — n_cells × dim rows, a model fetch), each
+    query ranks them exactly, and the candidate scan reads ONLY the
+    probed cell partitions — Spark's dynamic partition pruning turns the
+    probes⋈index join on the partition column into a directory-level
+    skip, so the scan fraction ≈ n_probe/n_cells holds on disk, not just
+    in memory (asserted on the physical plan in
+    tests/test_plan_properties.py)."""
+    idx = spark.read.parquet(index_path)
+    ex = idx.select("cell", F.posexplode("embedding").alias("dim", "x"))
+    q = F.round(F.col("x").cast("double") * CENTROID_QUANT).cast("bigint")
+    rows = (
+        ex.groupBy("cell", "dim")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+        .select(
+            "cell", "dim",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
+            ).alias("c"),
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["c"])
+    cent = spark.createDataFrame(
+        [(cell, [vals[d] for d in range(len(vals))])
+         for cell, vals in sorted(by_cell.items())],
+        "cell int, centroid array<double>",
+    )
+    return _ivf_probe_search(idx, cent, query_ids, k, n_probe)

@@ -162,3 +162,20 @@ def write_zordered(
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.parquet(path)
+
+
+def write_ivf_index(assigned: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an IVF cell assignment (vec_id, embedding, cell) as the
+    on-disk inverted file: hive-partitioned by cell, so a probe that
+    touches n_probe of n_cells cells reads only those directories — the
+    scan-fraction guarantee the IVF docstrings promise, made physical.
+    One file per cell partition (the cell table is already the coarse
+    unit of work); at 100 TB each cell directory would hold many
+    size-bounded files and the same pruning applies."""
+    (
+        assigned.repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )

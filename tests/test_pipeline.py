@@ -468,3 +468,72 @@ def test_token_budget_mix_is_subset_with_valid_rates(spark, sf_dir):
     samp = {r["source"]: r["n"] for r in out.groupBy("source")
             .agg(F.count("*").alias("n")).collect()}
     assert all(samp[s] <= base[s] for s in samp)
+
+
+def test_ivf_persisted_index_probe(spark, sf_dir, tmp_path):
+    """The on-disk inverted file: assignment written partitionBy(cell),
+    probe results match an independent NumPy recomputation (centroid
+    means -> cell ranking -> in-cell exact cosine top-k), and the probe
+    scan carries a dynamic partition-pruning filter on cell — the
+    n_probe/n_cells scan fraction holds at the directory level."""
+    import numpy as np
+
+    from bigdata2016w_spark.operators.similarity import (
+        CENTROID_QUANT,
+        _assign_to_literal_centroids,
+        knn_ivf_from_index,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_lit = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 16).collect()
+    )
+    assigned = _assign_to_literal_centroids(
+        emb.select("vec_id", "embedding"), cent_lit)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+
+    k, n_probe = 10, 4
+    out = knn_ivf_from_index(spark, path, [0, 1, 2], k=k, n_probe=n_probe)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+
+    # independent recomputation
+    rows = spark.read.parquet(path).collect()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in rows}
+    cells = {int(r.vec_id): int(r.cell) for r in rows}
+    cent = {}
+    for c in sorted(set(cells.values())):
+        members = np.stack([vecs[v] for v in vecs if cells[v] == c])
+        q = np.round(members * CENTROID_QUANT)
+        cent[c] = np.round(q.sum(0) / len(members) / CENTROID_QUANT, 6)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in (0, 1, 2):
+        ranked_cells = sorted(
+            cent, key=lambda c: (-cos(vecs[qid], cent[c]), c))[:n_probe]
+        cand = [v for v in vecs
+                if cells[v] in ranked_cells and v != qid]
+        want = sorted(
+            ((v, cos(vecs[qid], vecs[v])) for v in cand),
+            key=lambda t: (-t[1], t[0]))[:k]
+        assert [v for v, _ in want] == [v for v, _ in got[qid]]
+        for (_, cw), (_, cg) in zip(want, got[qid]):
+            assert abs(cw - cg) < 1e-9
+
+    # physical proof: the index scan is dynamically partition-pruned
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn_ivf_from_index(spark, path, [0, 1, 2]).explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan
