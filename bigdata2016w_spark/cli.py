@@ -55,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
 
+    admp = sub.add_parser(
+        "admit",
+        help="streaming dedup admission: replay a directory of document "
+             "parquet files as micro-batches, admitting each batch "
+             "against everything already accepted (streaming/ingest)",
+    )
+    admp.add_argument("input", help="directory of parquet document files")
+    admp.add_argument("output", help="accepted-corpus directory")
+    admp.add_argument("--checkpoint", default=None,
+                      help="checkpoint dir (default: <output>/_checkpoint)")
+    admp.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     from bigdata2016w_spark.registry import all_specs
@@ -91,6 +103,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         return _export(args)
+
+    if args.cmd == "admit":
+        from pyspark.sql import functions as F
+
+        from bigdata2016w_spark import get_spark
+        from bigdata2016w_spark.streaming.ingest import dedup_admission_sink
+
+        spark = get_spark(app_name="cli-admit")
+        spark.sparkContext.setLogLevel("WARN")
+        schema = spark.read.parquet(args.input).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(args.input)
+        )
+        q = dedup_admission_sink(
+            src, args.output,
+            args.checkpoint or f"{args.output}/_checkpoint",
+            threshold=args.threshold,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(f"{args.output}/batch=*").count()
+        print(f"accepted corpus: {n} docs in {args.output}")
+        return 0
 
     if args.query not in specs:
         print(f"unknown query {args.query!r}; `list` shows options",

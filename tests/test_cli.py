@@ -55,3 +55,28 @@ def test_cli_export(tmp_path):
 
     assert os.path.exists(f"{out}/train") and os.path.exists(f"{out}/test")
     assert json.load(open(f"{out}/datacard.json")) == card
+
+
+def test_cli_admit(tmp_path, spark):
+    """The admit subcommand replays a doc directory as micro-batches and
+    reports the accepted count; a planted duplicate is rejected."""
+    import os
+    import shutil
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [(1, base), (2, "one two three four five six seven")]
+    rows2 = [(10, base), (11, "eight nine ten eleven twelve lucky charm")]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    for i, rows in enumerate((rows1, rows2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string").coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    out = str(tmp_path / "corpus")
+    p = _run("admit", str(sdir), out)
+    assert p.returncode == 0, p.stderr[-500:]
+    assert "accepted corpus: 3 docs" in p.stdout
