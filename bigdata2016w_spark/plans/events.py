@@ -37,8 +37,11 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event_type: count + exact value sum."""
-    ev = load_table(spark, sf_dir, "events")
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+    NULL-ts rows are filtered explicitly on BOTH engines — F.window drops
+    them silently while the oracle's date_trunc would keep a NULL group
+    (the divergence class fixed for trending/hourly in round 3)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -55,8 +58,9 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 hour, slide 30 min): global event counts."""
-    ev = load_table(spark, sf_dir, "events")
+    """Sliding windows (1 hour, slide 30 min): global event counts.
+    NULL-ts rows filtered explicitly on both engines (see tumbling)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"))
@@ -70,8 +74,10 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessions with a 30-minute inactivity gap via
     ``session_window`` — the batch twin of stateful streaming
     sessionization. Oracle: gaps-and-islands SQL (lag + running sum), which
-    is the same merge rule."""
-    ev = load_table(spark, sf_dir, "events")
+    is the same merge rule. NULL-ts rows filtered explicitly on both
+    engines (session_window drops them; the lag-islands oracle would
+    order them into a session)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
@@ -101,7 +107,7 @@ _TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 _SLIDING_SQL = """
@@ -111,6 +117,7 @@ SELECT strftime(
          '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events
 FROM events, unnest([0, 1]) AS p(k)
+WHERE ts IS NOT NULL
 GROUP BY 1
 """
 
@@ -124,7 +131,7 @@ WITH ordered AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 tagged AS (
   SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

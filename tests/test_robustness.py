@@ -134,7 +134,8 @@ def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
             f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
         )
     for name in ("documents_pii_scrub", "documents_token_budget_mix",
-                 "events_nation_hourly"):
+                 "events_nation_hourly", "events_tumbling_hour",
+                 "events_sliding", "events_sessions"):
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
 
