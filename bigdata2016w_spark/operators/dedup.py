@@ -93,6 +93,26 @@ def _jaccard(sa, sb):
     return inter.cast("double") / union.cast("double")
 
 
+def _rarest_first_canon(ex: DataFrame, par: int) -> DataFrame:
+    """Canonical rarest-first shingle order per doc from exploded
+    (doc_id, sh) rows: sort (cf, sh) structs. The shingle frequency
+    comes from an unordered count window over sh — one exchange of ex
+    total, vs two + a join for the groupBy(sh)+join formulation (A/B:
+    1.08 s → 0.30 s at sf0.1; same skew exposure, both hash-distribute
+    by sh). The explicit repartition keeps the array rebuild parallel
+    (AQE would coalesce this small-bytes/high-CPU shuffle to one
+    partition). Eagerly checkpointed: every consumer reads it at least
+    twice (prefix index + verify sides)."""
+    return (
+        ex.withColumn("cf", F.count("*").over(Window.partitionBy("sh")))
+        .repartition(par, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cf", "sh"))).alias("cs"))
+        .select("doc_id", F.col("cs.sh").alias("shingles"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def jaccard_near_dupes(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -130,21 +150,7 @@ def jaccard_near_dupes(
         metrics["shingle_rows"] = Observation("ppjoin_shingle_rows")
         ex = ex.observe(metrics["shingle_rows"],
                         F.count(F.lit(1)).alias("n"))
-    # canonical rarest-first order per doc: sort (cf, sh) structs. The
-    # shingle frequency comes from an unordered count window over sh —
-    # one exchange of ex total, vs two + a join for the
-    # groupBy(sh)+join formulation (A/B: 1.08 s → 0.30 s at sf0.1; same
-    # skew exposure, both hash-distribute by sh). The explicit
-    # repartition keeps the array rebuild parallel (AQE would coalesce
-    # this small-bytes/high-CPU shuffle to one partition).
-    canon = (
-        ex.withColumn("cf", F.count("*").over(Window.partitionBy("sh")))
-        .repartition(par, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("cf", "sh"))).alias("cs"))
-        .select("doc_id", F.col("cs.sh").alias("shingles"))
-        .localCheckpoint(eager=True)
-    )
+    canon = _rarest_first_canon(ex, par)
     prefix_len = (
         F.size("shingles")
         - F.ceil(F.size("shingles") * F.lit(float(threshold))).cast("int")
@@ -455,4 +461,74 @@ def jaccard_cross_near_dupes(
         .select("probe_id", "index_id",
                 _jaccard(F.col("sh_p"), F.col("sh_i")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_near_dupes(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment dedup: ordered pairs
+    (doc_contained, doc_container, containment) with
+    ``|S(contained) ∩ S(container)| / |S(contained)| ≥ threshold`` —
+    catches superset duplication (a short doc quoted whole inside a long
+    one) that symmetric Jaccard misses: a 50-shingle doc fully inside a
+    1000-shingle doc has Jaccard ≈ 0.05 but containment 1.0.
+
+    Blocking is the containment adaptation of the PPJoin prefix filter:
+    if the contained doc shares ≥ ⌈t·|A|⌉ shingles, its first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles must hit (pigeonhole under any
+    global order — lossless), so only the CONTAINED side is prefix-
+    pruned; the container side is the full inverted index (its matching
+    shingle can be anywhere). Rarest-first ordering keeps the probe on
+    low-frequency postings. The only unprunable cost is the inverted
+    index itself — the same exploded table every other dedup tier
+    already builds. Verification touches candidates only.
+    """
+    s = (shingled if shingled is not None
+         else shingle_sets(docs).localCheckpoint(eager=True))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = s.select("doc_id", F.explode("shingles").alias("sh"))
+    canon = _rarest_first_canon(ex, par)
+    prefix_len = (
+        F.size("shingles")
+        - F.ceil(F.size("shingles") * F.lit(float(threshold))).cast("int")
+        + 1
+    )
+    pref = canon.select(
+        F.col("doc_id").alias("doc_contained"),
+        F.size("shingles").alias("n_small"),
+        F.explode(F.slice("shingles", 1, prefix_len)).alias("sh"),
+    )
+    index = canon.select(
+        F.col("doc_id").alias("doc_container"),
+        F.size("shingles").alias("n_big"),
+        F.explode("shingles").alias("sh"),
+    )
+    cand = (
+        pref.join(index, "sh")
+        .where(
+            (F.col("doc_contained") != F.col("doc_container"))
+            # containment ≥ t ⇒ |A∩B| ≥ t·|A| and |A∩B| ≤ |B|
+            & (F.col("n_big") >= threshold * F.col("n_small"))
+        )
+        .select("doc_contained", "doc_container")
+        .distinct()
+        .repartition(par, "doc_contained")
+    )
+    sa = canon.withColumnsRenamed(
+        {"doc_id": "doc_contained", "shingles": "sh_a"})
+    sb = canon.withColumnsRenamed(
+        {"doc_id": "doc_container", "shingles": "sh_b"})
+    return (
+        cand.join(sa, "doc_contained")
+        .join(sb, "doc_container")
+        .select(
+            "doc_contained", "doc_container",
+            (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+             / F.size("sh_a").cast("double")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_contained", "doc_container", "containment")
     )

@@ -862,3 +862,35 @@ FROM inc i
 register(QuerySpec("documents_incremental_dedup", documents_incremental_dedup,
                    _INCR_DEDUP_SQL,
                    doc=documents_incremental_dedup.__doc__))
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def documents_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup over the documents corpus: ordered
+    pairs where ≥90% of the contained doc's shingles appear in the
+    container — the superset-duplication tier symmetric Jaccard misses
+    (see operators/dedup.containment_near_dupes)."""
+    from bigdata2016w_spark.operators.dedup import containment_near_dupes
+
+    return containment_near_dupes(
+        load_table(spark, sf_dir, "documents"),
+        CONTAINMENT_THRESHOLD,
+        shingled=shared_shingle_sets(spark, sf_dir),
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES}
+SELECT doc_contained, doc_container, containment FROM (
+  SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) AS DOUBLE) AS containment
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+) WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+register(QuerySpec("documents_containment_dupes", documents_containment_dupes,
+                   _CONTAINMENT_SQL,
+                   doc=documents_containment_dupes.__doc__))

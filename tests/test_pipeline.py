@@ -537,3 +537,29 @@ def test_ivf_persisted_index_probe(spark, sf_dir, tmp_path):
         knn_ivf_from_index(spark, path, [0, 1, 2]).explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan
+
+
+def test_containment_dupes_oracle_and_planted(spark, sf_dir, duck):
+    """Containment tier: oracle parity on the corpus, and the defining
+    case — a short doc quoted whole inside a long one — is found at
+    containment 1.0 despite Jaccard far below any near-dup threshold."""
+    from bigdata2016w_spark.operators.dedup import (
+        containment_near_dupes,
+        jaccard_near_dupes,
+    )
+
+    spec = all_specs()["documents_containment_dupes"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}a w{i}b w{i}c" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = containment_near_dupes(docs, 0.9).collect()
+    assert [(r.doc_contained, r.doc_container) for r in got] == [(1, 2)]
+    assert got[0].containment == 1.0
+    assert jaccard_near_dupes(docs, 0.5).count() == 0  # Jaccard misses it
