@@ -105,8 +105,6 @@ def main(argv: list[str] | None = None) -> int:
         return _export(args)
 
     if args.cmd == "admit":
-        from pyspark.sql import functions as F
-
         from bigdata2016w_spark import get_spark
         from bigdata2016w_spark.streaming.ingest import dedup_admission_sink
 
@@ -124,7 +122,11 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
         )
         q.awaitTermination()
-        n = spark.read.parquet(f"{args.output}/batch=*").count()
+        from bigdata2016w_spark.streaming.ingest import _accepted
+
+        # _accepted handles the no-batch-ever-committed case (empty input
+        # stream) by returning an empty frame instead of PATH_NOT_FOUND
+        n = _accepted(spark, args.output, schema).count()
         print(f"accepted corpus: {n} docs in {args.output}")
         return 0
 

@@ -130,7 +130,7 @@ def jaccard_near_dupes(
     suite of dedup jobs shares at cluster scale) to skip re-shingling.
 
     ``metrics``: optionally pass a dict; it is populated with
-    ``Observation`` objects (keys ``prefix_rows``, ``candidates``,
+    ``Observation`` objects (keys ``shingle_rows``, ``candidates``,
     ``verified``) whose ``.get`` reads the pipeline's cost breakdown —
     prefix-index size, post-filter candidate pairs, surviving pairs —
     after the consuming action, so PPJoin skew growth is visible in the

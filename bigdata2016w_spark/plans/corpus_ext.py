@@ -387,6 +387,35 @@ register(QuerySpec("media_audio_features", media_audio_features,
 BPE_MERGES = 10
 
 
+def _bpe_lit(s: str) -> str:
+    """Escape for a Spark SQL string literal: backslashes first (the
+    parser processes \\-escapes), then doubled single quotes."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
+def _merge_fold(left: str, right: str) -> str:
+    """The BPE merge rewrite as ONE JVM-side left-to-right ``aggregate``
+    fold over a symbol array (the standard greedy non-overlapping merge
+    pass; no Python in the loop). Shared verbatim by the data-dependent
+    learner (``bpe_learn``) and its oracle-proven closed-form twin
+    (``bpe_apply_closed_form``)."""
+    lq, rq = _bpe_lit(left), _bpe_lit(right)
+    return (
+        "aggregate(sequence(1, size(sym)),"
+        " struct(cast(array() as array<string>) as out,"
+        "        false as skip),"
+        " (acc, i) -> if(acc.skip,"
+        "   struct(acc.out as out, false as skip),"
+        f"  if(i < size(sym) and element_at(sym, i) = '{lq}'"
+        f"     and element_at(sym, i + 1) = '{rq}',"
+        f"    struct(concat(acc.out, array('{lq}{rq}')) as out,"
+        "            true as skip),"
+        "     struct(concat(acc.out, array(element_at(sym, i))) as out,"
+        "            false as skip))),"
+        " acc -> acc.out)"
+    )
+
+
 def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     """Byte-pair-encoding vocabulary induction over the corpus — the
     tokenizer-training step of an LLM data pipeline (Sennrich et al.
@@ -460,27 +489,9 @@ def bpe_learn(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             break
         left, right, pf = row[0].l, row[0].r, int(row[0].pf)
         merges.append((r, left, right, pf))
-        # escape for a Spark SQL string literal: backslashes first (the
-        # parser processes \-escapes), then doubled single quotes
-        def _lit(s: str) -> str:
-            return s.replace("\\", "\\\\").replace("'", "''")
-
-        lq, rq = _lit(left), _lit(right)
-        fold = (
-            "aggregate(sequence(1, size(sym)),"
-            " struct(cast(array() as array<string>) as out,"
-            "        false as skip),"
-            " (acc, i) -> if(acc.skip,"
-            "   struct(acc.out as out, false as skip),"
-            f"  if(i < size(sym) and element_at(sym, i) = '{lq}'"
-            f"     and element_at(sym, i + 1) = '{rq}',"
-            f"    struct(concat(acc.out, array('{lq}{rq}')) as out,"
-            "            true as skip),"
-            "     struct(concat(acc.out, array(element_at(sym, i))) as out,"
-            "            false as skip))),"
-            " acc -> acc.out)"
+        words = words.select(
+            "freq", F.expr(_merge_fold(left, right)).alias("sym")
         )
-        words = words.select("freq", F.expr(fold).alias("sym"))
         if r % 3 == 0:
             words = words.localCheckpoint(eager=True)
     spark = docs.sparkSession

@@ -22,15 +22,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _accepted(spark, target_dir: str, schema) -> DataFrame:
+def _accepted(
+    spark, target_dir: str, schema, before_batch: int | None = None
+) -> DataFrame:
     """All previously admitted docs (batch-stamped subdirs), or an empty
-    frame with the right schema before the first batch commits."""
-    from pyspark.errors import AnalysisException
+    frame with the right schema before the first batch commits.
 
-    try:
-        return spark.read.schema(schema).parquet(f"{target_dir}/batch=*")
-    except AnalysisException:
+    ``before_batch`` (the replaying sink passes its own batch id) excludes
+    that batch's — and any later — subdirectory. Without it, a replay of a
+    batch whose parquet write succeeded but whose checkpoint commit did not
+    would anti-join the batch against its OWN prior output, classify every
+    doc as already-accepted, and overwrite ``batch=N`` with an empty set:
+    silent permanent loss. Subdirs are enumerated via the Hadoop FileSystem
+    API (a metadata listing, works on any DFS), never a glob that could
+    swallow the in-flight batch."""
+    path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = []
+    if fs.exists(path):
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch=")):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if before_batch is None or bid < before_batch:
+                dirs.append(st.getPath().toString())
+    if not dirs:
         return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def admit_batch(
@@ -73,7 +95,9 @@ def dedup_admission_sink(
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        accepted = _accepted(spark, target_dir, batch_df.schema)
+        accepted = _accepted(
+            spark, target_dir, batch_df.schema, before_batch=batch_id
+        )
         survivors = admit_batch(batch_df, accepted, threshold)
         survivors.write.mode("overwrite").parquet(
             f"{target_dir}/batch={batch_id}"
