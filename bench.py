@@ -92,18 +92,26 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
-    # Isolated re-measurement of three spot-check queries (best-of-3
-    # after a full GC): the regression-tracking reference numbers, free
-    # of suite-context noise. Suite vs isolated drift > ~1.3x on these
-    # means the suite protocol is inflating again.
+    # Isolated re-measurement of the suite's slowest spot-check queries
+    # (best-of-3 after a full GC): the regression-tracking reference
+    # numbers, free of suite-context noise. Suite vs isolated drift
+    # > ~1.3x on these means the suite protocol is inflating again.
     isolated: dict[str, float] = {}
     for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
-                 "ann_ivf_lloyd"):
+                 "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
+                 "graph_sssp_hops", "shared_shingle_pairs_pipeline"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = specs[name].fn(spark, sf_dir).collect()
+            if name == "shared_shingle_pairs_pipeline":
+                # memoized — clear so the isolated number is a true
+                # full re-materialization, like the suite line above
+                _pipe._JACCARD_PAIRS_CACHE.clear()
+                _pipe._SHINGLES_CACHE.clear()
+                _pipe._shared_jaccard_pairs(spark, sf_dir).count()
+            else:
+                _ = specs[name].fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         isolated[name] = round(best, 3)
 
@@ -116,13 +124,31 @@ def main() -> None:
         "ppjoin": ppjoin_metrics,
         "sf": sf,
     }
-    # The driver captures stdout and has truncated it before
-    # (BENCH_r03.json: "parsed": null) — persist the full artifact
-    # locally so per-query history survives regardless.
+    # The full 126-entry artifact lives in committed BENCH_LOCAL.json —
+    # per-query history survives regardless of stdout capture limits.
     Path(__file__).with_name("BENCH_LOCAL.json").write_text(
         json.dumps(payload, indent=1) + "\n"
     )
+    # The driver tail-captures stdout and parses the LAST line; a
+    # one-line dump of all 126 queries overflowed that capture three
+    # rounds running (BENCH_r03..r05: "parsed": null). Print the full
+    # payload first for humans, then a COMPACT machine line last:
+    # suite_wall + the slowest 16 suite timings + the isolated
+    # re-runs + the PPJoin cost counters (~1 KB).
     print(json.dumps(payload))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:16])
+    compact = {
+        "metric": "suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_full": "BENCH_LOCAL.json",
+        "isolated": isolated,
+        "ppjoin": ppjoin_metrics,
+        "sf": sf,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -397,6 +397,7 @@ def jaccard_cross_near_dupes(
     index_docs: DataFrame,
     probe_docs: DataFrame,
     threshold: float = 0.5,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Cross-corpus PPJoin: exact Jaccard near-dup pairs between a probe
     shard and an indexed reference corpus — the incremental-dedup shape
@@ -451,6 +452,12 @@ def jaccard_cross_near_dupes(
         .distinct()
         .repartition(par, "probe_id")
     )
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        metrics["candidates"] = Observation("cross_ppjoin_candidates")
+        cand = cand.observe(metrics["candidates"],
+                            F.count(F.lit(1)).alias("n"))
     sp = canon.where(F.col("side") == "p").select(
         F.col("doc_id").alias("probe_id"), F.col("shingles").alias("sh_p"))
     si = canon.where(F.col("side") == "i").select(
@@ -468,6 +475,7 @@ def containment_near_dupes(
     docs: DataFrame,
     threshold: float = 0.9,
     shingled: DataFrame | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Asymmetric containment dedup: ordered pairs
     (doc_contained, doc_container, containment) with
@@ -517,6 +525,12 @@ def containment_near_dupes(
         .distinct()
         .repartition(par, "doc_contained")
     )
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        metrics["candidates"] = Observation("containment_candidates")
+        cand = cand.observe(metrics["candidates"],
+                            F.count(F.lit(1)).alias("n"))
     sa = canon.withColumnsRenamed(
         {"doc_id": "doc_contained", "shingles": "sh_a"})
     sb = canon.withColumnsRenamed(

@@ -490,7 +490,8 @@ def adaptive_num_planes(
 
 def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
                          num_planes: int | None = None, dim: int = 64,
-                         n_tables: int | None = None) -> DataFrame:
+                         n_tables: int | None = None,
+                         n_vectors: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc-level dedup by embedding):
     LSH blocking, exact cosine verification, pairs with cosine ≥ threshold.
 
@@ -511,7 +512,13 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
     probe radius, whose candidate factor grows with P). Fully
     deterministic given the seeds."""
     if num_planes is None:
-        num_planes = adaptive_num_planes(embeddings.count())
+        # ``n_vectors`` lets callers pass a catalog/footer statistic
+        # (sources.catalog.table_row_count) so sizing the blocker costs
+        # a metadata read, not a full scan; count() stays as fallback
+        # for frames with no backing table
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        num_planes = adaptive_num_planes(n_vectors)
     if n_tables is None:
         n_tables = 1 if num_planes <= EMB_MIN_PLANES else EMB_TABLES_AT_SCALE
     # the plane-dot projection and verify join parallelize per partition;

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
+from bigdata2016w_spark.functions.tokenizer import (
+    tokenize,
+    tokenize_letters,
+    tokenize_letters_sql,
+    tokenize_sql,
+)
 from bigdata2016w_spark.operators.topk import topk_per_group
 from bigdata2016w_spark.plans.sampling import KNUTH
 from bigdata2016w_spark.registry import QuerySpec, register
@@ -506,6 +511,93 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec("bpe_merge_table", bpe_merge_table, None,
                    doc=bpe_learn.__doc__))
+
+
+# Fixed literal merge table for the closed-form twin: common English
+# digraphs, applied in order (later merges may consume earlier outputs,
+# e.g. ('th','e') after ('t','h') — exercising the multi-char-symbol
+# path of the fold).
+BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+]
+
+
+def bpe_apply_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-proven twin of ``bpe_learn``'s rewrite machinery: apply the
+    FIXED literal merge table ``BPE_FIXED_MERGES`` to the corpus
+    vocabulary with the exact same JVM-side ``_merge_fold`` expression
+    the learner uses each round, then return the resulting token
+    frequency table (top 100, total-ordered). ``bpe_learn`` itself is
+    rows-only (data-dependent driver decisions pick each round's pair);
+    this query removes the data dependence so DuckDB can replay the
+    greedy non-overlapping merge pass and certify the fold.
+
+    a5-letters tokenization keeps symbols in ``[a-z]+`` so the oracle's
+    delimited-string ``replace`` encoding needs no escaping.
+    Reference anchor: the merge pass is the BPE step of Sennrich et al.
+    2016; the reference repo has no tokenizer training — this is part of
+    the LLM-pipeline extension tier.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_letters("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("sym"),
+        )
+    )
+    for left, right in BPE_FIXED_MERGES:
+        words = words.select(
+            "freq", F.expr(_merge_fold(left, right)).alias("sym")
+        )
+    return (
+        words.select("freq", F.explode("sym").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("token_freq"))
+        .orderBy(F.desc("token_freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB replay of the greedy non-overlapping merge pass.
+
+    Encoding: each symbol individually wrapped in '|' ('|a||b||c|');
+    one merge (l, r) is then ``replace(s, '|l||r|', '|lr|')`` — SQL
+    ``replace`` scans left-to-right and never rescans its own output,
+    which is exactly the fold's emit-then-skip semantics (each '||'
+    boundary is consumed by at most one merge per pass). Symbols are
+    [a-z]+ (a5 tokenizer), so '|' cannot collide.
+    """
+    s = ("'|' || array_to_string(list_transform("
+         "range(1, length(word) + 1), i -> word[i]), '||') || '|'")
+    for left, right in BPE_FIXED_MERGES:
+        s = f"replace({s}, '|{left}||{right}|', '|{left}{right}|')"
+    return f"""
+WITH toks AS (
+  SELECT unnest({tokenize_letters_sql('text')}) AS word FROM documents
+), vocab AS (
+  SELECT word, count(*) AS freq FROM toks GROUP BY word
+), merged AS (
+  SELECT freq, {s} AS s FROM vocab
+)
+SELECT token, CAST(sum(freq) AS BIGINT) AS token_freq
+FROM (SELECT freq, unnest(string_split(trim(s, '|'), '||')) AS token
+      FROM merged)
+GROUP BY token
+ORDER BY token_freq DESC, token ASC
+LIMIT 100
+"""
+
+
+register(QuerySpec("bpe_apply_closed_form", bpe_apply_closed_form,
+                   _bpe_apply_sql(), doc=bpe_apply_closed_form.__doc__))
 
 
 EMB_QUANT = 1_000_000

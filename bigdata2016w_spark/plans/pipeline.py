@@ -134,7 +134,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dupes(load_table(spark, sf_dir, "embeddings"))
+    from bigdata2016w_spark.sources.catalog import table_row_count
+
+    # size the LSH blocker from the parquet footer stat — no count() scan
+    return embedding_near_dupes(
+        load_table(spark, sf_dir, "embeddings"),
+        n_vectors=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 # quality on the synthetic corpus spans ~0.23-0.46; 0.33 ≈ the median

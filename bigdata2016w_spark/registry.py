@@ -63,44 +63,43 @@ _SPEC_MODULES = [
 # module import order — e.g. relational mixes long-green q1–q9 with the
 # never-checked q10–q22).
 #
-# ROUND 4 window: the 35 queries with no driver verdict in r01–r03
-# (enumerated from CORRECTNESS_r0{1,2,3}.json), then 15 queries whose only
-# green rows are r01/r02 (similarity/dedup-cluster/curation/events picks).
+# ROUND 6 window (26 front + 24 fillers = 50): first the 8 queries with
+# NO driver verdict in r01–r05 plus bpe_apply_closed_form (new in r6),
+# then the 17 queries whose only green rows are r02 — including the three
+# events-window queries whose SQL changed in r4 AFTER their last green
+# (plans/events.py NULL-ts filter), so their certificates are void.
+# Fillers: the 24 oldest r03-only greens in registration order. The 5
+# rows-only no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble,
+# sgd_auc, bpe_merge_table) sit BEHIND the window — an oracle slot spent
+# on a rows-only check is wasted.
 #
-# ROUND 5 TODO: rotate again — the remaining 15 r02-only greens
-# (q1–q7_*, index_stats, term_postings, retrieval_and/or_and/bm25,
-# events_tumbling_hour/sliding/sessions) go to the front, the r04 window
-# moves behind them. After r05 every registered query holds a green row
-# from r03, r04, or r05.
+# ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
+# (orders_upsert .. dedup_simhash in registration order), fillers from
+# the oldest r05 greens. After r07 every oracle-backed query holds a
+# green row from r05+.
 _WINDOW_FRONT = [
-    # --- never driver-checked as of r03 (35) ---
-    # similarity remainder
-    "ann_ivf", "ann_ivf_flat", "embedding_hard_negatives",
-    # TPC-H shapes added r2/r3
-    "q4_priority_late_exists", "q21_waiting_supplier",
-    "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
-    "q16_supplier_count", "q19_disjunctive_revenue", "q22_sales_opportunity",
-    "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
-    "q13_customer_distribution", "q18_large_volume_customers",
-    # ml (the *_closed_form pair are r04 additions — oracle-backed twins
-    # of the score/ensemble machinery behind the rows-only sgd_* queries)
-    "sgd_scores", "sgd_ensemble", "sgd_auc", "auc_rank_check",
-    "sgd_score_closed_form", "sgd_ensemble_closed_form",
-    # traversal / maintenance
-    "graph_sssp_hops", "orders_column_stats",
-    # corpus_ext (all)
-    "documents_reservoir_by_source", "events_user_value_anomalies",
-    "doc_bigram_surprisal", "documents_pack_sequences",
-    "media_audio_features", "bpe_merge_table",
-    "embedding_covariance_stats", "hybrid_search_rrf",
-    "skipgram_training_pairs", "orders_incremental_daily_agg",
-    "events_trending_keys", "documents_chunk_for_rag",
-    "events_hourly_unique_users",
-    # --- oldest greens (r01/r02 only), 15 picks to fill the window ---
-    "ann_bruteforce", "ann_lsh", "dedup_clusters", "dedup_clusters_star",
-    "embedding_label_centroids", "embedding_nearest_centroid",
-    "doc_stats", "doc_lang_id", "corpus_curation", "retrieval_phrase",
-    "events_funnel", "user_retention_cohorts", "events_hourly_gapfill",
+    # --- never driver-sampled as of r05 (8) + the r6 addition (1) ---
+    "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
+    "events_nation_hourly", "documents_token_budget_mix",
+    "documents_pii_scrub", "documents_incremental_dedup",
+    "documents_containment_dupes", "bpe_apply_closed_form",
+    # --- r02-only greens (17): a5 core parity set + retrieval +
+    #     the three post-green-SQL-change events windows ---
+    "q1_count_shipped", "q2_order_status", "q3_part_supplier",
+    "q4_nation_counts", "q5_monthly_nation", "q6_lineitem_agg",
+    "q7_top_revenue", "index_stats", "term_postings",
+    "retrieval_and", "retrieval_or_and", "retrieval_bm25",
+    "events_json_agg", "events_tumbling_hour", "events_sliding",
+    "events_sessions", "orders_daily_moving_avg",
+    # --- fillers: oldest r03-only greens, registration order (24) ---
+    "view_purchase_attribution", "asof_purchase_view", "events_close_pairs",
+    "word_count", "prefix_count", "bigram_relfreq_pairs",
+    "bigram_relfreq_stripes", "pmi_pairs", "orders_rollup", "orders_cube",
+    "customer_rank_window", "nation_distinct_counts", "orders_grouping_sets",
+    "totalprice_histogram", "customer_acctbal_quartiles", "pmi_stripes",
+    "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
+    "customers_semi_join", "customers_anti_join", "segment_set_ops",
+    "daily_orders_events_reconcile", "orders_pivot", "lineitem_unpivot",
 ]
 
 

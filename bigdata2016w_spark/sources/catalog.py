@@ -95,6 +95,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a catalog-stats
+    lookup, not a Spark job. Operators that size themselves to the input
+    (``embedding_near_dupes``'s adaptive plane count) use this instead of
+    a ``count()`` action, saving one full scan per invocation; on a real
+    warehouse this is the table-stats read every CBO already does."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    dataset = ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet")
+    return sum(
+        (f.metadata.num_rows if f.metadata is not None
+         else pq.read_metadata(f.path).num_rows)
+        for f in dataset.get_fragments()
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every catalog table (lazy — scans happen per-query)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -84,6 +84,17 @@ def admit_batch(
     return b.join(near, "doc_id", "left_anti").select(*batch_df.columns)
 
 
+def _checkpoint_started(spark, checkpoint_dir: str) -> bool:
+    """True iff the checkpoint has logged at least one offset — i.e. this
+    query has run before under this checkpoint (even if no batch ever
+    committed)."""
+    offsets = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{checkpoint_dir}/offsets"
+    )
+    fs = offsets.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(offsets)) and len(fs.listStatus(offsets)) > 0
+
+
 def dedup_admission_sink(
     docs_stream: DataFrame,
     target_dir: str,
@@ -91,7 +102,27 @@ def dedup_admission_sink(
     threshold: float = 0.5,
 ):
     """Start the admission stream: returns the StreamingQuery. Survivors
-    of batch N land in ``{target_dir}/batch=N``."""
+    of batch N land in ``{target_dir}/batch=N``.
+
+    ``target_dir`` and ``checkpoint_dir`` live and die together: batch ids
+    are the replay-safety keys, so a FRESH checkpoint (ids restart at 0)
+    pointed at a target that already holds ``batch=`` subdirs would treat
+    every existing batch as "later than me" — silently excluded from dedup,
+    then overwritten one by one as the new run advances. Fail fast instead
+    of losing the old corpus."""
+    spark = docs_stream.sparkSession
+    if not _checkpoint_started(spark, checkpoint_dir):
+        existing = _accepted(
+            spark, target_dir, docs_stream.schema
+        ).inputFiles()
+        if existing:
+            raise ValueError(
+                f"target_dir {target_dir!r} already holds batch= subdirs "
+                f"but checkpoint_dir {checkpoint_dir!r} is fresh — batch "
+                "ids would restart at 0 and overwrite accepted batches. "
+                "Reuse the original checkpoint, or point the stream at an "
+                "empty target."
+            )
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -104,16 +104,51 @@ def main() -> None:
           f" — ~1.0 is linear, 2.0 would be quadratic)")
 
     # cross-corpus incremental dedup: probe 1/4 of the corpus against the
-    # other 3/4 — work must track cross candidates, not corpus²
-    from bigdata2016w_spark.operators.dedup import jaccard_cross_near_dupes
+    # other 3/4 — work must track cross candidates, not corpus². Same
+    # doubling protocol as symmetric PPJoin: candidates/doc must stay
+    # ~flat from half-corpus to full-corpus.
+    from bigdata2016w_spark.operators.dedup import (
+        containment_near_dupes,
+        jaccard_cross_near_dupes,
+    )
 
     t0 = time.perf_counter()
+    xm: dict = {}
     n_cross = jaccard_cross_near_dupes(
         docs.where(F.col("doc_id") % 4 != 0),
         docs.where(F.col("doc_id") % 4 == 0),
+        metrics=xm,
     ).count()
+    xc_full = xm["candidates"].get["n"]
     print(f"cross incremental dedup (1/4 probe vs 3/4 index): "
-          f"{time.perf_counter() - t0:.1f}s, {n_cross} cross pairs")
+          f"{time.perf_counter() - t0:.1f}s, {n_cross} cross pairs, "
+          f"{xc_full} candidates ({xc_full / n_docs:.3f}/doc)")
+    xm2: dict = {}
+    jaccard_cross_near_dupes(
+        half.where(F.col("doc_id") % 4 != 0),
+        half.where(F.col("doc_id") % 4 == 0),
+        metrics=xm2,
+    ).count()
+    xc_half = xm2["candidates"].get["n"]
+    rx_f, rx_h = xc_full / n_docs, xc_half / (n_docs // 2)
+    print(f"cross candidates/doc: {rx_h:.3f} @ {n_docs // 2} -> "
+          f"{rx_f:.3f} @ {n_docs} (ratio {rx_f / max(rx_h, 1e-9):.2f}x)")
+
+    # containment tier (contained-side prefix pruning): same doubling pin
+    t0 = time.perf_counter()
+    cm: dict = {}
+    n_cont = containment_near_dupes(docs, 0.9, shingled=sh,
+                                    metrics=cm).count()
+    cc_full = cm["candidates"].get["n"]
+    print(f"containment dedup: {time.perf_counter() - t0:.1f}s, "
+          f"{n_cont} pairs, {cc_full} candidates "
+          f"({cc_full / n_docs:.3f}/doc)")
+    cm2: dict = {}
+    containment_near_dupes(half, 0.9, metrics=cm2).count()
+    cc_half = cm2["candidates"].get["n"]
+    rc_f, rc_h = cc_full / n_docs, cc_half / (n_docs // 2)
+    print(f"containment candidates/doc: {rc_h:.3f} @ {n_docs // 2} -> "
+          f"{rc_f:.3f} @ {n_docs} (ratio {rc_f / max(rc_h, 1e-9):.2f}x)")
 
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)

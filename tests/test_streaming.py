@@ -443,3 +443,126 @@ def test_dedup_admission_sink_across_batches(spark, tmp_path):
     again = {r.doc_id for r in spark.read.parquet(
         str(tmp_path / "corpus" / "batch=*")).collect()}
     assert again == {1, 4, 12}
+
+
+def test_accepted_before_batch_excludes_own_and_later(spark, tmp_path):
+    """Unit contract of the replay-safety listing (`_accepted`): planted
+    batch=0..2 subdirs; before_batch=1 must read ONLY batch=0 — the
+    replaying batch's own prior output (and anything later) is excluded,
+    never anti-joined against itself."""
+    from bigdata2016w_spark.streaming.ingest import _accepted
+
+    schema = "doc_id long, text string"
+    tgt = tmp_path / "corpus"
+    for bid in (0, 1, 2):
+        spark.createDataFrame(
+            [(bid * 10, f"text {bid}")], schema
+        ).write.parquet(str(tgt / f"batch={bid}"))
+    # a non-batch sibling (e.g. _SUCCESS dirs, stray exports) is ignored
+    spark.createDataFrame([(99, "stray")], schema).write.parquet(
+        str(tgt / "export")
+    )
+
+    def ids(before):
+        return {
+            r.doc_id
+            for r in _accepted(
+                spark, str(tgt), schema, before_batch=before
+            ).collect()
+        }
+
+    assert ids(None) == {0, 10, 20}
+    assert ids(3) == {0, 10, 20}
+    assert ids(2) == {0, 10}
+    assert ids(1) == {0}
+    assert ids(0) == set()
+
+
+def test_dedup_admission_replay_lost_commit(spark, tmp_path):
+    """THE data-loss regression the r5 fix targets: batch 1's parquet
+    write succeeded but its checkpoint commit was lost (simulated by
+    deleting commits/1). The restart replays batch 1; with the pre-r5
+    glob listing the batch would anti-join against its OWN surviving
+    output, classify every doc as already-accepted, and overwrite
+    batch=1 with an EMPTY set. The fix must re-admit the same
+    survivors."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.streaming.ingest import dedup_admission_sink
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = [(1, base), (4, "one two three four five six seven")]
+    b2 = [(10, base),                                       # dup of 1
+          (12, "totally different words here nothing shared")]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "doc_id long, text string"
+    for i, rows in enumerate((b1, b2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(sdir))
+        )
+
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    q = dedup_admission_sink(src(), corpus, ckpt)
+    q.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{corpus}/batch=*").collect()} == {1, 4, 12}
+
+    # lose batch 1's commit record: parquet output stays, checkpoint
+    # believes batch 1 never finished -> restart MUST replay it
+    # (drop the Hadoop CRC sidecar too, else the local FS rejects the
+    # replay's re-written commit file as a concurrent modification)
+    for f in ("1", ".1.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+    q2 = dedup_admission_sink(src(), corpus, ckpt)
+    q2.awaitTermination()
+    batch1 = {r.doc_id for r in spark.read.parquet(
+        f"{corpus}/batch=1").collect()}
+    assert batch1 == {12}, (
+        f"replayed batch=1 holds {batch1} — the replay emptied or "
+        "corrupted its own output"
+    )
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{corpus}/batch=*").collect()} == {1, 4, 12}
+
+
+def test_dedup_admission_fresh_checkpoint_guard(spark, tmp_path):
+    """target_dir and checkpoint_dir live and die together: a FRESH
+    checkpoint (batch ids restart at 0) pointed at a target that already
+    holds accepted batches must fail fast instead of silently excluding
+    them from dedup and overwriting them one by one."""
+    import pytest
+
+    from bigdata2016w_spark.streaming.ingest import dedup_admission_sink
+
+    schema = "doc_id long, text string"
+    tgt = tmp_path / "corpus"
+    spark.createDataFrame([(1, "already accepted")], schema).write.parquet(
+        str(tgt / "batch=0")
+    )
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    spark.createDataFrame([(2, "new doc")], schema).coalesce(1).write.parquet(
+        str(tmp_path / "w0")
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "w0"))
+    )
+    with pytest.raises(ValueError, match="fresh"):
+        dedup_admission_sink(src, str(tgt), str(tmp_path / "ckpt_new"))
