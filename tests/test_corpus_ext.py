@@ -13,6 +13,7 @@ EXT = [
     "documents_reservoir_by_source",
     "events_user_value_anomalies",
     "doc_bigram_surprisal",
+    "bpe_apply_closed_form",
 ]
 
 
@@ -197,6 +198,34 @@ def test_bpe_matches_python_fold(spark, sf_dir):
     want = _python_bpe(Counter(r.w for r in toks), 10)
     assert got == want
     assert len(got) == 10
+
+
+def test_merge_fold_greedy_nonoverlap(spark):
+    """Pin the one subtle semantic of the shared JVM merge fold (used by
+    both bpe_learn and bpe_apply_closed_form): merges are greedy
+    left-to-right and NON-overlapping — 'aaa' under (a,a) is [aa, a],
+    never [a, aa] or [aa, aa]; and a merged symbol can immediately feed
+    a later merge pass but not the current one."""
+    from bigdata2016w_spark.plans.corpus_ext import _merge_fold
+
+    def apply_fold(word, pairs):
+        df = spark.createDataFrame([(word,)], "word string").select(
+            F.expr("transform(sequence(1, length(word)),"
+                   " i -> substring(word, i, 1))").alias("sym")
+        )
+        for left, right in pairs:
+            df = df.select(F.expr(_merge_fold(left, right)).alias("sym"))
+        return df.collect()[0].sym
+
+    assert apply_fold("aaa", [("a", "a")]) == ["aa", "a"]
+    assert apply_fold("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert apply_fold("aaaaa", [("a", "a")]) == ["aa", "aa", "a"]
+    # chained merge: second pass consumes the first pass's output
+    assert apply_fold("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+    # boundary safety: (b, c) must not fire inside symbol 'ab'
+    assert apply_fold("abc", [("a", "b"), ("b", "c")]) == ["ab", "c"]
+    # trailing unmerged symbol survives
+    assert apply_fold("aba", [("a", "b")]) == ["ab", "a"]
 
 
 def test_bpe_learns_multichar_units(spark, sf_dir):
