@@ -378,3 +378,162 @@ WHERE len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
 
 register(QuerySpec("documents_pii_scrub", documents_pii_scrub, _pii_sql(),
                    doc=documents_pii_scrub.__doc__))
+
+
+def scrub_dup_spans(docs: DataFrame, span: int = 3) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the rewrite step behind
+    ``dup_spans``'s signal (the ExactSubstr dedup of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    token-``span``-gram granularity): any ``span``-token window that
+    occurs in ≥2 distinct documents is kept only in its OWNER (the
+    min-doc_id document containing it) and its covered token positions
+    are deleted everywhere else. Overlapping duplicated windows union
+    their covered positions, so a long shared passage is removed whole.
+    Within-document repetition (n_docs = 1) is untouched — that is
+    ``doc_repetition_stats``'s axis.
+
+    Returns (doc_id, n_tokens, n_removed, scrubbed_text) for EVERY doc —
+    scrubbed_text is the kept tokens rejoined with single spaces
+    (tokenized-normalized, like every text op here).
+
+    Shape: posexplode tokens → span-gram occurrence table → global
+    (count distinct docs, min doc) hash agg → equi-join back → distinct
+    removed positions → anti-join → per-doc ordered reassembly via
+    sort_array(collect_list(struct)). Everything keys on token/span-gram
+    or doc_id: linear in corpus tokens, no pairwise candidate set, same
+    two-shuffle class as ``dup_spans``. The only wide row is a doc's own
+    token list — bounded by max doc length, never corpus-sized.
+    """
+    # widen coarse scan splits (one small parquet file = one partition)
+    # so the regex tokenizer isn't single-threaded, then materialize the
+    # tokenization ONCE — it feeds the occurrence table, the
+    # position-token table, and the final n_tokens base; without the
+    # eager cut each consumer re-runs the tokenizer over the whole corpus
+    # (together measured 3.7 s → 2.9 s at sf0.1; the remainder is the
+    # span-gram shuffles, inherent to the op)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    toks = docs.select("doc_id", tokenize("text").alias("t")).localCheckpoint(
+        eager=True
+    )
+    # occurrence table: (doc_id, pos, sh) for every span-gram; guard the
+    # short-doc case explicitly — Spark's sequence(1, n) runs DESCENDING
+    # for n < 1 instead of returning empty
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (span - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("t", i + k) for k in range(span)],
+                        ).alias("sh"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<pos:int,sh:string>>"))
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.sh").alias("sh"))
+    glob = occ.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("ndocs"),
+        F.min("doc_id").alias("owner"),
+    )
+    removed = (
+        occ.join(glob, "sh")
+        .where((F.col("ndocs") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok.join(removed, ["doc_id", "p"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("p", "tok"))).tok, " "
+        ).alias("scrubbed"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+def documents_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+_SCRUB_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, o.pos AS pos, o.sh AS sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(t) - 1),
+             i -> {{'pos': i,
+                    'sh': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}})) AS o
+    FROM toks
+  )
+),
+gstats AS (
+  SELECT sh, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS owner
+  FROM occ GROUP BY sh
+),
+removed AS (
+  SELECT DISTINCT doc_id, p
+  FROM (
+    SELECT occ.doc_id, unnest([pos, pos + 1, pos + 2]) AS p
+    FROM occ JOIN gstats USING (sh)
+    WHERE gstats.ndocs >= 2 AND occ.doc_id <> gstats.owner
+  )
+),
+tok AS (
+  SELECT doc_id, u.p AS p, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+                                 i -> {{'p': i, 'tok': t[i]}})) AS u
+    FROM toks
+  )
+),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tok
+  FROM tok ANTI JOIN removed USING (doc_id, p)
+),
+kept_agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS scrubbed
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - coalesce(kept_agg.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       coalesce(kept_agg.scrubbed, '') AS scrubbed_text
+FROM toks LEFT JOIN kept_agg USING (doc_id)
+"""
+
+
+register(QuerySpec("documents_scrub_dup_spans", documents_scrub_dup_spans,
+                   _SCRUB_SPAN_SQL, doc=scrub_dup_spans.__doc__))

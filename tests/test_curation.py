@@ -7,7 +7,8 @@ import pytest
 from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
 
-CURATION = ["doc_repetition_stats", "contamination_check", "dup_span_fraction"]
+CURATION = ["doc_repetition_stats", "contamination_check",
+            "dup_span_fraction", "documents_scrub_dup_spans"]
 
 
 @pytest.mark.parametrize("name", CURATION)
@@ -147,3 +148,53 @@ def test_pii_scrub_planted_values(spark, tmp_path):
         assert tuple(want[i]) == (
             i, g.n_email, g.n_ssn, g.n_phone, g.n_ipv4, g.clean_text
         )
+
+
+def test_scrub_dup_spans_planted_semantics(spark):
+    """Hand-checkable span removal: doc 1 and doc 2 share a 4-token
+    passage; the OWNER (min doc_id = 1) keeps it, doc 2 loses exactly
+    the covered tokens, and a doc sharing nothing is untouched. A doc
+    whose text repeats a 3-gram only WITHIN itself keeps everything
+    (cross-doc axis only)."""
+    from bigdata2016w_spark.plans.curation import scrub_dup_spans
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro one"),
+            (2, f"different start {shared} different end"),
+            (3, "nothing in common with anybody at all"),
+            (4, "loop loop loop loop loop"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_dup_spans(docs).collect()}
+
+    # owner keeps the passage verbatim
+    assert out[1].n_removed == 0
+    assert out[1].scrubbed_text == f"intro one two {shared} outro one"
+    # non-owner loses the union of covered positions: the 4 shared tokens
+    # (two overlapping duplicated 3-grams) and nothing else
+    assert out[2].n_removed == 4
+    assert out[2].scrubbed_text == "different start different end"
+    # disjoint doc untouched
+    assert out[3].n_removed == 0
+    # within-doc repetition untouched (ndocs == 1 for 'loop loop loop')
+    assert out[4].n_removed == 0
+    assert out[4].scrubbed_text == "loop loop loop loop loop"
+
+
+def test_scrub_dup_spans_short_docs_survive(spark):
+    """Docs below the span length (< 3 tokens, even 0) must pass through
+    unscathed rather than vanish or crash the sequence() guard."""
+    from bigdata2016w_spark.plans.curation import scrub_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_dup_spans(docs).collect()}
+    assert out[1] == (1, 2, 0, "one two")
+    assert out[2] == (2, 1, 0, "solo")
+    assert out[3] == (3, 0, 0, "")
+    assert out[4].n_removed == 0
