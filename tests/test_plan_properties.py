@@ -395,3 +395,29 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_scrub_dup_spans_no_cartesian_no_udf(spark, sf_dir):
+    """Span removal must stay a chain of exploded equi-joins and hash
+    aggregates: no cartesian/broadcast-nested-loop candidate generation,
+    no Python in the hot path, and the span-gram frequency agg runs in
+    partial+final mode."""
+    from bigdata2016w_spark.plans.curation import documents_scrub_dup_spans
+
+    plan = _formatted_plan(documents_scrub_dup_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the non-owner filter anti-joins positions, never inner-joins text
+    assert "LeftAnti" in plan
+
+
+def test_bpe_apply_fold_stays_jvm_side(spark, sf_dir):
+    """The closed-form merge application is pure JVM expression work:
+    one aggregation pair over the vocab, zero Python evaluation nodes."""
+    from bigdata2016w_spark.plans.corpus_ext import bpe_apply_closed_form
+
+    plan = _formatted_plan(bpe_apply_closed_form(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
