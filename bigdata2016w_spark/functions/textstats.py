@@ -65,6 +65,35 @@ def fingerprint_sql(col: str) -> str:
     return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
 
 
+def quality_col(text: Column) -> Column:
+    """The bounded [0,1] linear quality mix on its own — the ranking key
+    for quality-aware survivor selection (``dedup_keep_best``) as well as
+    a ``doc_stats`` output column."""
+    t = tokenize(text)
+    nf = F.size(t).cast("double")
+    stop_ratio = _count_in(t, EN_STOP).cast("double") / nf
+    ttr = F.size(F.array_distinct(t)).cast("double") / nf
+    return F.round(
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * F.least(nf / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * ttr,
+        6,
+    )
+
+
+def quality_sql(col: str) -> str:
+    """DuckDB expression computing exactly ``quality_col(col)``."""
+    t = tokenize_sql(col)
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOP)
+    return (
+        f"round(0.4 * (CAST(len(list_filter({t}, x -> x IN ({stop_list})))"
+        f" AS DOUBLE) / CAST(len({t}) AS DOUBLE))"
+        f" + 0.3 * least(CAST(len({t}) AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (CAST(len(list_distinct({t})) AS DOUBLE)"
+        f" / CAST(len({t}) AS DOUBLE)), 6)"
+    )
+
+
 def doc_stats_cols(text: Column) -> list[Column]:
     """n_tokens, n_distinct, n_bpe_pieces, avg_token_len, stopword_ratio,
     type_token_ratio, quality (bounded [0,1] linear mix)."""
@@ -76,12 +105,7 @@ def doc_stats_cols(text: Column) -> list[Column]:
     nf = n.cast("double")
     stop_ratio = stop.cast("double") / nf
     ttr = nd.cast("double") / nf
-    quality = F.round(
-        F.lit(0.4) * stop_ratio
-        + F.lit(0.3) * F.least(nf / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * ttr,
-        6,
-    )
+    quality = quality_col(text)
     return [
         # bigint: DuckDB len() yields int64 — keep schemas identical
         n.cast("long").alias("n_tokens"),
@@ -109,9 +133,5 @@ def doc_stats_sql(col: str) -> str:
     / CAST(len({t}) AS DOUBLE) AS stopword_ratio,
   CAST(len(list_distinct({t})) AS DOUBLE)
     / CAST(len({t}) AS DOUBLE) AS type_token_ratio,
-  round(0.4 * (CAST(len(list_filter({t}, x -> x IN ({stop_list}))) AS DOUBLE)
-               / CAST(len({t}) AS DOUBLE))
-        + 0.3 * least(CAST(len({t}) AS DOUBLE) / 100.0, 1.0)
-        + 0.3 * (CAST(len(list_distinct({t})) AS DOUBLE)
-                 / CAST(len({t}) AS DOUBLE)), 6) AS quality
+  {quality_sql(col)} AS quality
 """

@@ -539,6 +539,68 @@ register(QuerySpec("dedup_clusters_star", dedup_clusters_star, _CLUSTERS_SQL,
                    doc=dedup_clusters_star.__doc__))
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the HIGHEST-quality copy (ties broken by min doc_id) instead of the
+    min-id convention — what a production pipeline actually does when the
+    duplicates differ in OCR noise / boilerplate. Returns one row per
+    cluster: (cluster_rep, kept_doc, quality, n_members).
+
+    Shape: the cluster table (near-dup participants only — tiny vs the
+    corpus) joins doc quality, then ONE window partitioned by cluster_rep
+    ranks members; partitions are bounded by cluster size, never
+    corpus-sized, so there is no skew funnel at 100 TB. Shares the cached
+    Jaccard pair set with dedup_clusters.
+    """
+    from pyspark.sql.window import Window
+
+    from bigdata2016w_spark.functions.textstats import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    q = docs.select("doc_id", quality_col(F.col("text")).alias("quality"))
+    j = clusters.join(q, "doc_id")
+    by_cluster = Window.partitionBy("cluster_rep")
+    return (
+        j.withColumn(
+            "rn",
+            F.row_number().over(
+                by_cluster.orderBy(F.desc("quality"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("n_members", F.count("*").over(by_cluster))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("kept_doc"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    from bigdata2016w_spark.functions.textstats import quality_sql
+
+    return f"""
+SELECT cluster_rep, doc_id AS kept_doc, quality, n_members
+FROM (
+  SELECT c.cluster_rep, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+  FROM ({_CLUSTERS_SQL}) c
+  JOIN (SELECT doc_id, {quality_sql('text')} AS quality
+        FROM documents) q USING (doc_id)
+)
+WHERE rn = 1
+"""
+
+
+register(QuerySpec("dedup_keep_best", dedup_keep_best, _keep_best_sql(),
+                   doc=dedup_keep_best.__doc__))
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import label_centroids
 

@@ -75,8 +75,8 @@ _SPEC_MODULES = [
 #
 # ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
 # (orders_upsert .. dedup_simhash in registration order), plus
-# documents_scrub_dup_spans (added r6 behind the window, no driver row
-# yet); fillers from the oldest r05 greens. After r07 every oracle-backed
+# documents_scrub_dup_spans and dedup_keep_best (added r6 behind the
+# window, no driver rows yet); fillers from the oldest r05 greens. After r07 every oracle-backed
 # query holds a green row from r05+.
 _WINDOW_FRONT = [
     # --- never driver-sampled as of r05 (8) + the r6 addition (1) ---

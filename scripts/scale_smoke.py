@@ -150,6 +150,17 @@ def main() -> None:
     print(f"containment candidates/doc: {rc_h:.3f} @ {n_docs // 2} -> "
           f"{rc_f:.3f} @ {n_docs} (ratio {rc_f / max(rc_h, 1e-9):.2f}x)")
 
+    # span-level rewrite: cost must be linear in corpus tokens (no
+    # candidate pairs at all — position sets, not doc pairs)
+    from bigdata2016w_spark.plans.curation import scrub_dup_spans
+
+    t0 = time.perf_counter()
+    scr = scrub_dup_spans(docs)
+    n_rem = scr.agg(F.sum("n_removed"), F.sum("n_tokens")).collect()[0]
+    print(f"dup-span scrub: {time.perf_counter() - t0:.1f}s, "
+          f"{n_rem[0]}/{n_rem[1]} tokens removed "
+          f"({n_rem[0] / max(n_rem[1], 1):.4f})")
+
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)
     n_pairs = mh.count()

@@ -28,8 +28,9 @@ from bigdata2016w_spark import TABLES  # noqa: E402
 # corpus size (N=500 -> adaptive P=4, L=1; at sf0.1 the operator grows to
 # P=6, L=4 — see plans/pipeline._EMB_NEAR_DUPES_SQL's scale note)
 QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
-             "dedup_clusters_star", "embedding_near_dupes",
-             "documents_incremental_dedup", "documents_containment_dupes"}
+             "dedup_clusters_star", "dedup_keep_best",
+             "embedding_near_dupes", "documents_incremental_dedup",
+             "documents_containment_dupes"}
 
 
 def main() -> int:

@@ -622,3 +622,47 @@ def test_cross_and_containment_metrics_observe_candidates(spark, sf_dir):
     n_cont = containment_near_dupes(docs, 0.9, metrics=cm).count()
     assert int(cm["candidates"].get["n"]) >= n_cont
     assert int(cm["candidates"].get["n"]) > 0
+
+
+def test_dedup_keep_best_oracle(spark, sf_dir, duck):
+    spec = all_specs()["dedup_keep_best"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """Survivor selection must pick the highest-quality cluster member,
+    not the lowest doc_id: doc 1 (min id, degenerate repetition) and
+    doc 2 (same text, one repeat swapped for a fresh word -> higher
+    type-token ratio) near-dup each other; the kept doc must be 2."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.functions.textstats import quality_col
+    from bigdata2016w_spark.plans.pipeline import dedup_keep_best
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on green hills and birds sing {} songs at dawn today")
+    rows = [
+        (1, base.format("dawn"), "en", "s", 1),   # 'dawn' repeats: low ttr
+        (2, base.format("happy"), "en", "s", 1),  # fresh word: higher ttr
+        (3, "completely unrelated text about spark shuffles and joins "
+            "nothing shared with the others at all in any window here",
+         "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_col(F.col("text")).alias("q")).collect()}
+    assert q[2] > q[1]  # the fixture premise
+
+    kept = dedup_keep_best(spark, str(tmp_path)).collect()
+    assert len(kept) == 1  # one cluster {1, 2}; doc 3 joins no cluster
+    row = kept[0]
+    assert row.cluster_rep == 1      # rep stays the min id (stable key)
+    assert row.kept_doc == 2         # but the SURVIVOR is the best copy
+    assert row.n_members == 2
+    assert row.quality == q[2]
