@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
+    expp.add_argument(
+        "--scrub-spans",
+        action="store_true",
+        help="also remove cross-document duplicated spans from the "
+             "exported text (plans/curation.scrub_dup_spans)",
+    )
 
     admp = sub.add_parser(
         "admit",
@@ -173,14 +179,28 @@ def _export(args) -> int:
     spark.sparkContext.setLogLevel("WARN")
     docs = load_table(spark, args.sf_dir, "documents")
     kept = corpus_curation(spark, args.sf_dir)  # doc_id, n_tokens, quality
+    body = docs.select("doc_id", "text", "lang", "source")
+    if getattr(args, "scrub_spans", False):
+        # swap text for its span-scrubbed form BEFORE the export lands —
+        # scrubbing runs on the full corpus (ownership must see every
+        # doc), the join then keeps only the curated survivors
+        from bigdata2016w_spark.plans.curation import scrub_dup_spans
+
+        body = body.drop("text").join(
+            scrub_dup_spans(docs).select(
+                "doc_id", F.col("scrubbed_text").alias("text")
+            ),
+            "doc_id",
+        )
     tagged = (
         kept.join(doc_train_test_split(spark, args.sf_dir), "doc_id")
-        .join(docs.select("doc_id", "text", "lang", "source"), "doc_id")
+        .join(body, "doc_id")
         .localCheckpoint(eager=True)  # one materialization feeds both writes
     )
     card = {
         "sf_dir": args.sf_dir,
         "total_docs": docs.count(),
+        "scrub_spans": bool(getattr(args, "scrub_spans", False)),
     }
     for split in ("train", "test"):
         part = tagged.where(F.col("split") == split).drop("split")

@@ -57,6 +57,36 @@ def test_cli_export(tmp_path):
     assert json.load(open(f"{out}/datacard.json")) == card
 
 
+def test_cli_export_scrub_spans(tmp_path, spark):
+    """--scrub-spans must export span-scrubbed text: total token mass of
+    the exported text drops vs the plain export (the sf0.001 corpus has
+    cross-doc duplicated spans), while the survivor doc set is
+    unchanged."""
+    plain, scrub = str(tmp_path / "plain"), str(tmp_path / "scrub")
+    p1 = _run("export", plain, "--sf-dir", "/root/testdata/sf0.001")
+    assert p1.returncode == 0, p1.stderr[-500:]
+    p2 = _run("export", scrub, "--sf-dir", "/root/testdata/sf0.001",
+              "--scrub-spans")
+    assert p2.returncode == 0, p2.stderr[-500:]
+    card = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert card["scrub_spans"] is True
+
+    import pyspark.sql.functions as F
+
+    def stats(d):
+        df = spark.read.parquet(f"{d}/train", f"{d}/test")
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()[0]
+        return r.n, r.chars, {x.doc_id for x in df.select("doc_id").collect()}
+
+    n_p, chars_p, ids_p = stats(plain)
+    n_s, chars_s, ids_s = stats(scrub)
+    assert ids_s == ids_p          # same curated survivors
+    assert chars_s < chars_p       # but duplicated spans are gone
+
+
 def test_cli_admit(tmp_path, spark):
     """The admit subcommand replays a doc directory as micro-batches and
     reports the accepted count; a planted duplicate is rejected."""
