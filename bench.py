@@ -124,13 +124,13 @@ def main() -> None:
         "ppjoin": ppjoin_metrics,
         "sf": sf,
     }
-    # The full 126-entry artifact lives in committed BENCH_LOCAL.json —
+    # The full per-query artifact lives in committed BENCH_LOCAL.json —
     # per-query history survives regardless of stdout capture limits.
     Path(__file__).with_name("BENCH_LOCAL.json").write_text(
         json.dumps(payload, indent=1) + "\n"
     )
     # The driver tail-captures stdout and parses the LAST line; a
-    # one-line dump of all 126 queries overflowed that capture three
+    # one-line dump of every query overflowed that capture three
     # rounds running (BENCH_r03..r05: "parsed": null). Print the full
     # payload first for humans, then a COMPACT machine line last:
     # suite_wall + the slowest 16 suite timings + the isolated

@@ -58,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         "--scrub-spans",
         action="store_true",
         help="also remove cross-document duplicated spans from the "
-             "exported text (plans/curation.scrub_dup_spans)",
+             "exported text (plans/curation.scrub_dup_spans); docs with "
+             "at least one removed span are rewritten in tokenize-"
+             "normalized form (lowercased, punctuation stripped), "
+             "untouched docs keep their original text, and the exported "
+             "n_tokens/quality columns and datacard are recomputed on "
+             "the shipped text",
     )
 
     admp = sub.add_parser(
@@ -182,21 +187,47 @@ def _export(args) -> int:
     body = docs.select("doc_id", "text", "lang", "source")
     if getattr(args, "scrub_spans", False):
         # swap text for its span-scrubbed form BEFORE the export lands —
-        # scrubbing runs on the full corpus (ownership must see every
-        # doc), the join then keeps only the curated survivors
+        # scrubbing runs on the FULL corpus (ownership must see every
+        # doc), the join then keeps only the curated survivors. Only
+        # docs that actually lost a span are rewritten (their text is
+        # tokenize-normalized by the rebuild); untouched docs keep their
+        # original bytes.
         from bigdata2016w_spark.plans.curation import scrub_dup_spans
 
-        body = body.drop("text").join(
-            scrub_dup_spans(docs).select(
-                "doc_id", F.col("scrubbed_text").alias("text")
-            ),
-            "doc_id",
+        scrubbed = scrub_dup_spans(docs).select(
+            "doc_id", "n_removed", "scrubbed_text"
+        )
+        body = (
+            body.join(scrubbed, "doc_id")
+            .select(
+                "doc_id",
+                F.when(F.col("n_removed") > 0, F.col("scrubbed_text"))
+                .otherwise(F.col("text")).alias("text"),
+                "lang", "source",
+            )
         )
     tagged = (
         kept.join(doc_train_test_split(spark, args.sf_dir), "doc_id")
         .join(body, "doc_id")
-        .localCheckpoint(eager=True)  # one materialization feeds both writes
     )
+    if getattr(args, "scrub_spans", False):
+        # the curation gate ran on pre-scrub quality, but the exported
+        # METADATA must describe the shipped text — recompute both
+        from bigdata2016w_spark.functions.textstats import quality_col
+        from bigdata2016w_spark.functions.tokenizer import tokenize
+
+        # a survivor can be FULLY scrubbed (every token sat in some
+        # cross-doc span without any single pair crossing the Jaccard
+        # gate) — its quality is 0, never a 0/0 under ANSI mode
+        n_tok = F.size(tokenize(F.col("text"))).cast("long")
+        tagged = tagged.withColumns({
+            "n_tokens": n_tok,
+            "quality": F.when(
+                n_tok > 0, quality_col(F.col("text"))
+            ).otherwise(F.lit(0.0)),
+        })
+    # one materialization feeds both writes
+    tagged = tagged.localCheckpoint(eager=True)
     card = {
         "sf_dir": args.sf_dir,
         "total_docs": docs.count(),

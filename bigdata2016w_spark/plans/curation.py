@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from bigdata2016w_spark.functions.textstats import EN_STOP
+from bigdata2016w_spark.functions.textstats import EN_STOP, quality_sql
 from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
 from bigdata2016w_spark.operators.dedup import shingle_sets
 from bigdata2016w_spark.registry import QuerySpec, register
@@ -295,12 +295,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATACARD_SQL = f"""
 WITH stats AS (
   SELECT source, lang, len({_TOK}) AS n_tokens,
-         round(0.4 * (CAST(len(list_filter({_TOK},
-                      x -> x IN ({', '.join(repr(w) for w in EN_STOP)}))) AS DOUBLE)
-                      / CAST(len({_TOK}) AS DOUBLE))
-               + 0.3 * least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (CAST(len(list_distinct({_TOK})) AS DOUBLE)
-                        / CAST(len({_TOK}) AS DOUBLE)), 6) AS quality
+         {quality_sql('text')} AS quality
   FROM documents WHERE len({_TOK}) > 0
 )
 SELECT source, lang, count(*) AS n_docs,
@@ -439,20 +434,21 @@ def scrub_dup_spans(docs: DataFrame, span: int = 3) -> DataFrame:
                 "array<struct<pos:int,sh:string>>"))
         ).alias("o"),
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.sh").alias("sh"))
-    # "occurs in ≥2 distinct docs" ⟺ min(doc) ≠ max(doc) over the
-    # span-gram, and the owner IS min(doc) — so ONE window partitioned
-    # by sh replaces the groupBy(sh) + join-back pair (one shuffle of
-    # the occurrence table instead of two; measured 2.9 s → 1.9 s at
-    # sf0.1). Partitions are per-span-gram — bounded by that gram's
-    # occurrence count, never corpus-sized.
-    from pyspark.sql.window import Window
-
-    by_sh = Window.partitionBy("sh")
+    # "occurs in ≥2 distinct docs" ⟺ min(doc) ≠ max(doc) per span-gram,
+    # and the owner IS min(doc) — so a plain min/max aggregate replaces
+    # countDistinct (no per-(sh,doc) dedup expansion). Deliberately
+    # groupBy + join-back, NOT a window over the occurrence table: the
+    # map-side partial min/max shrinks a boilerplate gram ("all rights
+    # reserved" in half the corpus) to one row per map task, and the
+    # join-back STREAMS the hot key's occurrences through its task,
+    # where a window would sort-and-buffer the whole corpus-sized
+    # partition frame in one task (measured 2.9 s → 1.9 s at sf0.1).
+    span_stats = occ.groupBy("sh").agg(
+        F.min("doc_id").alias("owner"), F.max("doc_id").alias("mx")
+    )
     removed = (
-        occ.withColumn("owner", F.min("doc_id").over(by_sh))
-        .withColumn("mx", F.max("doc_id").over(by_sh))
-        .where((F.col("owner") != F.col("mx"))
-               & (F.col("doc_id") != F.col("owner")))
+        occ.join(span_stats.where(F.col("owner") != F.col("mx")), "sh")
+        .where(F.col("doc_id") != F.col("owner"))
         .select(
             "doc_id",
             F.explode(

@@ -22,6 +22,7 @@ from bigdata2016w_spark.functions.textstats import (
     fingerprint_sql,
     lang_id,
     lang_id_sql,
+    quality_sql,
 )
 from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
 from bigdata2016w_spark.operators.dedup import (
@@ -458,12 +459,7 @@ losers AS (
 ),
 stats AS (
   SELECT doc_id, len({_TOK}) AS n_tokens,
-         round(0.4 * (CAST(len(list_filter({_TOK},
-                      x -> x IN ({', '.join(repr(w) for w in EN_STOP)}))) AS DOUBLE)
-                      / CAST(len({_TOK}) AS DOUBLE))
-               + 0.3 * least(CAST(len({_TOK}) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (CAST(len(list_distinct({_TOK})) AS DOUBLE)
-                        / CAST(len({_TOK}) AS DOUBLE)), 6) AS quality
+         {quality_sql('text')} AS quality
   FROM documents WHERE len({_TOK}) > 0
 )
 SELECT doc_id, n_tokens, quality FROM stats

@@ -58,10 +58,10 @@ def test_cli_export(tmp_path):
 
 
 def test_cli_export_scrub_spans(tmp_path, spark):
-    """--scrub-spans must export span-scrubbed text: total token mass of
-    the exported text drops vs the plain export (the sf0.001 corpus has
-    cross-doc duplicated spans), while the survivor doc set is
-    unchanged."""
+    """--scrub-spans must export span-scrubbed text for exactly the docs
+    the scrubber touched (everyone else keeps their original bytes), the
+    survivor set must be unchanged, and the exported n_tokens metadata
+    must describe the SHIPPED text, not the pre-scrub text."""
     plain, scrub = str(tmp_path / "plain"), str(tmp_path / "scrub")
     p1 = _run("export", plain, "--sf-dir", "/root/testdata/sf0.001")
     assert p1.returncode == 0, p1.stderr[-500:]
@@ -73,18 +73,35 @@ def test_cli_export_scrub_spans(tmp_path, spark):
 
     import pyspark.sql.functions as F
 
-    def stats(d):
-        df = spark.read.parquet(f"{d}/train", f"{d}/test")
-        r = df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("text")).alias("chars"),
-        ).collect()[0]
-        return r.n, r.chars, {x.doc_id for x in df.select("doc_id").collect()}
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+    from bigdata2016w_spark.plans.curation import scrub_dup_spans
+    from bigdata2016w_spark.sources.catalog import load_table
 
-    n_p, chars_p, ids_p = stats(plain)
-    n_s, chars_s, ids_s = stats(scrub)
-    assert ids_s == ids_p          # same curated survivors
-    assert chars_s < chars_p       # but duplicated spans are gone
+    def rows(d):
+        df = spark.read.parquet(f"{d}/train", f"{d}/test")
+        return {r.doc_id: r for r in df.collect()}
+
+    rp, rs = rows(plain), rows(scrub)
+    assert set(rs) == set(rp)  # same curated survivors
+
+    # ground truth from the operator over the full corpus
+    truth = {r.doc_id: r for r in scrub_dup_spans(
+        load_table(spark, "/root/testdata/sf0.001", "documents")).collect()}
+    touched = {d for d in rs if truth[d].n_removed > 0}
+    assert touched  # the fixture corpus must exercise the rewrite path
+    for d in rs:
+        if d in touched:
+            assert rs[d].text == truth[d].scrubbed_text
+        else:
+            assert rs[d].text == rp[d].text  # original bytes preserved
+        # metadata describes the shipped text
+        expected_tok = truth[d].n_tokens - truth[d].n_removed
+        assert rs[d].n_tokens == expected_tok
+
+    # datacard token mass = sum over shipped rows
+    exported_tok = sum(r.n_tokens for r in rs.values())
+    assert card["train"]["n_tokens"] + card["test"]["n_tokens"] \
+        == exported_tok
 
 
 def test_cli_admit(tmp_path, spark):
