@@ -166,3 +166,63 @@ def test_mh_affine_family_is_injective_per_perm():
         assert math.gcd(a, MH_PRIME) == 1  # prime modulus: any a≠0 works
         seen.add((a, b))
     assert len(seen) == 64  # distinct permutations
+
+
+# --- cross-doc span scrubbing vs a pure-Python reference ---
+
+def _py_scrub(docs: dict, span: int = 3) -> dict:
+    """Reference implementation of plans/curation.scrub_dup_spans on
+    pre-tokenized docs: positions covered by any span-gram occurring in
+    >=2 distinct docs are removed everywhere except the min-doc owner."""
+    stats: dict = {}
+    occ = []
+    for d, ts in docs.items():
+        for i in range(max(len(ts) - span + 1, 0)):
+            sh = " ".join(ts[i:i + span])
+            occ.append((d, i, sh))
+            mn, mx = stats.get(sh, (d, d))
+            stats[sh] = (min(mn, d), max(mx, d))
+    removed: dict = {d: set() for d in docs}
+    for d, i, sh in occ:
+        mn, mx = stats[sh]
+        if mn != mx and d != mn:
+            removed[d].update(range(i, i + span))
+    out = {}
+    for d, ts in docs.items():
+        kept = [t for j, t in enumerate(ts) if j not in removed[d]]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+_scrub_corpus = st.lists(  # one corpus: 2-5 docs over a tiny vocab
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=12),
+    min_size=2, max_size=5,
+)
+
+
+@given(st.lists(_scrub_corpus, min_size=15, max_size=15))
+@settings(max_examples=3, deadline=None)
+def test_scrub_dup_spans_matches_python_reference(corpora):
+    """Tiny vocab => dense shared/overlapping/self-repeating span-grams —
+    the adversarial regime for the owner/overlap logic. Each corpus's
+    tokens are tag-prefixed so one batched Spark job over the union is
+    exactly the per-corpus scrubs (span-grams cannot match across
+    corpora)."""
+    from bigdata2016w_spark import get_spark
+    from bigdata2016w_spark.plans.curation import scrub_dup_spans
+
+    spark = get_spark(master="local[2]")
+    rows, want = [], {}
+    for c, corpus in enumerate(corpora):
+        docs = {c * 1000 + i: [f"c{c}{w}" for w in words]
+                for i, words in enumerate(corpus)}
+        rows += [(d, " ".join(ts)) for d, ts in docs.items()]
+        want.update(_py_scrub(docs))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+        for r in scrub_dup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == want
