@@ -403,9 +403,14 @@ def _merge_fold(left: str, right: str) -> str:
     fold over a symbol array (the standard greedy non-overlapping merge
     pass; no Python in the loop). Shared verbatim by the data-dependent
     learner (``bpe_learn``) and its oracle-proven closed-form twin
-    (``bpe_apply_closed_form``)."""
+    (``bpe_apply_closed_form``). Total on empty arrays: guarded, because
+    Spark's ``sequence(1, 0)`` runs DESCENDING and the fold would then
+    ``element_at(sym, 0)`` — an ANSI error (caught by the hypothesis
+    property test, not reachable from the tokenizer paths whose tokens
+    are always non-empty)."""
     lq, rq = _bpe_lit(left), _bpe_lit(right)
     return (
+        "if(size(sym) = 0, sym, "
         "aggregate(sequence(1, size(sym)),"
         " struct(cast(array() as array<string>) as out,"
         "        false as skip),"
@@ -417,7 +422,7 @@ def _merge_fold(left: str, right: str) -> str:
         "            true as skip),"
         "     struct(concat(acc.out, array(element_at(sym, i))) as out,"
         "            false as skip))),"
-        " acc -> acc.out)"
+        " acc -> acc.out))"
     )
 
 

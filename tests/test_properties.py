@@ -226,3 +226,48 @@ def test_scrub_dup_spans_matches_python_reference(corpora):
         ).collect()
     }
     assert got == want
+
+
+# --- BPE merge fold vs a pure-Python greedy merge ---
+
+def _py_greedy_merge(sym, left, right):
+    out, i = [], 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+@given(st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+    min_size=30, max_size=30,
+))
+@settings(max_examples=3, deadline=None)
+def test_merge_fold_matches_python_greedy(words):
+    """Random a/b strings maximize overlapping merge sites — the regime
+    where greedy-non-overlapping and other merge orders diverge. Applies
+    (a,b) then (ab,ab) then (b,a), so multi-char symbols and chained
+    merges are exercised; one batched Spark job checks all words."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark import get_spark
+    from bigdata2016w_spark.plans.corpus_ext import _merge_fold
+
+    pairs = [("a", "b"), ("ab", "ab"), ("b", "a")]
+    spark = get_spark(master="local[2]")
+    df = spark.createDataFrame(
+        [(i, list(w)) for i, w in enumerate(words)],
+        "i long, sym array<string>",
+    )
+    for left, right in pairs:
+        df = df.select("i", F.expr(_merge_fold(left, right)).alias("sym"))
+    got = {r.i: r.sym for r in df.collect()}
+    for i, w in enumerate(words):
+        want = list(w)
+        for left, right in pairs:
+            want = _py_greedy_merge(want, left, right)
+        assert got[i] == want, (w, got[i], want)
