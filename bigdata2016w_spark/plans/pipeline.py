@@ -471,6 +471,73 @@ register(QuerySpec("corpus_curation", corpus_curation, _CURATION_SQL,
                    doc=corpus_curation.__doc__))
 
 
+def documents_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation explainability: one row per CORPUS doc saying why it
+    survived or died — the audit table a production pipeline keeps so
+    "where did my document go?" has an answer. Status precedence
+    (first match wins, mirroring ``corpus_curation``'s gate):
+    'empty' (no tokens; quality is NULL, not 0/0) → 'low_quality'
+    (quality < threshold) → 'near_dup_loser' (higher-id member of a
+    Jaccard≥t pair) → 'kept'. The 'kept' set is exactly
+    ``corpus_curation``'s survivor set (pinned by a pytest).
+
+    Shape: the quality projection is map-only; the loser set reuses the
+    cached shared Jaccard pairs; one left join corpus ⋈ losers on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdata2016w_spark.functions.textstats import quality_col
+
+    n_tok = F.size(tokenize("text"))
+    stats = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, quality_col(F.col("text"))).alias("quality"),
+    )
+    losers = _shared_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct().withColumn("is_loser", F.lit(1))
+    return (
+        stats.join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            F.when(F.col("n_tokens") == 0, "empty")
+            .when(F.col("quality") < QUALITY_MIN, "low_quality")
+            .when(F.col("is_loser") == 1, "near_dup_loser")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+_REJECTION_AUDIT_SQL = f"""
+WITH {_SHINGLES},
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+stats AS (
+  SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+         CASE WHEN len({_TOK}) > 0 THEN {quality_sql('text')} END AS quality
+  FROM documents
+)
+SELECT doc_id, n_tokens, quality,
+       CASE WHEN n_tokens = 0 THEN 'empty'
+            WHEN quality < {QUALITY_MIN} THEN 'low_quality'
+            WHEN doc_id IN (SELECT doc_id FROM losers) THEN 'near_dup_loser'
+            ELSE 'kept' END AS status
+FROM stats
+"""
+
+register(QuerySpec("documents_rejection_audit", documents_rejection_audit,
+                   _REJECTION_AUDIT_SQL,
+                   doc=documents_rejection_audit.__doc__))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters via connected components:
     (doc_id, cluster_rep = min doc_id in the component). Only docs that

@@ -29,6 +29,7 @@ from bigdata2016w_spark import TABLES  # noqa: E402
 # P=6, L=4 — see plans/pipeline._EMB_NEAR_DUPES_SQL's scale note)
 QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              "dedup_clusters_star", "dedup_keep_best",
+             "documents_rejection_audit",
              "embedding_near_dupes", "documents_incremental_dedup",
              "documents_containment_dupes"}
 

@@ -666,3 +666,29 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
     assert row.kept_doc == 2         # but the SURVIVOR is the best copy
     assert row.n_members == 2
     assert row.quality == q[2]
+
+
+def test_rejection_audit_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_rejection_audit"]
+    out = spec.fn(spark, sf_dir)
+    assert out.count() > 0
+    compare_spark_duckdb(out, duck, spec.oracle)
+
+
+def test_rejection_audit_covers_corpus_and_explains_curation(spark, sf_dir):
+    """The audit must (a) have a row for EVERY corpus doc, (b) mark as
+    'kept' exactly corpus_curation's survivor set, and (c) give every
+    non-survivor a concrete reason."""
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    audit = {r.doc_id: r.status for r in
+             all_specs()["documents_rejection_audit"].fn(
+                 spark, sf_dir).collect()}
+    all_ids = {r.doc_id for r in
+               load_table(spark, sf_dir, "documents").collect()}
+    assert set(audit) == all_ids
+    survivors = {r.doc_id for r in
+                 all_specs()["corpus_curation"].fn(spark, sf_dir).collect()}
+    assert {d for d, s in audit.items() if s == "kept"} == survivors
+    assert set(audit.values()) <= {"kept", "empty", "low_quality",
+                                   "near_dup_loser"}
