@@ -38,7 +38,9 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "documents_token_budget_mix", "documents_pii_scrub",
     "events_nation_hourly", "sgd_score_closed_form",
     "sgd_ensemble_closed_form", "documents_incremental_dedup",
-    "documents_containment_dupes",
+    "documents_containment_dupes", "bpe_apply_closed_form",
+    "documents_scrub_dup_spans", "dedup_keep_best",
+    "documents_rejection_audit",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
