@@ -502,7 +502,10 @@ def documents_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "quality",
-            F.when(F.col("n_tokens") == 0, "empty")
+            F.when(
+                F.col("n_tokens").isNull() | (F.col("n_tokens") == 0),
+                "empty",
+            )
             .when(F.col("quality") < QUALITY_MIN, "low_quality")
             .when(F.col("is_loser") == 1, "near_dup_loser")
             .otherwise("kept")
@@ -526,7 +529,7 @@ stats AS (
   FROM documents
 )
 SELECT doc_id, n_tokens, quality,
-       CASE WHEN n_tokens = 0 THEN 'empty'
+       CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN 'empty'
             WHEN quality < {QUALITY_MIN} THEN 'low_quality'
             WHEN doc_id IN (SELECT doc_id FROM losers) THEN 'near_dup_loser'
             ELSE 'kept' END AS status
@@ -621,7 +624,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     clusters = dedup_clusters(spark, sf_dir)
-    q = docs.select("doc_id", quality_col(F.col("text")).alias("quality"))
+    # cluster members always have >= 3 tokens (they carry shingles), but
+    # the quality projection runs before the join — guard so empty/NULL
+    # text elsewhere in the corpus can't raise an ANSI 0/0
+    n_tok = F.size(tokenize("text"))
+    q = docs.select(
+        "doc_id",
+        F.when(n_tok > 0, quality_col(F.col("text"))).alias("quality"),
+    )
     j = clusters.join(q, "doc_id")
     by_cluster = Window.partitionBy("cluster_rep")
     return (

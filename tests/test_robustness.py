@@ -138,7 +138,9 @@ def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
         )
     for name in ("documents_pii_scrub", "documents_token_budget_mix",
                  "events_nation_hourly", "events_tumbling_hour",
-                 "events_sliding", "events_sessions"):
+                 "events_sliding", "events_sessions",
+                 "documents_scrub_dup_spans", "dedup_keep_best",
+                 "documents_rejection_audit"):
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
 
@@ -152,3 +154,9 @@ def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
     assert None not in mix_sources
     nh = all_specs()["events_nation_hourly"].fn(spark, str(d)).collect()
     assert sum(r.n_events for r in nh) == 1  # only event 1 survives
+    audit = {r.doc_id: r.status for r in all_specs()[
+        "documents_rejection_audit"].fn(spark, str(d)).collect()}
+    # NULL text and empty text both classify as 'empty', never 'kept' —
+    # keeps the audit's kept set equal to corpus_curation's survivors
+    # (which filters size > 0) even on dirty corpora
+    assert audit[0] == "empty" and audit[3] == "empty"
