@@ -678,3 +678,213 @@ def knn_ivf_from_index(
         "cell int, centroid array<double>",
     )
     return _ivf_probe_search(idx, cent, query_ids, k, n_probe)
+
+
+# --- Product quantization (the IVF-PQ compression path) ---------------------
+#
+# PQ stores each vector as M sub-space code ids instead of raw floats —
+# M=8 codes of 4 bits = 4 bytes/vector vs 256 bytes of float32 (64×), the
+# difference between an embedding table that fits in cluster RAM at 100 TB
+# and one that doesn't. Search is asymmetric distance computation (ADC):
+# the query stays exact, per-(subspace, codeword) distances are a tiny
+# lookup table, and the corpus scan touches only the codes.
+#
+# Everything is deterministic and engine-portable: codebooks initialize
+# from the K lowest vec_ids (the seed convention of knn_ivf_flat) and take
+# ONE Lloyd refinement step with the CENTROID_QUANT integer-mean formula,
+# and every squared-L2 is summed over int64-quantized per-dimension terms,
+# so a DuckDB oracle replays codebook, codes, and ADC ranks bit-exactly.
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_d2(a, b) -> Column:
+    """Integer-exact squared L2 between equal-length (sub)vectors: each
+    per-dimension squared difference is scaled by CENTROID_QUANT and
+    rounded to int64 BEFORE the sum, making the fold associative — the
+    same trick as :func:`nearest_centroid_confusion`, so the distance is
+    identical for any summation order and any engine."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.round(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * CENTROID_QUANT
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(
+    embeddings: DataFrame, n_subspaces: int, dim: int
+) -> DataFrame:
+    """(vec_id, m, sv): the M contiguous sub-vectors of each embedding —
+    one explode per input row, so all M rows of a vector stay in the
+    producing partition (downstream per-vector partial aggs combine
+    map-side)."""
+    sd = dim // n_subspaces
+    return embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("embedding", m * sd + 1, sd).alias("sv"),
+                )
+                for m in range(n_subspaces)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _argmin_code(cws_col, sv_col) -> Column:
+    """Code of the nearest codeword: build (d2, code) structs for every
+    codeword in the broadcast array and take array_min — lexicographic
+    struct ordering IS argmin with ties to the lowest code, evaluated
+    entirely map-side (no window, no shuffle)."""
+    return F.array_min(
+        F.transform(
+            cws_col,
+            lambda cw: F.struct(
+                pq_d2(sv_col, cw["cv"]).alias("d2"),
+                cw["code"].alias("code"),
+            ),
+        )
+    )["code"]
+
+
+PQ_TRAIN_N = 256
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    n_codes: int = PQ_CODES,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+    train_n: int = PQ_TRAIN_N,
+) -> DataFrame:
+    """Per-subspace PQ codebook (m, code, cv array<double>).
+
+    Trained on the ``train_n`` lowest vec_ids only — a bounded
+    deterministic sample, the standard PQ practice (Jégou et al. train
+    on a fraction; at 100 TB training on the full corpus would be the
+    bug): codebook cost is O(train_n·M·K) regardless of corpus size and
+    the vec_id predicate prunes parquet row groups at the scan. Init
+    codewords are the sub-vectors of the ``n_codes`` lowest vec_ids; one
+    Lloyd step then assigns every training sub-vector to its nearest
+    init codeword (integer-exact L2, ties → lowest code) and recomputes
+    each SURVIVING code as the CENTROID_QUANT integer-quantized
+    per-dimension mean rounded to 6 decimals — the exact
+    :func:`label_centroids` formula, so both engines emit bit-identical
+    doubles.
+
+    Shape: assignment is a broadcast join + map-side array_min (nothing
+    corpus-sized shuffles); the mean update is one hash agg over
+    (m, code, d) — ≤ M·K·subdim groups. At production scale the result
+    is a model artifact: write it once and read it back, as with
+    write_ivf_index.
+    """
+    sub = _pq_subvectors(
+        embeddings.where(F.col("vec_id") < train_n), n_subspaces, dim
+    )
+    init = sub.where(F.col("vec_id") < n_codes).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    init_g = init.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
+    )
+    assigned = sub.join(broadcast(init_g), "m").select(
+        "m",
+        _argmin_code(F.col("cws"), F.col("sv")).alias("code"),
+        "sv",
+    )
+    q = F.round(F.col("x").cast("double") * CENTROID_QUANT).cast("bigint")
+    per_dim = (
+        assigned.select("m", "code", F.posexplode("sv").alias("d", "x"))
+        .groupBy("m", "code", "d")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+        .select(
+            "m", "code", "d",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
+            ).alias("c"),
+        )
+    )
+    return per_dim.groupBy("m", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "c"))),
+            lambda t: t["c"],
+        ).alias("cv")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, m, code): each vector's per-subspace nearest-codeword id —
+    broadcast codebook, map-side argmin, zero corpus shuffle. This is the
+    table a 100-TB deployment persists instead of raw embeddings."""
+    cbg = codebook.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
+    )
+    sub = _pq_subvectors(embeddings, n_subspaces, dim)
+    return sub.join(broadcast(cbg), "m").select(
+        "vec_id", "m", _argmin_code(F.col("cws"), F.col("sv")).alias("code")
+    )
+
+
+def knn_pq_adc(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_codes: int = PQ_CODES,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: (query_id, vec_id,
+    adc_d2), k rows per query, smallest reconstructed squared-L2 first,
+    self excluded, ties → lowest vec_id.
+
+    The LUT (query × subspace × codeword distances, exact queries vs
+    codewords) has |Q|·M·K rows — broadcast. The scan joins the codes
+    table against it map-side; the per-(query, vector) M-term sum
+    combines map-side too (codes of one vector share a partition by
+    construction), so the only shuffle is |Q|·n skinny partial rows into
+    the final agg + the two-stage top-k. With a large query batch,
+    pivot the LUT to a per-query map keyed by m·K+code and fold codes
+    per row to drop even that shuffle.
+
+    The codebook is fetched to the driver once (M·K rows — a model
+    fetch, like the IVF centroid syncs) and re-shipped as a literal
+    broadcast table; inlining its multi-stage plan instead would
+    re-execute the codebook build once per broadcast consumer.
+    """
+    cb_rows = pq_codebook(embeddings, n_codes, n_subspaces, dim).collect()
+    cb = embeddings.sparkSession.createDataFrame(
+        [(int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
+         for r in cb_rows],
+        "m int, code bigint, cv array<double>",
+    )
+    codes = pq_encode(embeddings, cb, n_subspaces, dim)
+    qsub = _pq_subvectors(
+        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsub.join(broadcast(cb), "m").select(
+        "query_id", "m", "code", pq_d2(F.col("qsv"), F.col("cv")).alias("lut_d2")
+    )
+    adc = (
+        codes.join(broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
+    return topk_per_group(
+        adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "adc_d2")

@@ -907,6 +907,96 @@ register(QuerySpec("ann_ivf_lloyd", ann_ivf_lloyd, _ANN_IVF_LLOYD_SQL,
                        "see operators/similarity.knn_ivf_lloyd."))
 
 
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_pq_adc
+
+    return knn_pq_adc(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K
+    )
+
+
+_PQ_M, _PQ_K, _PQ_SD = 8, 16, 8  # subspaces × codes, 64/8 dims each
+_PQ_TRAIN_N = 256  # codebook training sample (operators/similarity.PQ_TRAIN_N)
+
+
+def _pq_d2_rows_sql(x: str, c: str) -> str:
+    """Per-dimension int64-quantized squared-difference term — summed over
+    the subspace's rows it equals operators/similarity.pq_d2 exactly
+    (int64 addition is order-independent)."""
+    return (f"CAST(round(({x} - {c}) * ({x} - {c}) * 16777216) "
+            f"AS BIGINT)")
+
+
+_ANN_PQ_ADC_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, x FROM ex
+),
+train AS (
+  SELECT * FROM sub WHERE vec_id < {_PQ_TRAIN_N}
+),
+init AS (
+  SELECT vec_id AS code, m, d, x AS c FROM train WHERE vec_id < {_PQ_K}
+),
+a0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, i.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum({_pq_d2_rows_sql('s.x', 'i.c')}) ASC, i.code ASC
+           ) AS rn
+    FROM train s JOIN init i ON s.m = i.m AND s.d = i.d
+    GROUP BY s.vec_id, s.m, i.code
+  ) WHERE rn = 1
+),
+refined AS (
+  SELECT a.m, a.code, s.d,
+         round(CAST(sum(CAST(round(s.x * 16777216) AS BIGINT)) AS DOUBLE)
+               / count(*) / 16777216, 6) AS c
+  FROM a0 a JOIN train s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.code, s.d
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, r.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum({_pq_d2_rows_sql('s.x', 'r.c')}) ASC, r.code ASC
+           ) AS rn
+    FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
+    GROUP BY s.vec_id, s.m, r.code
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, r.code,
+         sum({_pq_d2_rows_sql('s.x', 'r.c')}) AS lut_d2
+  FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
+  WHERE s.vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+  GROUP BY s.vec_id, s.m, r.code
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec("ann_pq_adc", ann_pq_adc, _ANN_PQ_ADC_SQL,
+                   doc="Product-quantization ADC search — 4-byte codes "
+                       "instead of 256-byte vectors at scan time; see "
+                       "operators/similarity.knn_pq_adc."))
+
+
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import hard_negatives
 

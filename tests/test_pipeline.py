@@ -692,3 +692,72 @@ def test_rejection_audit_covers_corpus_and_explains_curation(spark, sf_dir):
     assert {d for d, s in audit.items() if s == "kept"} == survivors
     assert set(audit.values()) <= {"kept", "empty", "low_quality",
                                    "near_dup_loser"}
+
+
+def test_ann_pq_adc_oracle_and_recall(spark, sf_dir, duck):
+    """Product-quantization ADC: bit-exact DuckDB parity of the FULL
+    pipeline (sampled codebook training incl. one integer-exact Lloyd
+    step, encoding, LUT build, ADC ranking), plus recall@10 vs brute
+    force well above the 2% random baseline. The synthetic embeddings
+    are near-isotropic — the hardest case for 4-bit PQ — so the bound is
+    deliberately modest."""
+    spec = all_specs()["ann_pq_adc"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    pq = spec.fn(spark, sf_dir).collect()
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    bf_sets, pq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.2
+    # ADC distances are int64-exact -> invocation-order independent
+    assert sorted(map(tuple, pq)) == sorted(
+        map(tuple, spec.fn(spark, sf_dir).collect()))
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    """The codes table is the persisted artifact: exactly M rows per
+    vector, every code one of the (surviving) codebook ids — i.e. each
+    vector compresses to M small ints."""
+    from bigdata2016w_spark.operators.similarity import (
+        PQ_CODES, PQ_SUBSPACES, pq_codebook, pq_encode,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb)
+    n = emb.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n
+    assert all(r["count"] == PQ_SUBSPACES for r in per_vec)
+    valid = {(r["m"], r["code"]) for r in cb.select("m", "code").collect()}
+    assert len(valid) <= PQ_SUBSPACES * PQ_CODES
+    used = {(r["m"], r["code"]) for r in codes.select("m", "code").distinct().collect()}
+    assert used <= valid
+
+
+def test_pq_adc_exact_on_codebook_points(spark):
+    """Planted corpus where PQ is lossless: 4 distinct vectors (the init
+    codewords) each duplicated once. Every sub-vector sits exactly on a
+    codeword, so the Lloyd mean reproduces it (values at 6 dp), encoding
+    is exact, and each query's nearest ADC neighbor is its duplicate at
+    adc_d2 == 0."""
+    from bigdata2016w_spark.operators.similarity import knn_pq_adc
+
+    base = [
+        [1.0, 0.0, 0.5, 0.25, -1.0, 2.0, 0.125, 0.5],
+        [0.0, 1.0, -0.5, 0.75, 1.0, -2.0, 0.25, 0.0],
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+        [-1.0, -1.0, 0.0, 0.0, 1.0, 1.0, 3.0, 3.0],
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(i + 4, v) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = knn_pq_adc(emb, [0, 1], k=1, n_codes=4, n_subspaces=4, dim=8,
+                     )
+    got = {r.query_id: (r.vec_id, r.adc_d2) for r in out.collect()}
+    assert got == {0: (4, 0), 1: (5, 0)}
