@@ -888,3 +888,79 @@ def knn_pq_adc(
     return topk_per_group(
         adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
     ).select("query_id", "vec_id", "adc_d2")
+
+
+def semdedup_drop_list(
+    embeddings: DataFrame, threshold: float = 0.4, n_cells: int = 16
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then look
+    for high-cosine pairs ONLY within a cluster — the published
+    trade-off that bounds the quadratic pair search to cluster-sized
+    blocks. Returns the DROP list: one row per vector that duplicates a
+    lower-id vector in its cluster — (dropped_id, cell, witness_id,
+    cosine) with the witness the max-cosine surviving candidate (ties →
+    lowest id). Survivor-by-lowest-id is the engine's exact-dedup
+    convention; cross-cluster near-dups are deliberately out of scope
+    (that lossless tier is :func:`embedding_near_dupes`).
+
+    Shape: cell assignment is the map-side literal-centroid argmax of
+    :func:`knn_ivf_flat` (seed centroids = the n_cells lowest vec_ids —
+    an O(n_cells)-row model fetch, no training shuffle); the pair search
+    is a self-equi-join on cell, so candidate count is Σ|cell|² — at
+    100 TB, n_cells scales with the corpus to hold |cell| roughly
+    constant and the join keys stay well-distributed. The witness argmax
+    is a hash agg over struct ordering (map-side combinable), not a
+    window over an unbounded partition.
+    """
+    spark = embeddings.sparkSession
+    cent_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in cent_rows]
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "dropped_id long, cell int, witness_id long, cosine double"
+        )
+    assigned = _assign_to_literal_centroids(embeddings, cent_lit).withColumn(
+        "__n", norm(F.col("embedding"))
+    )
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("witness_id"),
+        F.col("embedding").alias("w_emb"),
+        F.col("__n").alias("w_n"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("dropped_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("__n").alias("d_n"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("witness_id") < F.col("dropped_id"))
+        .select(
+            "dropped_id", "cell", "witness_id",
+            cosine_with_norms(
+                F.col("w_emb"), F.col("w_n"), F.col("d_emb"), F.col("d_n")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("witness_id")).alias("nw"))
+    ).alias("b")
+    return (
+        pairs.groupBy("dropped_id", "cell")
+        .agg(best)
+        .select(
+            "dropped_id", "cell",
+            (-F.col("b.nw")).alias("witness_id"),
+            F.col("b.cosine").alias("cosine"),
+        )
+    )

@@ -997,6 +997,52 @@ register(QuerySpec("ann_pq_adc", ann_pq_adc, _ANN_PQ_ADC_SQL,
                        "operators/similarity.knn_pq_adc."))
 
 
+SEMDEDUP_THRESHOLD = 0.4  # same bar as embedding_near_dupes
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import semdedup_drop_list
+
+    return semdedup_drop_list(
+        load_table(spark, sf_dir, "embeddings"), SEMDEDUP_THRESHOLD
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+ac AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS dropped_id, b.cell AS cell, a.vec_id AS witness_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT dropped_id, cell, witness_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY dropped_id
+                               ORDER BY cosine DESC, witness_id ASC) AS rn
+  FROM pairs WHERE cosine >= {SEMDEDUP_THRESHOLD}
+) WHERE rn = 1
+"""
+
+register(QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_SQL,
+                   doc="SemDeDup cluster-scoped embedding dedup drop "
+                       "list; see operators/similarity.semdedup_drop_list."))
+
+
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import hard_negatives
 

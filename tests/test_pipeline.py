@@ -761,3 +761,37 @@ def test_pq_adc_exact_on_codebook_points(spark):
                      )
     got = {r.query_id: (r.vec_id, r.adc_d2) for r in out.collect()}
     assert got == {0: (4, 0), 1: (5, 0)}
+
+
+def test_semantic_dedup_oracle_and_convention(spark, sf_dir, duck):
+    """SemDeDup drop list: bit-exact oracle parity (assignment + in-cell
+    pair search + witness argmax), and the survivor convention — every
+    dropped vector cites a strictly lower id at/above the threshold."""
+    spec = all_specs()["semantic_dedup"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    rows = spec.fn(spark, sf_dir).collect()
+    assert all(r.witness_id < r.dropped_id for r in rows)
+    assert all(r.cosine >= 0.4 for r in rows)
+    assert len({r.dropped_id for r in rows}) == len(rows)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Exact copies planted into a corpus of 16 seed vectors must land on
+    the drop list with their twin as witness at cosine ≈ 1, in the
+    twin's cell."""
+    import random
+
+    from bigdata2016w_spark.operators.similarity import semdedup_drop_list
+
+    rng = random.Random(7)
+    base = [[round(rng.uniform(-1, 1), 3) for _ in range(8)]
+            for _ in range(16)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(16, list(base[3])), (17, list(base[9]))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.dropped_id: r for r in
+           semdedup_drop_list(emb, threshold=0.9).collect()}
+    assert set(out) == {16, 17}
+    assert out[16].witness_id == 3 and out[16].cosine > 0.999
+    assert out[17].witness_id == 9 and out[17].cosine > 0.999
+    assert out[16].cell == 3 and out[17].cell == 9
