@@ -378,3 +378,120 @@ GROUP BY 1, 2
 
 register(QuerySpec("events_nation_hourly", events_nation_hourly,
                    _NATION_HOURLY_SQL, doc=events_nation_hourly.__doc__))
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n_transitions, p) where p is the
+    row-normalized next-event probability. The behavioral-model summary
+    next to events_funnel's fixed path — output cardinality is
+    |event_type|², independent of event volume.
+
+    Shape: ONE lead() window partitioned by user_id (partitions bounded
+    by per-user event count, never corpus-sized) ordered by the
+    deterministic (ts, event_id) key, then a hash agg with map-side
+    combine; the row normalizer is a broadcast-sized second agg joined
+    back on from_type. NULL ts / NULL user rows are excluded up front —
+    their ordering (and therefore their transitions) would be
+    engine-defined."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", nxt)
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n_transitions",
+            (F.col("n_transitions").cast("double")
+             / F.col("__tot").cast("double")).alias("p"),
+        )
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+pairs AS (
+  SELECT event_type AS from_type, to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY event_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+       / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS p
+FROM pairs
+"""
+
+register(QuerySpec("events_transition_matrix", events_transition_matrix,
+                   _TRANSITION_SQL,
+                   doc=events_transition_matrix.__doc__))
+
+
+EMA_ALPHA = 0.25  # dyadic -> the fold multiplies by exact binary fractions
+
+
+def events_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of ``value`` over the
+    (ts, event_id)-ordered event sequence: (user_id, n_events, ema) with
+    ema = α·x + (1−α)·ema seeded by the user's first value — the
+    recency-weighted engagement score a sequential fold expresses and a
+    plain windowed average can't.
+
+    Shape: one hash agg collects each user's (ts, event_id, value)
+    structs (bounded by per-user event count), sort_array orders them,
+    and F.aggregate left-folds entirely JVM-side. The fold is seeded
+    with the FIRST value and runs in IEEE doubles in sequence order, so
+    DuckDB's seedless list_reduce over list(value ORDER BY ts, event_id)
+    is bit-identical — no rounding needed."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    a = float(EMA_ALPHA)
+    grouped = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), vals.alias("__vals")
+    )
+    ema = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at("__vals", 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return grouped.select("user_id", "n_events", ema.alias("ema"))
+
+
+_EMA_SQL = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> {EMA_ALPHA} * x + {1.0 - EMA_ALPHA} * acc)
+         AS ema
+FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+register(QuerySpec("events_user_value_ema", events_user_value_ema, _EMA_SQL,
+                   doc=events_user_value_ema.__doc__))

@@ -7,7 +7,8 @@ from tests.oracle import compare_spark_duckdb
 
 NAMES = ["events_json_agg", "events_tumbling_hour", "events_sliding",
          "events_sessions", "events_funnel", "user_retention_cohorts",
-         "events_hourly_gapfill", "orders_daily_moving_avg"]
+         "events_hourly_gapfill", "orders_daily_moving_avg",
+         "events_transition_matrix", "events_user_value_ema"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -47,3 +48,39 @@ def test_gapfill_spine_is_complete(spark, sf_dir):
     assert len(set(hours)) == len(hours)
     span = (hours[-1] - hours[0]).total_seconds() / 3600
     assert len(hours) == int(span) + 1
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    import math
+
+    out = all_specs()["events_transition_matrix"].fn(spark, sf_dir).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_type, []).append(r)
+    for rows in by_from.values():
+        assert math.isclose(sum(r.p for r in rows), 1.0, rel_tol=1e-12)
+        assert all(r.n_transitions > 0 for r in rows)
+
+
+def test_user_value_ema_hand_computed(spark, tmp_path):
+    """3 events for one user arriving out of ts order + a NULL-ts row
+    that must be ignored: ema = fold over the (ts, event_id)-ordered
+    values, seeded with the first."""
+    from bigdata2016w_spark.registry import all_specs
+
+    d = tmp_path / "ema"
+    d.mkdir()
+    spark.createDataFrame(
+        [(3, "2024-01-01 00:02:00", 1, "view", 8.0, "{}"),
+         (1, "2024-01-01 00:00:00", 1, "view", 4.0, "{}"),
+         (2, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+         (4, None, 1, "view", 99.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+                 "event_type", "value", "props"
+                 ).write.parquet(str(d / "events.parquet"))
+    out = all_specs()["events_user_value_ema"].fn(spark, str(d)).collect()
+    assert len(out) == 1
+    # seed 4.0 -> 0.25*0.0 + 0.75*4.0 = 3.0 -> 0.25*8.0 + 0.75*3.0 = 4.25
+    assert out[0].n_events == 3 and out[0].ema == 4.25
