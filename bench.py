@@ -99,7 +99,8 @@ def main() -> None:
     isolated: dict[str, float] = {}
     for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
                  "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
-                 "graph_sssp_hops", "shared_shingle_pairs_pipeline"):
+                 "graph_sssp_hops", "shared_shingle_pairs_pipeline",
+                 "ann_pq_adc"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
