@@ -926,8 +926,15 @@ def semdedup_drop_list(
         return spark.createDataFrame(
             [], "dropped_id long, cell int, witness_id long, cosine double"
         )
-    assigned = _assign_to_literal_centroids(embeddings, cent_lit).withColumn(
-        "__n", norm(F.col("embedding"))
+    # the assignment (the HOF-heavy argmax over the centroid matrix) feeds
+    # BOTH sides of the pair self-join — checkpoint it so it is computed
+    # once, not once per join side (the shared-intermediate convention of
+    # plans.pipeline._shared_jaccard_pairs; at cluster scale: write the
+    # cell table once, read it twice)
+    assigned = (
+        _assign_to_literal_centroids(embeddings, cent_lit)
+        .withColumn("__n", norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         "cell",

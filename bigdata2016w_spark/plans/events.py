@@ -390,8 +390,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE lead() window partitioned by user_id (partitions bounded
     by per-user event count, never corpus-sized) ordered by the
     deterministic (ts, event_id) key, then a hash agg with map-side
-    combine; the row normalizer is a broadcast-sized second agg joined
-    back on from_type. NULL ts / NULL user rows are excluded up front —
+    combine; the row normalizer is a second window over the ALREADY
+    AGGREGATED |event_type|²-row table (a join back onto the pair agg
+    would re-execute the whole corpus subplan for the totals — measured
+    as a doubled plan). NULL ts / NULL user rows are excluded up front —
     their ordering (and therefore their transitions) would be
     engine-defined."""
     from pyspark.sql.window import Window
@@ -410,16 +412,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), "to_type")
         .agg(F.count("*").alias("n_transitions"))
     )
-    totals = pairs.groupBy("from_type").agg(
-        F.sum("n_transitions").alias("__tot")
-    )
-    return (
-        pairs.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type", "to_type", "n_transitions",
-            (F.col("n_transitions").cast("double")
-             / F.col("__tot").cast("double")).alias("p"),
-        )
+    tot = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type", "to_type", "n_transitions",
+        (F.col("n_transitions").cast("double") / tot.cast("double"))
+        .alias("p"),
     )
 
 

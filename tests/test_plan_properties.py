@@ -421,3 +421,68 @@ def test_bpe_apply_fold_stays_jvm_side(spark, sf_dir):
     plan = _formatted_plan(bpe_apply_closed_form(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
+def test_pq_adc_no_window_over_corpus_no_cartesian(spark, sf_dir):
+    """PQ search must stay map-side until the final agg/top-k: encode and
+    LUT joins are broadcast (the codebook is a literal model table —
+    never a SortMergeJoin of the corpus), the ADC sum is a partial+final
+    hash agg, the only Windows are the two top-k stages, and there is no
+    cartesian product anywhere."""
+    import re
+
+    from bigdata2016w_spark.plans.pipeline import ann_pq_adc
+
+    plan = _formatted_plan(ann_pq_adc(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.MULTILINE)) == 2
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semdedup_assignment_computed_once_no_cartesian(spark, sf_dir):
+    """SemDeDup's cell assignment (the HOF-heavy centroid argmax) must be
+    checkpointed and scanned by BOTH pair-join sides — zero
+    BroadcastNestedLoopJoin nodes left in the final plan means it is not
+    being recomputed per side. No corpus-side window (the witness argmax
+    is a struct-max aggregate in partial+final mode), no cartesian."""
+    import re
+
+    from bigdata2016w_spark.plans.pipeline import semantic_dedup
+
+    plan = _formatted_plan(semantic_dedup(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("Scan ExistingRDD") >= 2  # checkpoint, both sides
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.MULTILINE)) == 0
+    assert (plan.count("HashAggregate") + plan.count("SortAggregate")) >= 2
+
+
+def test_transition_matrix_single_corpus_pass(spark, sf_dir):
+    """Exactly two Windows — the per-user lead() (partitions bounded by
+    per-user event count) and the normalizer over the already-aggregated
+    |event_type|²-row table — and NO join: a normalizer joined back onto
+    the pair agg would re-execute the corpus subplan (the doubled-plan
+    bug this pins against). Pair counts still agg partial+final."""
+    import re
+
+    from bigdata2016w_spark.plans.events import events_transition_matrix
+
+    plan = _formatted_plan(events_transition_matrix(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.MULTILINE)) == 2
+    assert "Join" not in plan
+    # partial+final pair agg = 2 nodes (each named twice in formatted
+    # explain: tree line + detail block)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_user_ema_fold_stays_jvm_side(spark, sf_dir):
+    """The EMA fold must be codegen'd JVM expressions (aggregate/
+    transform over collected structs) — no python UDF nodes — and the
+    collect_list agg must still run partial+final."""
+    from bigdata2016w_spark.plans.events import events_user_value_ema
+
+    plan = _formatted_plan(events_user_value_ema(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
