@@ -866,16 +866,35 @@ def knn_pq_adc(
     broadcast table; inlining its multi-stage plan instead would
     re-execute the codebook build once per broadcast consumer.
     """
-    cb_rows = pq_codebook(embeddings, n_codes, n_subspaces, dim).collect()
-    cb = embeddings.sparkSession.createDataFrame(
-        [(int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
-         for r in cb_rows],
-        "m int, code bigint, cv array<double>",
-    )
+    cb = _pq_codebook_literal(embeddings, n_codes, n_subspaces, dim)
     codes = pq_encode(embeddings, cb, n_subspaces, dim)
     qsub = _pq_subvectors(
         embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    return _pq_adc_search(codes, cb, qsub, k)
+
+
+def _pq_codebook_literal(
+    embeddings: DataFrame, n_codes: int, n_subspaces: int, dim: int
+) -> DataFrame:
+    """Train the codebook and re-ship it as a literal DataFrame: M·K rows
+    fetched to the driver once (a model fetch, like the IVF centroid
+    syncs). Inlining the multi-stage training plan instead would
+    re-execute it once per broadcast consumer."""
+    cb_rows = pq_codebook(embeddings, n_codes, n_subspaces, dim).collect()
+    return embeddings.sparkSession.createDataFrame(
+        [(int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
+         for r in cb_rows],
+        "m int, code bigint, cv array<double>",
+    )
+
+
+def _pq_adc_search(
+    codes: DataFrame, cb: DataFrame, qsub: DataFrame, k: int
+) -> DataFrame:
+    """ADC tail shared by the in-memory and persisted-index paths:
+    broadcast LUT build, map-side codes⋈LUT join with combinable
+    per-(query, vector) sums, two-stage top-k."""
     lut = qsub.join(broadcast(cb), "m").select(
         "query_id", "m", "code", pq_d2(F.col("qsv"), F.col("cv")).alias("lut_d2")
     )
@@ -888,6 +907,50 @@ def knn_pq_adc(
     return topk_per_group(
         adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
     ).select("query_id", "vec_id", "adc_d2")
+
+
+def pack_pq_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, codes array<tinyint>): the persisted form — M 4-bit code
+    ids packed positionally (index = subspace), byte-typed. THIS is the
+    footprint story: the codes table replaces the float32 embedding
+    column at scan time, M bytes vs 4·dim bytes per vector."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "code"))),
+            lambda t: t["code"].cast("tinyint"),
+        ).alias("codes")
+    )
+
+
+def unpack_pq_codes(packed: DataFrame) -> DataFrame:
+    """Inverse of :func:`pack_pq_codes` — positional explode back to
+    (vec_id, m, code) for the ADC join (narrow, shuffle-free)."""
+    return packed.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    ).select("vec_id", "m", F.col("code").cast("bigint").alias("code"))
+
+
+def knn_pq_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC search against a PERSISTED PQ index
+    (``sources.sinks.write_pq_index``): the codebook is read back (M·K
+    rows — broadcast), the corpus scan reads ONLY the packed codes table
+    (M bytes/vector instead of the raw embeddings), and ``queries``
+    (vec_id, embedding) stay exact. Bit-identical to :func:`knn_pq_adc`
+    on the same corpus because codebook, codes, and int64 LUT distances
+    round-trip parquet exactly."""
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    codes = unpack_pq_codes(spark.read.parquet(f"{index_path}/codes"))
+    qsub = _pq_subvectors(queries, n_subspaces, dim).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    return _pq_adc_search(codes, cb, qsub, k)
 
 
 def semdedup_drop_list(

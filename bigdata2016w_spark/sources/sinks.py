@@ -179,3 +179,29 @@ def write_ivf_index(assigned: DataFrame, path: str,
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+def write_pq_index(embeddings: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+    """Persist a product-quantization index: ``{path}/codebook`` (M·K
+    codeword rows — the model artifact) and ``{path}/codes`` (one row
+    per vector: M byte-sized code ids packed positionally). Downstream
+    ADC search (``operators.similarity.knn_pq_from_index``) scans ONLY
+    the codes table — M bytes per vector instead of 4·dim — which is
+    what makes a 100 TB embedding corpus searchable from disk without
+    rehydrating the floats. Training cost is bounded by the codebook's
+    deterministic sample regardless of corpus size; encoding is one
+    map-side pass (``operators.similarity.pq_encode``)."""
+    from bigdata2016w_spark.operators.similarity import (
+        _pq_codebook_literal,
+        PQ_CODES,
+        PQ_SUBSPACES,
+        pack_pq_codes,
+        pq_encode,
+    )
+
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    cb = _pq_codebook_literal(embeddings, PQ_CODES, PQ_SUBSPACES, dim)
+    codes = pq_encode(embeddings, cb, PQ_SUBSPACES, dim)
+    cb.write.mode(mode).parquet(f"{path}/codebook")
+    pack_pq_codes(codes).write.mode(mode).parquet(f"{path}/codes")

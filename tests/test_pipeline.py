@@ -795,3 +795,36 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert out[16].witness_id == 3 and out[16].cosine > 0.999
     assert out[17].witness_id == 9 and out[17].cosine > 0.999
     assert out[16].cell == 3 and out[17].cell == 9
+
+
+def test_pq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """write_pq_index → knn_pq_from_index must reproduce knn_pq_adc
+    bit-exactly (codebook doubles, byte codes, and int64 LUT distances
+    all round-trip parquet), and the persisted codes file must be
+    materially smaller than the raw embeddings it stands in for."""
+    import os
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_pq_adc, knn_pq_from_index,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, path)
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+    from_index = knn_pq_from_index(spark, path, queries, k=10).collect()
+    in_memory = knn_pq_adc(emb, qids, k=10).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
+
+    def _bytes(d):
+        if os.path.isfile(d):
+            return os.path.getsize(d)
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs
+                   if f.endswith(".parquet"))
+
+    emb_dir = f"{sf_dir}/embeddings.parquet"
+    assert _bytes(f"{path}/codes") < _bytes(emb_dir) / 3
