@@ -195,6 +195,48 @@ def main() -> None:
     print(f"embedding LSH (P={p}): bucketing {time.perf_counter() - t0:.1f}s, "
           f"{occ:.0f} candidate pairs ({occ / n_vecs:.1f}/vec)")
 
+    # SemDeDup blocking occupancy: holding |cell| ~ constant by scaling
+    # n_cells with N, in-cell candidate pairs per vector must stay flat
+    # across a corpus doubling (linear total verify work)
+    from bigdata2016w_spark.operators.similarity import (
+        PQ_SUBSPACES,
+        _assign_to_literal_centroids,
+        _pq_codebook_literal,
+        pq_encode,
+    )
+
+    def _semdedup_cands(e, n: int) -> float:
+        n_cells = max(4, n // 125)
+        cl = [(int(r.vec_id), [float(x) for x in r.embedding])
+              for r in sorted(
+                  e.where(F.col("vec_id") < n_cells)
+                  .select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)]
+        a = _assign_to_literal_centroids(e, cl)
+        return float(
+            a.groupBy("cell").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+
+    t0 = time.perf_counter()
+    full_c = _semdedup_cands(emb, n_vecs)
+    half_n = n_vecs // 2
+    half_c = _semdedup_cands(
+        emb.where(F.col("vec_id") < half_n), half_n
+    )
+    print(f"semdedup blocking (cells=N/125): {time.perf_counter() - t0:.1f}s, "
+          f"candidates/vec {half_c / half_n:.1f} @ {half_n} -> "
+          f"{full_c / n_vecs:.1f} @ {n_vecs} "
+          f"(ratio {full_c / n_vecs / (half_c / half_n):.2f}x)")
+
+    # PQ: bounded-sample codebook train + full map-side encode
+    t0 = time.perf_counter()
+    cb = _pq_codebook_literal(emb, 16, PQ_SUBSPACES, dim)
+    n_codes_rows = pq_encode(emb, cb, PQ_SUBSPACES, dim).count()
+    print(f"pq train+encode: {time.perf_counter() - t0:.1f}s, "
+          f"{n_codes_rows} code rows ({n_codes_rows // PQ_SUBSPACES} vectors)")
+
     # --- round-3 operators at scale: rolling anomalies, packing, BPE ---
     import tempfile
 
