@@ -100,7 +100,7 @@ def main() -> None:
     for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
                  "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
                  "graph_sssp_hops", "shared_shingle_pairs_pipeline",
-                 "ann_pq_adc"):
+                 "ann_pq_adc", "ann_ivf_pq"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):

@@ -847,6 +847,7 @@ def knn_pq_adc(
     n_codes: int = PQ_CODES,
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: (query_id, vec_id,
     adc_d2), k rows per query, smallest reconstructed squared-L2 first,
@@ -866,7 +867,9 @@ def knn_pq_adc(
     broadcast table; inlining its multi-stage plan instead would
     re-execute the codebook build once per broadcast consumer.
     """
-    cb = _pq_codebook_literal(embeddings, n_codes, n_subspaces, dim)
+    cb = codebook if codebook is not None else _pq_codebook_literal(
+        embeddings, n_codes, n_subspaces, dim
+    )
     codes = pq_encode(embeddings, cb, n_subspaces, dim)
     qsub = _pq_subvectors(
         embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
@@ -1034,3 +1037,109 @@ def semdedup_drop_list(
             F.col("b.cosine").alias("cosine"),
         )
     )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_codes: int = PQ_CODES,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape — a coarse inverted file bounds
+    the scan FRACTION (n_probe/n_cells of cells touched) while product
+    quantization bounds the scan FOOTPRINT (M byte codes per candidate
+    instead of the float vector). Queries rank the seed centroids by
+    exact cosine, probe their best cells, and rank ONLY probed-cell
+    candidates by ADC distance. Returns (query_id, vec_id, adc_d2), ties
+    → lowest vec_id; codes come from the globally trained codebook (no
+    per-cell residual re-encoding — the faiss-style residual refinement
+    is documented out of scope, everything here stays closed-form and
+    oracle-replayable).
+
+    Shape: cell assignment and PQ encoding happen in ONE map-side pass
+    over the corpus (literal centroid matrix + broadcast codebook — a
+    codes⋈cells join on vec_id would shuffle the corpus twice); probes
+    and LUT are broadcast; the per-candidate M-term sums combine
+    map-side, so the only shuffle is |Q|·(probed candidates) skinny
+    partial rows plus the two-stage top-k."""
+    spark = embeddings.sparkSession
+    cent_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in cent_rows]
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_d2 long"
+        )
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
+
+    # one-pass cell + code projection: subvectors keep the cell column,
+    # encode against the broadcast codebook grouped per subspace
+    sd = dim // n_subspaces
+    sub = assigned.select(
+        "vec_id", "cell",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("embedding", m * sd + 1, sd).alias("sv"),
+                )
+                for m in range(n_subspaces)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "cell", F.col("s.m").alias("m"),
+             F.col("s.sv").alias("sv"))
+    cb = codebook if codebook is not None else _pq_codebook_literal(
+        embeddings, n_codes, n_subspaces, dim
+    )
+    cbg = cb.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
+    )
+    codes = sub.join(broadcast(cbg), "m").select(
+        "vec_id", "cell", "m",
+        _argmin_code(F.col("cws"), F.col("sv")).alias("code"),
+    )
+
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probes = (
+        broadcast(q)
+        .crossJoin(broadcast(cent))
+        .select(
+            "query_id", "q_emb", "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qsub = _pq_subvectors(
+        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsub.join(broadcast(cb), "m").select(
+        "query_id", "m", "code", pq_d2(F.col("qsv"), F.col("cv")).alias("lut_d2")
+    )
+    adc = (
+        codes.join(broadcast(probes), "cell")
+        .join(broadcast(lut), ["query_id", "m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
+    return topk_per_group(
+        adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "adc_d2")

@@ -907,11 +907,36 @@ register(QuerySpec("ann_ivf_lloyd", ann_ivf_lloyd, _ANN_IVF_LLOYD_SQL,
                        "see operators/similarity.knn_ivf_lloyd."))
 
 
+# The trained-codebook literal is shared by ann_pq_adc and ann_ivf_pq —
+# same (sample, init, one Lloyd step) model either way, so train it once
+# per (session, sf_dir); a literal DataFrame carries no checkpoint state,
+# only the keying-by-applicationId convention matters for staleness.
+_PQ_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        _pq_codebook_literal,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _PQ_CB_CACHE.get(key)
+    if cb is None:
+        cb = _pq_codebook_literal(
+            load_table(spark, sf_dir, "embeddings"), PQ_CODES, PQ_SUBSPACES, 64
+        )
+        _PQ_CB_CACHE[key] = cb
+    return cb
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_pq_adc
 
     return knn_pq_adc(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        codebook=_shared_pq_codebook(spark, sf_dir),
     )
 
 
@@ -995,6 +1020,121 @@ register(QuerySpec("ann_pq_adc", ann_pq_adc, _ANN_PQ_ADC_SQL,
                    doc="Product-quantization ADC search — 4-byte codes "
                        "instead of 256-byte vectors at scan time; see "
                        "operators/similarity.knn_pq_adc."))
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_pq
+
+    return knn_ivf_pq(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        codebook=_shared_pq_codebook(spark, sf_dir),
+    )
+
+
+_ANN_IVF_PQ_SQL = f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+ac AS (
+  SELECT e.vec_id, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, x FROM ex
+),
+train AS (
+  SELECT * FROM sub WHERE vec_id < {_PQ_TRAIN_N}
+),
+init AS (
+  SELECT vec_id AS code, m, d, x AS c FROM train WHERE vec_id < {_PQ_K}
+),
+a0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, i.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum({_pq_d2_rows_sql('s.x', 'i.c')}) ASC, i.code ASC
+           ) AS rn
+    FROM train s JOIN init i ON s.m = i.m AND s.d = i.d
+    GROUP BY s.vec_id, s.m, i.code
+  ) WHERE rn = 1
+),
+refined AS (
+  SELECT a.m, a.code, s.d,
+         round(CAST(sum(CAST(round(s.x * 16777216) AS BIGINT)) AS DOUBLE)
+               / count(*) / 16777216, 6) AS c
+  FROM a0 a JOIN train s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.m, a.code, s.d
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, r.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum({_pq_d2_rows_sql('s.x', 'r.c')}) ASC, r.code ASC
+           ) AS rn
+    FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
+    GROUP BY s.vec_id, s.m, r.code
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {_IVF_PROBE}
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, r.code,
+         sum({_pq_d2_rows_sql('s.x', 'r.c')}) AS lut_d2
+  FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
+  WHERE s.vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+  GROUP BY s.vec_id, s.m, r.code
+),
+adc AS (
+  SELECT p.query_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN assigned av ON av.vec_id = c.vec_id
+  JOIN probes p ON p.cell = av.cell
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> p.query_id
+  GROUP BY p.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec("ann_ivf_pq", ann_ivf_pq, _ANN_IVF_PQ_SQL,
+                   doc="IVF-PQ: probe-bounded scan fraction × PQ-bounded "
+                       "scan footprint; see operators/similarity.knn_ivf_pq."))
 
 
 SEMDEDUP_THRESHOLD = 0.4  # same bar as embedding_near_dupes

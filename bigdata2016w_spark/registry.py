@@ -76,8 +76,8 @@ _SPEC_MODULES = [
 # ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
 # (orders_upsert .. dedup_simhash in registration order), plus
 # documents_scrub_dup_spans, dedup_keep_best, documents_rejection_audit,
-# ann_pq_adc, semantic_dedup, events_transition_matrix, and
-# events_user_value_ema (added r6 behind the window, no driver rows
+# ann_pq_adc, ann_ivf_pq, semantic_dedup, events_transition_matrix,
+# and events_user_value_ema (added r6 behind the window, no driver rows
 # yet) and corpus_curation + corpus_datacard
 # (oracle SQL refactored in r6 to interpolate the shared quality_sql —
 # value-equivalent and locally re-verified, but their r05/r03 driver

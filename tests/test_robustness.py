@@ -41,7 +41,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "documents_containment_dupes", "bpe_apply_closed_form",
     "documents_scrub_dup_spans", "dedup_keep_best",
     "documents_rejection_audit", "ann_pq_adc", "semantic_dedup",
-    "events_transition_matrix", "events_user_value_ema",
+    "events_transition_matrix", "events_user_value_ema", "ann_ivf_pq",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
