@@ -141,7 +141,8 @@ def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
                  "events_nation_hourly", "events_tumbling_hour",
                  "events_sliding", "events_sessions",
                  "documents_scrub_dup_spans", "dedup_keep_best",
-                 "documents_rejection_audit"):
+                 "documents_rejection_audit",
+                 "events_transition_matrix", "events_user_value_ema"):
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
 
