@@ -1143,3 +1143,69 @@ def knn_ivf_pq(
     return topk_per_group(
         adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
     ).select("query_id", "vec_id", "adc_d2")
+
+
+def embedding_cross_near_dupes(
+    index: DataFrame,
+    probe: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int | None = None,
+    dim: int = 64,
+    n_index: int | None = None,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup pairs: for each PROBE vector, the
+    INDEX vectors with cosine ≥ threshold — the embedding analogue of
+    ``dedup.jaccard_cross_near_dupes`` (probe-vs-index only, never
+    intra-side). Returns (probe_id, index_id, cosine).
+
+    Blocking is the same fixed-hyperplane sign bucketing as
+    :func:`embedding_near_dupes`, with 1-bit multiprobe on the PROBE
+    side (the knn_lsh recall insurance — a boundary flip between two
+    near-identical vectors otherwise hides the pair): candidates =
+    index rows in any of the probe's P+1 buckets. Plane count is sized
+    off the INDEX cardinality (adaptive_num_planes) so per-bucket
+    occupancy — and the verify join — stays linear as the accepted
+    corpus grows; at cluster scale pass ``n_index`` from a catalog
+    statistic instead of the count() fallback."""
+    if num_planes is None:
+        if n_index is None:
+            n_index = index.count()
+        num_planes = adaptive_num_planes(max(n_index, 1))
+    planes = _planes(dim, num_planes)
+    ix = (
+        index.withColumn("__n", norm(F.col("embedding")))
+        .withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+        .select(
+            F.col("vec_id").alias("index_id"),
+            F.col("embedding").alias("i_emb"),
+            F.col("__n").alias("i_n"),
+            "bucket",
+        )
+    )
+    pb = (
+        probe.withColumn("__n", norm(F.col("embedding")))
+        .withColumn("__b", lsh_bucket(F.col("embedding"), planes))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("__n").alias("p_n"),
+            F.explode(
+                F.array(
+                    F.col("__b"),
+                    *[F.col("__b").bitwiseXOR(F.lit(1 << i))
+                      for i in range(num_planes)],
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        pb.join(ix, "bucket")
+        .select(
+            "probe_id", "index_id",
+            cosine_with_norms(
+                F.col("p_emb"), F.col("p_n"), F.col("i_emb"), F.col("i_n")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

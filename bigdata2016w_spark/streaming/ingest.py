@@ -95,6 +95,24 @@ def _checkpoint_started(spark, checkpoint_dir: str) -> bool:
     return bool(fs.exists(offsets)) and len(fs.listStatus(offsets)) > 0
 
 
+def _guard_fresh_checkpoint(spark, target_dir: str, checkpoint_dir: str,
+                            schema) -> None:
+    """Fail fast when a FRESH checkpoint (batch ids restart at 0) points
+    at a target that already holds ``batch=`` subdirs — the mismatch
+    would silently exclude every existing batch from dedup and then
+    overwrite them one by one as the new run advances."""
+    if not _checkpoint_started(spark, checkpoint_dir):
+        existing = _accepted(spark, target_dir, schema).inputFiles()
+        if existing:
+            raise ValueError(
+                f"target_dir {target_dir!r} already holds batch= subdirs "
+                f"but checkpoint_dir {checkpoint_dir!r} is fresh — batch "
+                "ids would restart at 0 and overwrite accepted batches. "
+                "Reuse the original checkpoint, or point the stream at an "
+                "empty target."
+            )
+
+
 def dedup_admission_sink(
     docs_stream: DataFrame,
     target_dir: str,
@@ -111,18 +129,8 @@ def dedup_admission_sink(
     then overwritten one by one as the new run advances. Fail fast instead
     of losing the old corpus."""
     spark = docs_stream.sparkSession
-    if not _checkpoint_started(spark, checkpoint_dir):
-        existing = _accepted(
-            spark, target_dir, docs_stream.schema
-        ).inputFiles()
-        if existing:
-            raise ValueError(
-                f"target_dir {target_dir!r} already holds batch= subdirs "
-                f"but checkpoint_dir {checkpoint_dir!r} is fresh — batch "
-                "ids would restart at 0 and overwrite accepted batches. "
-                "Reuse the original checkpoint, or point the stream at an "
-                "empty target."
-            )
+    _guard_fresh_checkpoint(spark, target_dir, checkpoint_dir,
+                            docs_stream.schema)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -136,6 +144,71 @@ def dedup_admission_sink(
 
     return (
         docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def admit_embedding_batch(
+    batch_df: DataFrame,
+    accepted: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space admission (shared by the sink and batch tests):
+    in-batch semantic dedup — drop the higher vec_id of every cosine ≥
+    threshold pair (``similarity.embedding_near_dupes``; exact copies
+    are cosine 1.0, so no separate exact tier) — then drop anything
+    whose cosine to an already-accepted vector reaches the threshold
+    (``similarity.embedding_cross_near_dupes``, probe-vs-index only).
+    The near-identical-vector gate of an embedding-indexed corpus:
+    ingest-time SemDeDup."""
+    from bigdata2016w_spark.operators.similarity import (
+        embedding_cross_near_dupes,
+        embedding_near_dupes,
+    )
+
+    losers = embedding_near_dupes(batch_df, threshold, dim=dim).select(
+        F.col("vec_b").alias("vec_id")
+    ).distinct()
+    b = batch_df.join(losers, "vec_id", "left_anti")
+    near = embedding_cross_near_dupes(accepted, b, threshold, dim=dim).select(
+        F.col("probe_id").alias("vec_id")
+    ).distinct()
+    return b.join(near, "vec_id", "left_anti").select(*batch_df.columns)
+
+
+def embedding_admission_sink(
+    vec_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+):
+    """Streaming embedding-admission gate: the vector analogue of
+    :func:`dedup_admission_sink`, sharing its replay-safety machinery —
+    batch-stamped overwrite subdirs, the ``_accepted(before_batch=…)``
+    listing that keeps a replayed batch from anti-joining against its
+    own half-committed output, and the fresh-checkpoint-vs-populated-
+    target fail-fast guard. Survivors of batch N land in
+    ``{target_dir}/batch=N``."""
+    spark = vec_stream.sparkSession
+    _guard_fresh_checkpoint(spark, target_dir, checkpoint_dir,
+                            vec_stream.schema)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        accepted = _accepted(
+            spark, target_dir, batch_df.schema, before_batch=batch_id
+        )
+        survivors = admit_embedding_batch(batch_df, accepted, threshold, dim)
+        survivors.write.mode("overwrite").parquet(
+            f"{target_dir}/batch={batch_id}"
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_admit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -566,3 +566,80 @@ def test_dedup_admission_fresh_checkpoint_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="fresh"):
         dedup_admission_sink(src, str(tgt), str(tmp_path / "ckpt_new"))
+
+
+def test_embedding_admission_sink_across_batches(spark, tmp_path):
+    """Streaming embedding gate: two micro-batches of vectors. A scaled
+    copy (cosine 1.0) in batch 1 collapses to the lowest vec_id; a
+    batch-2 vector nearly collinear with an accepted one is rejected
+    across the batch boundary; orthogonal-enough vectors land. Restart
+    against the same checkpoint replays nothing."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.streaming.ingest import embedding_admission_sink
+
+    u = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    w = [0.0, 1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0]
+    u_noisy = [1.0, 0.01, 1.0, 0.0, 0.99, 0.0, 1.0, 0.02]
+    v_new = [1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0]
+    b1 = [(1, u), (2, [2.0 * x for x in u]), (3, w)]
+    b2 = [(10, u_noisy), (12, v_new)]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "vec_id long, embedding array<float>"
+    for i, rows in enumerate((b1, b2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(sdir))
+    )
+    q = embedding_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        threshold=0.95, dim=8,
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = {r.vec_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert got == {1, 3, 12}
+
+    q2 = embedding_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        threshold=0.95, dim=8,
+    )
+    q2.awaitTermination()
+    again = {r.vec_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert again == {1, 3, 12}
+
+
+def test_embedding_cross_near_dupes_probe_only(spark):
+    """The cross checker reports probe-vs-index pairs only (never
+    intra-side), survives an empty index, and multiprobe catches a
+    same-direction pair even when one sign bit would flip."""
+    from bigdata2016w_spark.operators.similarity import (
+        embedding_cross_near_dupes,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 0.0]), (2, [0.0, 1.0, 0.0, -1.0])], schema)
+    probe = spark.createDataFrame(
+        [(10, [1.0, 0.01, 1.0, 0.01]),       # near dup of index 1
+         (11, [2.0, 0.0, 2.0, 0.0]),         # scaled copy of index 1
+         (12, [-1.0, 1.0, 0.0, 0.0])], schema)
+    out = embedding_cross_near_dupes(idx, probe, threshold=0.95, dim=4)
+    pairs = {(r.probe_id, r.index_id) for r in out.collect()}
+    assert pairs == {(10, 1), (11, 1)}
+    empty = spark.createDataFrame([], schema)
+    assert embedding_cross_near_dupes(empty, probe, threshold=0.9,
+                                      dim=4).collect() == []
