@@ -720,15 +720,26 @@ def pq_d2(a, b) -> Column:
 
 
 def _pq_subvectors(
-    embeddings: DataFrame, n_subspaces: int, dim: int
+    embeddings: DataFrame, n_subspaces: int, dim: int,
+    keep: tuple[str, ...] = ("vec_id",),
 ) -> DataFrame:
-    """(vec_id, m, sv): the M contiguous sub-vectors of each embedding —
+    """(*keep, m, sv): the M contiguous sub-vectors of each embedding —
     one explode per input row, so all M rows of a vector stay in the
     producing partition (downstream per-vector partial aggs combine
-    map-side)."""
+    map-side). NULL embeddings are dropped up front (the DuckDB oracles
+    drop them structurally via unnest-over-len; without the filter they
+    would encode to the lowest codeword and surface as fake neighbors);
+    ``dim`` must split evenly — a remainder would silently vanish from
+    every distance."""
+    if dim % n_subspaces:
+        raise ValueError(
+            f"dim={dim} not divisible by n_subspaces={n_subspaces} — "
+            f"the trailing {dim % n_subspaces} dimensions would be "
+            "silently dropped from all PQ distances"
+        )
     sd = dim // n_subspaces
-    return embeddings.select(
-        "vec_id",
+    return embeddings.where(F.col("embedding").isNotNull()).select(
+        *keep,
         F.explode(
             F.array(*[
                 F.struct(
@@ -738,7 +749,7 @@ def _pq_subvectors(
                 for m in range(n_subspaces)
             ])
         ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    ).select(*keep, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
 def _argmin_code(cws_col, sv_col) -> Column:
@@ -827,16 +838,19 @@ def pq_encode(
     codebook: DataFrame,
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
+    keep: tuple[str, ...] = ("vec_id",),
 ) -> DataFrame:
-    """(vec_id, m, code): each vector's per-subspace nearest-codeword id —
+    """(*keep, m, code): each vector's per-subspace nearest-codeword id —
     broadcast codebook, map-side argmin, zero corpus shuffle. This is the
-    table a 100-TB deployment persists instead of raw embeddings."""
+    table a 100-TB deployment persists instead of raw embeddings.
+    ``keep`` lets a caller thread extra per-vector columns (knn_ivf_pq's
+    cell) through the one corpus pass."""
     cbg = codebook.groupBy("m").agg(
         F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
     )
-    sub = _pq_subvectors(embeddings, n_subspaces, dim)
+    sub = _pq_subvectors(embeddings, n_subspaces, dim, keep)
     return sub.join(broadcast(cbg), "m").select(
-        "vec_id", "m", _argmin_code(F.col("cws"), F.col("sv")).alias("code")
+        *keep, "m", _argmin_code(F.col("cws"), F.col("sv")).alias("code")
     )
 
 
@@ -938,8 +952,6 @@ def knn_pq_from_index(
     index_path: str,
     queries: DataFrame,
     k: int = 10,
-    n_subspaces: int = PQ_SUBSPACES,
-    dim: int = 64,
 ) -> DataFrame:
     """ADC search against a PERSISTED PQ index
     (``sources.sinks.write_pq_index``): the codebook is read back (M·K
@@ -947,13 +959,57 @@ def knn_pq_from_index(
     (M bytes/vector instead of the raw embeddings), and ``queries``
     (vec_id, embedding) stay exact. Bit-identical to :func:`knn_pq_adc`
     on the same corpus because codebook, codes, and int64 LUT distances
-    round-trip parquet exactly."""
+    round-trip parquet exactly.
+
+    The index is self-describing: subspace count and width are derived
+    from the stored codebook (M = max(m)+1, subdim = len(cv)) rather
+    than trusted as caller parameters — a geometry mismatch between
+    caller defaults and the index would otherwise NULL out every LUT
+    distance and return k arbitrary rows with NULL adc_d2. A query
+    whose embedding length disagrees with the index fails fast."""
     cb = spark.read.parquet(f"{index_path}/codebook")
+    meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
+                  ).first()
+    if meta["mm"] is None:  # empty index (empty corpus at write time)
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_d2 long"
+        )
+    n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
+    dim = n_subspaces * sd
+    qrow = queries.where(F.col("embedding").isNotNull()).select(
+        "embedding").first()
+    if qrow is not None and len(qrow["embedding"]) != dim:
+        raise ValueError(
+            f"query embedding length {len(qrow['embedding'])} does not "
+            f"match the index geometry ({n_subspaces} subspaces x {sd} "
+            f"dims = {dim})"
+        )
     codes = unpack_pq_codes(spark.read.parquet(f"{index_path}/codes"))
     qsub = _pq_subvectors(queries, n_subspaces, dim).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
     return _pq_adc_search(codes, cb, qsub, k)
+
+
+def _seed_centroid_literals(
+    embeddings: DataFrame, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """The deterministic seed-centroid convention shared by the NEW
+    cell-blocked operators (semdedup_drop_list, knn_ivf_pq): the
+    ``n_cells`` lowest vec_ids with a non-NULL embedding, collected once
+    (an O(n_cells)-row model fetch) and sorted by id. A NULL embedding
+    can never become a centroid — its cosine would be NULL against every
+    vector and the cell would silently swallow or drop rows depending on
+    engine NULL-ordering."""
+    rows = sorted(
+        embeddings.where(
+            (F.col("vec_id") < n_cells) & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
 
 
 def semdedup_drop_list(
@@ -965,10 +1021,13 @@ def semdedup_drop_list(
     trade-off that bounds the quadratic pair search to cluster-sized
     blocks. Returns the DROP list: one row per vector that duplicates a
     lower-id vector in its cluster — (dropped_id, cell, witness_id,
-    cosine) with the witness the max-cosine surviving candidate (ties →
-    lowest id). Survivor-by-lowest-id is the engine's exact-dedup
-    convention; cross-cluster near-dups are deliberately out of scope
-    (that lossless tier is :func:`embedding_near_dupes`).
+    cosine) with the witness the max-cosine LOWER-ID candidate (ties →
+    lowest id). The witness is evidence, not necessarily a survivor: in
+    a chained near-dup set (0~1, 1~2) vector 2's witness 1 is itself
+    dropped, and removing every dropped_id leaves exactly the lowest id
+    of each chain — the engine's exact-dedup survivor convention.
+    Cross-cluster near-dups are deliberately out of scope (that lossless
+    tier is :func:`embedding_near_dupes`).
 
     Shape: cell assignment is the map-side literal-centroid argmax of
     :func:`knn_ivf_flat` (seed centroids = the n_cells lowest vec_ids —
@@ -980,14 +1039,8 @@ def semdedup_drop_list(
     window over an unbounded partition.
     """
     spark = embeddings.sparkSession
-    cent_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
-                for r in cent_rows]
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
             [], "dropped_id long, cell int, witness_id long, cosine double"
@@ -1068,14 +1121,8 @@ def knn_ivf_pq(
     map-side, so the only shuffle is |Q|·(probed candidates) skinny
     partial rows plus the two-stage top-k."""
     spark = embeddings.sparkSession
-    cent_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
-                for r in cent_rows]
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_d2 long"
@@ -1083,32 +1130,14 @@ def knn_ivf_pq(
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     assigned = _assign_to_literal_centroids(embeddings, cent_lit)
 
-    # one-pass cell + code projection: subvectors keep the cell column,
-    # encode against the broadcast codebook grouped per subspace
-    sd = dim // n_subspaces
-    sub = assigned.select(
-        "vec_id", "cell",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("embedding", m * sd + 1, sd).alias("sv"),
-                )
-                for m in range(n_subspaces)
-            ])
-        ).alias("s"),
-    ).select("vec_id", "cell", F.col("s.m").alias("m"),
-             F.col("s.sv").alias("sv"))
+    # one-pass cell + code projection: pq_encode threads the cell column
+    # through its subvector explode, so assignment and encoding share a
+    # single corpus scan
     cb = codebook if codebook is not None else _pq_codebook_literal(
         embeddings, n_codes, n_subspaces, dim
     )
-    cbg = cb.groupBy("m").agg(
-        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
-    )
-    codes = sub.join(broadcast(cbg), "m").select(
-        "vec_id", "cell", "m",
-        _argmin_code(F.col("cws"), F.col("sv")).alias("code"),
-    )
+    codes = pq_encode(assigned, cb, n_subspaces, dim,
+                      keep=("vec_id", "cell"))
 
     q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

@@ -952,8 +952,11 @@ def _pq_d2_rows_sql(x: str, c: str) -> str:
             f"AS BIGINT)")
 
 
-_ANN_PQ_ADC_SQL = f"""
-WITH ex AS (
+# Shared DuckDB replay of the PQ training/encode/LUT pipeline — ONE copy
+# interpolated by both _ANN_PQ_ADC_SQL and _ANN_IVF_PQ_SQL so a future
+# quantization/tie-break fix cannot drift the two oracles apart (the
+# _CURATION_SQL/_DATACARD_SQL quality_sql lesson).
+_PQ_TRAIN_CTES = f"""ex AS (
   SELECT vec_id, unnest(range(len(embedding))) AS dim,
          CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
   FROM embeddings
@@ -1002,7 +1005,10 @@ lut AS (
   FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
   WHERE s.vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
   GROUP BY s.vec_id, s.m, r.code
-),
+)"""
+
+_ANN_PQ_ADC_SQL = f"""
+WITH {_PQ_TRAIN_CTES},
 adc AS (
   SELECT l.query_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
   FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
@@ -1033,14 +1039,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_IVF_PQ_SQL = f"""
-WITH cent AS (
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
   SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
-  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
 ),
 ac AS (
   SELECT e.vec_id, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM embeddings e CROSS JOIN cent c
+  FROM e0 e CROSS JOIN cent c
 ),
 assigned AS (
   SELECT vec_id, cell FROM (
@@ -1049,51 +1058,9 @@ assigned AS (
     FROM ac
   ) WHERE rn = 1
 ),
-ex AS (
-  SELECT vec_id, unnest(range(len(embedding))) AS dim,
-         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
-  FROM embeddings
-),
-sub AS (
-  SELECT vec_id, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, x FROM ex
-),
-train AS (
-  SELECT * FROM sub WHERE vec_id < {_PQ_TRAIN_N}
-),
-init AS (
-  SELECT vec_id AS code, m, d, x AS c FROM train WHERE vec_id < {_PQ_K}
-),
-a0 AS (
-  SELECT vec_id, m, code FROM (
-    SELECT s.vec_id, s.m, i.code,
-           row_number() OVER (
-             PARTITION BY s.vec_id, s.m
-             ORDER BY sum({_pq_d2_rows_sql('s.x', 'i.c')}) ASC, i.code ASC
-           ) AS rn
-    FROM train s JOIN init i ON s.m = i.m AND s.d = i.d
-    GROUP BY s.vec_id, s.m, i.code
-  ) WHERE rn = 1
-),
-refined AS (
-  SELECT a.m, a.code, s.d,
-         round(CAST(sum(CAST(round(s.x * 16777216) AS BIGINT)) AS DOUBLE)
-               / count(*) / 16777216, 6) AS c
-  FROM a0 a JOIN train s ON s.vec_id = a.vec_id AND s.m = a.m
-  GROUP BY a.m, a.code, s.d
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT s.vec_id, s.m, r.code,
-           row_number() OVER (
-             PARTITION BY s.vec_id, s.m
-             ORDER BY sum({_pq_d2_rows_sql('s.x', 'r.c')}) ASC, r.code ASC
-           ) AS rn
-    FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
-    GROUP BY s.vec_id, s.m, r.code
-  ) WHERE rn = 1
-),
+{_PQ_TRAIN_CTES},
 q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
   WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
 ),
 pc AS (
@@ -1107,13 +1074,6 @@ probes AS (
                                  ORDER BY c_cos DESC, cell ASC) AS pr
     FROM pc
   ) WHERE pr <= {_IVF_PROBE}
-),
-lut AS (
-  SELECT s.vec_id AS query_id, s.m, r.code,
-         sum({_pq_d2_rows_sql('s.x', 'r.c')}) AS lut_d2
-  FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
-  WHERE s.vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
-  GROUP BY s.vec_id, s.m, r.code
 ),
 adc AS (
   SELECT p.query_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
@@ -1149,14 +1109,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_SQL = f"""
-WITH cent AS (
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
   SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
-  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
 ),
 ac AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM embeddings e CROSS JOIN cent c
+  FROM e0 e CROSS JOIN cent c
 ),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (

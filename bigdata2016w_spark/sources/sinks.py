@@ -192,6 +192,8 @@ def write_pq_index(embeddings: DataFrame, path: str,
     rehydrating the floats. Training cost is bounded by the codebook's
     deterministic sample regardless of corpus size; encoding is one
     map-side pass (``operators.similarity.pq_encode``)."""
+    from pyspark.sql import functions as F
+
     from bigdata2016w_spark.operators.similarity import (
         _pq_codebook_literal,
         PQ_CODES,
@@ -200,7 +202,17 @@ def write_pq_index(embeddings: DataFrame, path: str,
         pq_encode,
     )
 
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    spark = embeddings.sparkSession
+    row = embeddings.where(
+        F.col("embedding").isNotNull()
+    ).select("embedding").first()
+    if row is None:  # empty (or all-NULL) corpus: a valid, empty index
+        spark.createDataFrame([], "m int, code bigint, cv array<double>"
+                              ).write.mode(mode).parquet(f"{path}/codebook")
+        spark.createDataFrame([], "vec_id bigint, codes array<tinyint>"
+                              ).write.mode(mode).parquet(f"{path}/codes")
+        return
+    dim = len(row["embedding"])
     cb = _pq_codebook_literal(embeddings, PQ_CODES, PQ_SUBSPACES, dim)
     codes = pq_encode(embeddings, cb, PQ_SUBSPACES, dim)
     cb.write.mode(mode).parquet(f"{path}/codebook")

@@ -150,11 +150,44 @@ def dedup_admission_sink(
     )
 
 
+def _accepted_count(spark, target_dir: str,
+                    before_batch: int | None = None) -> int:
+    """Row count of the accepted corpus from parquet FOOTER metadata —
+    the catalog-stats read (sources.catalog.table_row_count's sibling),
+    NOT a per-batch count() job over every batch= subdir; the scan-free
+    way to size the cross-checker's LSH planes as the corpus grows.
+    Uses the same Hadoop listing as ``_accepted`` for the replay-safety
+    semantics, then pyarrow for the footers (local/DFS paths pyarrow can
+    reach; on an object store a real deployment reads table stats)."""
+    import pyarrow.dataset as pds
+
+    path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    if fs.exists(path):
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch=")):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if before_batch is not None and bid >= before_batch:
+                continue
+            d = pds.dataset(st.getPath().toUri().getPath(),
+                            format="parquet")
+            total += sum(f.metadata.num_rows for f in d.get_fragments()
+                         if f.metadata is not None)
+    return total
+
+
 def admit_embedding_batch(
     batch_df: DataFrame,
     accepted: DataFrame,
     threshold: float = 0.9,
     dim: int = 64,
+    n_accepted: int | None = None,
 ) -> DataFrame:
     """Embedding-space admission (shared by the sink and batch tests):
     in-batch semantic dedup — drop the higher vec_id of every cosine ≥
@@ -173,9 +206,9 @@ def admit_embedding_batch(
         F.col("vec_b").alias("vec_id")
     ).distinct()
     b = batch_df.join(losers, "vec_id", "left_anti")
-    near = embedding_cross_near_dupes(accepted, b, threshold, dim=dim).select(
-        F.col("probe_id").alias("vec_id")
-    ).distinct()
+    near = embedding_cross_near_dupes(
+        accepted, b, threshold, dim=dim, n_index=n_accepted
+    ).select(F.col("probe_id").alias("vec_id")).distinct()
     return b.join(near, "vec_id", "left_anti").select(*batch_df.columns)
 
 
@@ -202,7 +235,11 @@ def embedding_admission_sink(
         accepted = _accepted(
             spark, target_dir, batch_df.schema, before_batch=batch_id
         )
-        survivors = admit_embedding_batch(batch_df, accepted, threshold, dim)
+        survivors = admit_embedding_batch(
+            batch_df, accepted, threshold, dim,
+            n_accepted=_accepted_count(spark, target_dir,
+                                       before_batch=batch_id),
+        )
         survivors.write.mode("overwrite").parquet(
             f"{target_dir}/batch={batch_id}"
         )

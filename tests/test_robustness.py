@@ -162,3 +162,42 @@ def test_round4_ops_dirty_inputs_parity(spark, tmp_path):
     # keeps the audit's kept set equal to corpus_curation's survivors
     # (which filters size > 0) even on dirty corpora
     assert audit[0] == "empty" and audit[3] == "empty"
+
+
+def test_embedding_ops_null_embedding_parity(spark, tmp_path):
+    """Dirty-corpus pin for the embedding-blocked queries: rows with a
+    NULL embedding — including one inside the seed-centroid id range —
+    must be excluded identically by Spark and the oracle. Without the
+    operator-side filter a NULL vector PQ-encodes to the lowest codeword
+    of every subspace (array_min prefers the NULL-distance struct) and
+    surfaces as a fake nearest neighbor."""
+    import random
+
+    import duckdb
+
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    d = tmp_path / "dirty_emb"
+    d.mkdir()
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        emb = (None if i in (3, 27) else
+               [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        rows.append((i, emb, i % 5))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{d}/embeddings.parquet/*.parquet'")
+    for name in ("ann_pq_adc", "ann_ivf_pq", "semantic_dedup"):
+        spec = all_specs()[name]
+        out = spec.fn(spark, str(d))
+        compare_spark_duckdb(out, con, spec.oracle)
+        id_cols = (["dropped_id", "witness_id"] if name == "semantic_dedup"
+                   else ["vec_id"])
+        for r in out.select(*id_cols).collect():
+            assert not set(r).intersection({3, 27}), name
