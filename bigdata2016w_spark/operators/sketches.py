@@ -1,0 +1,310 @@
+"""Probabilistic sketches and document fingerprints — LLM-pipeline
+extension (no reference counterpart; the reference's only cardinality
+work is exact distinct counting, e.g. ``SCALA/assignment5`` GROUP BYs).
+
+Four operators, all single-pass, mergeable, and deterministic:
+
+- **Winnowing fingerprints** (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  the MOSS algorithm): per document, hash every token k-gram, then keep
+  the minimum hash of each window of ``w`` consecutive k-grams. Any
+  shared substring of ≥ ``k + w - 1`` tokens is *guaranteed* to share a
+  fingerprint, so fingerprint collisions are a lossless candidate
+  generator for long-span plagiarism/dup detection at a density of
+  ~2/(w+1) of the k-grams.
+- **KMV distinct sketch** (Bar-Yossef et al., RANDOM'02): the k smallest
+  distinct hash values; distinct-count estimate (k−1)/max_k normalized
+  to the hash range. Mergeable by taking the k smallest of a union —
+  exactly what Spark's ``TakeOrderedAndProject`` does per partition, so
+  the sketch IS the physical plan of ``ORDER BY h LIMIT k``.
+- **HyperLogLog** (Flajolet et al., AofA'07): 2^p max-rank registers.
+  Register build is one hash-partial-agg pass (map-side combine on the
+  bucket key); the harmonic sum is kept in EXACT integer arithmetic —
+  Σ 2^(53−rho) as int64 (max 2^61, no overflow) — so the estimate is a
+  single double division, bit-identical across engines regardless of
+  aggregation order.
+- **Count-Min sketch** (Cormode/Muthukrishnan, J.Alg'05): d×w counter
+  matrix via one explode+groupBy pass; point estimates join the d·w-row
+  counter table back broadcast. Estimates always ≥ true counts (pinned
+  in tests); heavy-hitter report compares both.
+
+All hashes are ``portable_hash60`` (``operators.dedup``), so every
+operator replays bit-for-bit in the DuckDB oracle. The xxhash64 family
+would be the one-line swap for a throughput-critical deployment, at the
+cost of oracle replayability (same trade as the dedup tiers).
+
+100-TB notes: winnowing is per-row expression work after an explicit
+repartition (single-file corpora otherwise tokenize in one task);
+candidate pairing is bounded by the MOSS-style stop-fingerprint cap
+(``max_df``), so no fingerprint fans out quadratically. KMV's sort-limit
+and HLL's 2^p-row agg shuffle O(k)/O(2^p) bytes per partition, not
+corpus bytes. CMS counters are d·w rows total — broadcastable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from bigdata2016w_spark.functions.tokenizer import tokenize
+from bigdata2016w_spark.operators.dedup import portable_hash60
+
+WINNOW_K = 5       # tokens per k-gram (guarantee threshold = k + w - 1)
+WINNOW_W = 4       # consecutive k-gram hashes per fingerprint window
+WINNOW_MAX_DF = 20  # MOSS stop-fingerprints: ignore fps in > max_df docs
+
+KMV_K = 64
+
+HLL_P = 8
+HLL_M = 1 << HLL_P            # 256 registers
+_HLL_REST_BITS = 60 - HLL_P   # 52 rank bits above the bucket field
+# rho ∈ [1, 53]; Σ 2^(53-rho) ≤ m·2^52 = 2^60 — exact in int64.
+_HLL_SCALE = float(1 << 53)
+# alpha_m · m² · 2^53, folded to ONE python double so both engines do a
+# single division — no engine-side multiply-order divergence possible.
+HLL_EST_NUMERATOR = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * _HLL_SCALE
+
+CMS_D, CMS_W = 4, 256
+
+
+# ---------------------------------------------------------------- winnow
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fingerprint): distinct winnowing fingerprints per doc.
+
+    One row in, one array-expression chain out — k-gram hashing and the
+    per-window min both stay inside whole-stage codegen (no shuffle at
+    all until a consumer aggregates). Docs shorter than ``k + w - 1``
+    tokens have no complete window and are dropped (both engines,
+    structurally). The repartition exists because document corpora are
+    often few/unsplittable files and this is regex-heavy per-row work
+    (same rationale as ``dedup.shingle_sets``)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", tokenize("text").alias("t")).where(
+        F.size("t") >= k + w - 1
+    )
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: portable_hash60(
+                F.concat_ws(" ", *[F.element_at("t", i + j) for j in range(k)]),
+                "WN",
+            ),
+        ).alias("g"),
+    )
+    fps = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("g") - (w - 1)),
+                lambda i: F.array_min(F.slice("g", i, w)),
+            )
+        ).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fingerprint"))
+
+
+def winnow_dup_candidates(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): doc pairs sharing ≥ ``min_shared``
+    *rare* fingerprints (document frequency ≤ ``max_df`` — MOSS's
+    stop-fingerprint rule: boilerplate every doc contains carries no
+    dup signal AND is exactly the key that would fan out quadratically
+    in the self-join, so dropping it is both the right semantics and
+    the skew bound: ≤ max_df² pair rows per fingerprint)."""
+    fps = winnow_fingerprints(docs, k, w)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    # fingerprint-keyed equi-join; the df filter and the self-join hash
+    # on the same key, so AQE coalesces them into one exchange lineage
+    fr = fps.join(rare, "fingerprint")
+    a = fr.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fr.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+# ------------------------------------------------------------------ KMV
+def kmv_distinct(
+    values: DataFrame, col: str = "s", k: int = KMV_K, seed: str = "KMV"
+) -> DataFrame:
+    """One row (k_used, kth_min, est_distinct, exact_distinct): K-minimum-
+    values distinct-count sketch over ``values[col]`` (duplicates fine —
+    hashing dedups). ``ORDER BY h LIMIT k`` compiles to per-partition
+    top-k + a k-row merge (TakeOrderedAndProject): the sketch's merge
+    operation is the physical plan, no custom state anywhere.
+    ``exact_distinct`` rides along (same distinct pass feeds both) so
+    the query doubles as its own error report."""
+    h = (
+        values.select(portable_hash60(F.col(col), seed).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    kmin = h.orderBy("h").limit(k)
+    agg = kmin.agg(
+        F.count("*").cast("int").alias("k_used"),
+        F.max("h").alias("kth_min"),
+    )
+    exact = h.agg(F.count("*").alias("exact_distinct"))
+    return (
+        agg.crossJoin(broadcast(exact))  # two 1-row frames
+        .select(
+            "k_used",
+            "kth_min",
+            F.round(
+                (F.col("k_used") - F.lit(1)).cast("double")
+                * F.lit(float(1 << 60))
+                / F.col("kth_min").cast("double"),
+                4,
+            ).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+# ------------------------------------------------------------------ HLL
+def hll_distinct(
+    values: DataFrame, col: str = "s", seed: str = "HLL"
+) -> DataFrame:
+    """One row (m_filled, isum, est_distinct, exact_distinct):
+    HyperLogLog with 2^p = 256 registers over the 60-bit portable hash —
+    bucket = low p bits, rho = leading-zero count of the remaining 52
+    bits + 1 (computed integer-exactly via the binary-string length:
+    ``length(bin(rest))`` = floor(log2)+1 in both engines; rest = 0 ⇒
+    rho = 53). The harmonic denominator is the int64 ``isum`` =
+    Σ 2^(53−rho) with empty registers contributing 2^53, so the raw
+    estimate is ONE double division of a python-folded constant — no
+    float accumulation order anywhere. Linear counting takes over below
+    2.5·m when empty registers exist (the standard small-range branch;
+    ln is rounded like every libm call in the engine)."""
+    h = values.select(
+        portable_hash60(F.col(col), seed).alias("h")
+    ).where(F.col("h").isNotNull())
+    buckets = h.select(
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
+        F.shiftright("h", HLL_P).alias("rest"),
+    ).select(
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest")))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = buckets.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    agg = regs.agg(
+        F.count("*").cast("int").alias("m_filled"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
+        ).alias("isum"),
+    )
+    exact = values.select(F.col(col)).where(
+        F.col(col).isNotNull()
+    ).distinct().agg(F.count("*").alias("exact_distinct"))
+    raw = F.lit(HLL_EST_NUMERATOR) / F.col("isum").cast("double")
+    v = F.lit(HLL_M) - F.col("m_filled")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.crossJoin(broadcast(exact)).select(
+        "m_filled", "isum",
+        F.round(est, 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+# ------------------------------------------------------------------ CMS
+def cms_counters(keys: DataFrame, col: str = "k") -> DataFrame:
+    """(j, slot, cnt): the d×w Count-Min counter matrix — one
+    explode+hash-agg pass over the stream (partial aggregation does the
+    map-side combine; at any corpus size the result is d·w rows)."""
+    rows = keys.select(F.col(col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    ex = rows.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (portable_hash60(F.col("k"), f"CMS{j}") % CMS_W)
+                    .cast("int")
+                    .alias("slot"),
+                )
+                for j in range(CMS_D)
+            ])
+        ).alias("s")
+    )
+    return ex.groupBy(
+        F.col("s.j").alias("j"), F.col("s.slot").alias("slot")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_heavy_keys(
+    keys: DataFrame, col: str = "k", above_mean: float = 1.15
+) -> DataFrame:
+    """(key, est_count, true_count): keys whose Count-Min point estimate
+    (min over the d rows of the broadcast counter matrix) exceeds
+    ``above_mean`` × the mean per-key count. The mean-relative threshold
+    keeps selectivity stable as BOTH stream length and key cardinality
+    scale (a fixed fraction of the stream selects everything when keys
+    are few and nothing when keys are many). CMS never underestimates,
+    so the report can only over-include — the join back to true counts
+    makes the false-positive rate visible in the result itself. The
+    counter matrix is d·w rows regardless of scale; the only full-width
+    work is the distinct-key pass every heavy-hitter definition needs."""
+    rows = keys.select(F.col(col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    counters = cms_counters(keys, col)
+    true_counts = rows.groupBy("k").agg(F.count("*").alias("true_count"))
+    probes = true_counts.select("k", "true_count").select(
+        "k", "true_count",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (portable_hash60(F.col("k"), f"CMS{j}") % CMS_W)
+                    .cast("int")
+                    .alias("slot"),
+                )
+                for j in range(CMS_D)
+            ])
+        ).alias("s"),
+    ).select("k", "true_count", "s.j", "s.slot")
+    est = (
+        probes.join(broadcast(counters), ["j", "slot"])
+        .groupBy("k", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    mean = true_counts.agg(
+        F.sum("true_count").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    return (
+        est.crossJoin(broadcast(mean))
+        .where(
+            F.col("est_count").cast("double")
+            >= F.col("total").cast("double") / F.col("n_keys").cast("double")
+            * F.lit(above_mean)
+        )
+        .select(F.col("k").alias("key"), "est_count", "true_count")
+    )

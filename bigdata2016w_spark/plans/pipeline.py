@@ -1274,3 +1274,190 @@ SELECT doc_contained, doc_container, containment FROM (
 register(QuerySpec("documents_containment_dupes", documents_containment_dupes,
                    _CONTAINMENT_SQL,
                    doc=documents_containment_dupes.__doc__))
+
+
+# ---- ANN evaluation & quantization ------------------------------------
+# Evaluation queries a deployed ANN stack needs next to the indexes
+# themselves: measured recall of the approximate path against the exact
+# one, a kNN-vote labeler (weak supervision / label propagation over an
+# embedding column), and int8 scalar quantization with its error report
+# (the 4x-compression storage tier below PQ's 32x).
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of IVF-Flat against the
+    brute-force ground truth — the eval loop that decides n_probe. Both
+    sides are the registered operators (same plans as ann_bruteforce /
+    ann_ivf_flat); the comparison is one k-row-per-query equi-join, so
+    the eval costs the two searches plus epsilon."""
+    from bigdata2016w_spark.operators.similarity import knn_ivf_flat
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = knn_bruteforce(emb, KNN_QUERY_IDS, KNN_K).select(
+        "query_id", "vec_id"
+    )
+    iv = knn_ivf_flat(emb, KNN_QUERY_IDS, KNN_K).select("query_id", "vec_id")
+    hits = bf.join(iv, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    base = bf.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        (n.cast("double") / F.lit(float(KNN_K))).alias("recall"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH bf AS ({_ANN_SQL}),
+iv AS ({_ANN_IVF_FLAT_SQL}),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN iv USING (query_id, vec_id)
+  GROUP BY bf.query_id
+),
+base AS (SELECT DISTINCT query_id FROM bf)
+SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {float(KNN_K)!r} AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
+
+register(QuerySpec("ann_recall_eval", ann_recall_eval, _ANN_RECALL_SQL,
+                   doc=ann_recall_eval.__doc__))
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, predicted_label, votes, true_label): majority label of
+    the k exact nearest neighbors (ties -> smaller label) next to the
+    query's own label — the kNN classifier / label-propagation primitive
+    over an embedding column. Neighbor search is the broadcast-queries
+    brute-force plan (corpus never shuffles); the vote is a k-row-per-
+    query hash agg + top-1 window."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = knn_bruteforce(emb, KNN_QUERY_IDS, KNN_K)
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", F.col("label").alias("predicted_label"),
+        "votes", "true_label",
+    )
+
+
+_KNN_VOTE_SQL = f"""
+WITH nn AS ({_ANN_SQL}),
+votes AS (
+  SELECT n.query_id, e.label, count(*) AS votes
+  FROM nn n JOIN embeddings e USING (vec_id)
+  GROUP BY n.query_id, e.label
+),
+pick AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT p.query_id, p.label AS predicted_label,
+       CAST(p.votes AS BIGINT) AS votes, t.label AS true_label
+FROM pick p JOIN embeddings t ON t.vec_id = p.query_id
+WHERE p.rn = 1
+"""
+
+register(QuerySpec("knn_label_vote", knn_label_vote, _KNN_VOTE_SQL,
+                   doc=knn_label_vote.__doc__))
+
+
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n, scale, max_abs_err, mean_abs_err): symmetric per-dimension
+    int8 scalar quantization of the embedding column with its
+    reconstruction-error report — scale = max|x|/127 per dim, q =
+    round(x/scale) in [-127, 127], recon = q*scale. Two passes over the
+    exploded column (scales agg, then error agg against the broadcast
+    64-row scale table); both aggs partial map-side. The mean error uses
+    the engine's exact-mean pattern (sum of round(err*2^24) int64, one
+    final division) so it is order-independent and oracle-bit-identical;
+    max is order-independent natively. An all-zero dimension (scale 0)
+    quantizes to 0 with zero error rather than NaN."""
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    scales = ex.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
+    )
+    err = (
+        ex.join(broadcast(scales), "dim")
+        .select(
+            "dim", "scale",
+            F.when(F.col("scale") == 0.0, F.lit(0.0))
+            .otherwise(
+                F.abs(
+                    F.col("x")
+                    - F.round(F.col("x") / F.col("scale")) * F.col("scale")
+                )
+            )
+            .alias("e"),
+        )
+    )
+    return (
+        err.groupBy("dim", "scale")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("e").alias("max_abs_err"),
+            F.sum(F.round(F.col("e") * F.lit(16777216.0)).cast("long"))
+            .alias("se"),
+        )
+        .select(
+            "dim", "n", "scale", "max_abs_err",
+            (
+                F.col("se").cast("double") / F.col("n").cast("double")
+                / F.lit(16777216.0)
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH ex AS (
+  SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+scales AS (
+  SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim
+),
+err AS (
+  SELECT e.dim, s.scale,
+         CASE WHEN s.scale = 0.0 THEN 0.0
+              ELSE abs(e.x - round(e.x / s.scale) * s.scale) END AS e
+  FROM ex e JOIN scales s USING (dim)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n, scale,
+       max(e) AS max_abs_err,
+       CAST(CAST(sum(CAST(round(e * 16777216.0) AS BIGINT)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) / 16777216.0 AS DOUBLE)
+         AS mean_abs_err
+FROM err
+GROUP BY dim, scale
+"""
+
+register(QuerySpec("embedding_int8_quant", embedding_int8_quant,
+                   _INT8_QUANT_SQL, doc=embedding_int8_quant.__doc__))

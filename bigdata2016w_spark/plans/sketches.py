@@ -1,0 +1,268 @@
+"""Registered sketch & fingerprint queries (operators/sketches.py) —
+winnowing document fingerprints, KMV / HyperLogLog distinct sketches
+over the corpus shingle set, and a Count-Min heavy-hitter report over
+the events stream.
+
+No reference counterpart (the reference counts distinct keys exactly,
+e.g. ``SCALA/assignment5`` GROUP BYs); these are the approximate tier a
+100-TB pipeline runs FIRST — sketches are one pass, mergeable across
+partitions, and their state is O(k)/O(2^p)/O(d·w) bytes instead of
+corpus bytes. Every query uses the portable md5 hash family, so the
+full pipeline — hashing, register/bucket assignment, estimation
+arithmetic — replays bit-for-bit in the DuckDB oracle (estimates are a
+single double division of python-folded constants; the HLL harmonic sum
+stays in exact int64; see operators/sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.functions.tokenizer import tokenize_sql
+from bigdata2016w_spark.operators.dedup import shingle_sets
+from bigdata2016w_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    HLL_EST_NUMERATOR,
+    HLL_M,
+    KMV_K,
+    WINNOW_K,
+    WINNOW_MAX_DF,
+    WINNOW_W,
+    cms_heavy_keys,
+    hll_distinct,
+    kmv_distinct,
+    winnow_dup_candidates,
+    winnow_fingerprints,
+)
+from bigdata2016w_spark.registry import QuerySpec, register
+from bigdata2016w_spark.sources.catalog import load_table
+
+_TOK = tokenize_sql("text")
+
+
+def _phash_sql(seed: str, expr: str) -> str:
+    """DuckDB twin of operators.dedup.portable_hash60 (same convention
+    as plans/pipeline.py — duplicated 3-liner to avoid importing a
+    sibling plan module just for a string helper)."""
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+# ------------------------------------------------------------- winnowing
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: (doc_id, fingerprint), the min
+    hash of every window of w=4 consecutive token 5-gram hashes."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_dup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing ≥2 rare winnow fingerprints — lossless
+    candidates for any shared token span of ≥ k+w-1 = 8 tokens."""
+    return winnow_dup_candidates(load_table(spark, sf_dir, "documents"))
+
+
+# the complete-window filter is i <= ng - w on 0-based gram positions;
+# docs shorter than k+w-1 tokens have no complete window in either engine
+_WINNOW_CTES = f"""toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t, unnest(range(len(t) - {WINNOW_K - 1})) AS i
+  FROM toks WHERE len(t) >= {WINNOW_K + WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, i,
+         {_phash_sql('WN',
+                     f"array_to_string(t[i+1:i+{WINNOW_K}], ' ')")} AS h
+  FROM g
+),
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp AS fingerprint
+  FROM wins WHERE i <= ng - {WINNOW_W}
+)"""
+
+_WINNOW_FPS_SQL = f"""
+WITH {_WINNOW_CTES}
+SELECT doc_id, fingerprint FROM fps
+"""
+
+_WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_CTES},
+rare AS (
+  SELECT fingerprint FROM fps
+  GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_DF}
+),
+fr AS (
+  SELECT f.doc_id, f.fingerprint FROM fps f JOIN rare USING (fingerprint)
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fr x JOIN fr y
+  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= 2
+"""
+
+register(QuerySpec("doc_winnow_fingerprints", doc_winnow_fingerprints,
+                   _WINNOW_FPS_SQL, doc=winnow_fingerprints.__doc__))
+register(QuerySpec("winnow_dup_candidates", winnow_dup_candidates_q,
+                   _WINNOW_PAIRS_SQL, doc=winnow_dup_candidates.__doc__))
+
+
+# ------------------------------------------------- distinct-count sketches
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded 3-gram shingles of the corpus — the dedup tier's exact
+    shingle convention (operators/dedup.shingle_sets), reused as the
+    high-cardinality stream the distinct sketches estimate (~16k
+    distinct at sf0.01; the 31-token synthetic vocabulary itself is
+    degenerate for cardinality work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_sets(docs).select(F.explode("shingles").alias("s"))
+
+
+def shingles_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over corpus shingles:
+    one row (k_used, kth_min, est_distinct, exact_distinct)."""
+    return kmv_distinct(_corpus_shingles(spark, sf_dir), "s", KMV_K, "KMV")
+
+
+def shingles_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (2^8 registers) distinct-count sketch over corpus
+    shingles: one row (m_filled, isum, est_distinct, exact_distinct)."""
+    return hll_distinct(_corpus_shingles(spark, sf_dir), "s", "HLL")
+
+
+# shingle convention identical to plans/pipeline._SHINGLES, minus the
+# per-doc distinct (the sketches hash-dedup globally anyway)
+_SHINGLE_V = f"""sh AS (
+  SELECT doc_id, [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  for i in range(1, len(t) - 1)] AS sl
+  FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+v AS (
+  SELECT unnest(list_distinct(sl)) AS s FROM sh
+)"""
+
+_KMV_SQL = f"""
+WITH {_SHINGLE_V},
+h AS (SELECT DISTINCT {_phash_sql('KMV', 's')} AS h FROM v),
+kmin AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+a AS (
+  SELECT CAST(count(*) AS INTEGER) AS k_used, max(h) AS kth_min FROM kmin
+),
+e AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h)
+SELECT k_used, kth_min,
+       round(CAST(k_used - 1 AS DOUBLE) * {float(1 << 60)!r}
+             / CAST(kth_min AS DOUBLE), 4) AS est_distinct,
+       exact_distinct
+FROM a CROSS JOIN e
+"""
+
+_HLL_SQL = f"""
+WITH {_SHINGLE_V},
+h AS (SELECT {_phash_sql('HLL', 's')} AS h FROM v),
+b AS (
+  SELECT CAST(h & {HLL_M - 1} AS INTEGER) AS bucket, h >> 8 AS rest FROM h
+),
+r AS (
+  SELECT bucket,
+         CAST(CASE WHEN rest = 0 THEN 53
+                   ELSE 53 - length(printf('%b', rest)) END
+              AS INTEGER) AS rho
+  FROM b
+),
+regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+a AS (
+  SELECT CAST(count(*) AS INTEGER) AS m_filled,
+         CAST(sum(1::BIGINT << (53 - rho))
+              + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS isum
+  FROM regs
+),
+e AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM (SELECT DISTINCT s FROM v WHERE s IS NOT NULL)
+)
+SELECT m_filled, isum,
+       round(CASE WHEN {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+                       <= {2.5 * HLL_M!r}
+                   AND {HLL_M} - m_filled > 0
+                  THEN {float(HLL_M)!r}
+                       * ln({float(HLL_M)!r}
+                            / CAST({HLL_M} - m_filled AS DOUBLE))
+                  ELSE {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+             END, 4) AS est_distinct,
+       exact_distinct
+FROM a CROSS JOIN e
+"""
+
+register(QuerySpec("shingles_kmv_distinct", shingles_kmv_distinct, _KMV_SQL,
+                   doc=kmv_distinct.__doc__))
+register(QuerySpec("shingles_hll_distinct", shingles_hll_distinct, _HLL_SQL,
+                   doc=hll_distinct.__doc__))
+
+
+# ------------------------------------------------------------- count-min
+CMS_ABOVE_MEAN = 1.15
+
+
+def events_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the events stream: users whose CMS
+    point estimate exceeds 1.15× the mean per-user event count, with
+    the true count alongside (CMS can only over-report, never miss a
+    heavy user)."""
+    events = load_table(spark, sf_dir, "events")
+    return cms_heavy_keys(events.select("user_id"), "user_id",
+                          CMS_ABOVE_MEAN)
+
+
+_CMS_JS = ", ".join(str(j) for j in range(CMS_D))
+
+_CMS_SQL = f"""
+WITH k AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE user_id IS NOT NULL
+),
+hs AS (
+  SELECT k, j,
+         CAST(('0x' || substr(md5('CMS' || j || ':' || k), 1, 15))::BIGINT
+              % {CMS_W} AS INTEGER) AS slot
+  FROM (SELECT k, unnest([{_CMS_JS}]) AS j FROM k)
+),
+counters AS (SELECT j, slot, count(*) AS cnt FROM hs GROUP BY j, slot),
+truec AS (SELECT k, count(*) AS true_count FROM k GROUP BY k),
+kh AS (
+  SELECT k, j,
+         CAST(('0x' || substr(md5('CMS' || j || ':' || k), 1, 15))::BIGINT
+              % {CMS_W} AS INTEGER) AS slot
+  FROM (SELECT k, unnest([{_CMS_JS}]) AS j FROM truec)
+),
+est AS (
+  SELECT p.k, min(c.cnt) AS est_count
+  FROM kh p JOIN counters c USING (j, slot)
+  GROUP BY p.k
+),
+mn AS (
+  SELECT CAST(sum(true_count) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM truec
+)
+SELECT e.k AS key, CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(t.true_count AS BIGINT) AS true_count
+FROM est e JOIN truec t USING (k) CROSS JOIN mn
+WHERE CAST(e.est_count AS DOUBLE)
+      >= CAST(mn.total AS DOUBLE) / CAST(mn.n_keys AS DOUBLE)
+         * {CMS_ABOVE_MEAN!r}
+"""
+
+register(QuerySpec("events_cms_heavy_users", events_cms_heavy_users,
+                   _CMS_SQL, doc=cms_heavy_keys.__doc__))

@@ -54,6 +54,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.traversal",
     "bigdata2016w_spark.plans.maintenance",
     "bigdata2016w_spark.plans.corpus_ext",
+    "bigdata2016w_spark.plans.sketches",
 ]
 
 
@@ -74,16 +75,18 @@ _SPEC_MODULES = [
 # on a rows-only check is wasted.
 #
 # ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
-# (orders_upsert .. dedup_simhash in registration order), plus
-# documents_scrub_dup_spans, dedup_keep_best, documents_rejection_audit,
-# ann_pq_adc, ann_ivf_pq, semantic_dedup, events_transition_matrix,
-# and events_user_value_ema (added r6 behind the window, no driver rows
-# yet) and corpus_curation + corpus_datacard
-# (oracle SQL refactored in r6 to interpolate the shared quality_sql —
-# value-equivalent and locally re-verified, but their r05/r03 driver
-# certificates predate the text change); fillers from the oldest r05
-# greens. After r07 every oracle-backed query holds a green row from
-# r05+ on current SQL.
+# (orders_upsert .. dedup_simhash in registration order), plus the 16
+# r6-added queries with no driver rows yet — documents_scrub_dup_spans,
+# dedup_keep_best, documents_rejection_audit, ann_pq_adc, ann_ivf_pq,
+# semantic_dedup, events_transition_matrix, events_user_value_ema,
+# doc_winnow_fingerprints, winnow_dup_candidates, shingles_kmv_distinct,
+# shingles_hll_distinct, events_cms_heavy_users, ann_recall_eval,
+# knn_label_vote, embedding_int8_quant — and corpus_curation +
+# corpus_datacard (oracle SQL refactored in r6 to interpolate the shared
+# quality_sql — value-equivalent and locally re-verified, but their
+# r05/r03 driver certificates predate the text change). That is 44 names
+# for 50 slots; fillers from the oldest r05 greens. The remainder (any
+# r6-new names that don't fit) lead the r08 window.
 _WINDOW_FRONT = [
     # --- never driver-sampled as of r05 (8) + the r6 addition (1) ---
     "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",

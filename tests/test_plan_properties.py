@@ -486,3 +486,59 @@ def test_user_ema_fold_stays_jvm_side(spark, sf_dir):
     plan = _formatted_plan(events_user_value_ema(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_winnow_fingerprints_shuffle_free_expression_chain(spark, sf_dir):
+    """Winnowing is pure per-row expression work: k-gram hashing and the
+    per-window min must compile to one codegen chain with NO exchange
+    beyond the deliberate input repartition, no window operator, no
+    Python worker."""
+    from bigdata2016w_spark.registry import all_specs
+
+    import re
+
+    plan = _formatted_plan(
+        all_specs()["doc_winnow_fingerprints"].fn(spark, sf_dir)
+    )
+    # exactly the explicit input repartition
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "Window" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_counters_broadcast_to_probes(spark, sf_dir):
+    """The d*w-row Count-Min counter matrix must reach the per-key probe
+    join as a broadcast — shuffling distinct keys against a 1024-row
+    table would be the classic small-dim mistake."""
+    from bigdata2016w_spark.registry import all_specs
+
+    plan = _formatted_plan(
+        all_specs()["events_cms_heavy_users"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # scalar mean is BNLJ broadcast
+
+
+def test_kmv_compiles_to_take_ordered(spark, sf_dir):
+    """The KMV sketch's merge IS the physical plan: ORDER BY h LIMIT k
+    must compile to TakeOrderedAndProject (per-partition top-k + k-row
+    merge), never a global Sort."""
+    from bigdata2016w_spark.registry import all_specs
+
+    plan = _formatted_plan(
+        all_specs()["shingles_kmv_distinct"].fn(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_int8_quant_broadcasts_scale_table(spark, sf_dir):
+    """The 64-row per-dimension scale table joins back to the exploded
+    column broadcast; both aggregations keep map-side partials."""
+    from bigdata2016w_spark.registry import all_specs
+
+    plan = _formatted_plan(
+        all_specs()["embedding_int8_quant"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()

@@ -1,0 +1,182 @@
+"""Sketch & fingerprint tests: winnowing, KMV, HLL, CMS, and the
+embedding eval/quantization queries — oracle parity plus the semantic
+guarantees each sketch advertises (winnowing's shared-span guarantee,
+CMS's never-underestimate, distinct-sketch error bounds, quantization
+error ≤ half a step)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.registry import all_specs
+from tests.oracle import compare_spark_duckdb
+
+ORACLE_BACKED = [
+    "doc_winnow_fingerprints", "winnow_dup_candidates",
+    "shingles_kmv_distinct", "shingles_hll_distinct",
+    "events_cms_heavy_users", "ann_recall_eval", "knn_label_vote",
+    "embedding_int8_quant",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_sketches_match_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """Schleimer et al.'s theorem: two docs sharing a token span of
+    ≥ k + w - 1 tokens must share at least one fingerprint; docs with
+    fully disjoint vocabularies share none."""
+    from bigdata2016w_spark.operators.sketches import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha bravo charlie delta echo foxtrot {span} golf hotel"),
+            (1, f"india juliet kilo lima mike {span} november oscar papa"),
+            (2, "one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {d: {r.fingerprint for r in fps if r.doc_id == d}
+              for d in (0, 1, 2)}
+    assert by_doc[0] & by_doc[1], "shared span must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_density(spark, sf_dir):
+    """Winnowing selects ~2/(w+1) of the k-gram positions; distinct
+    fingerprints per doc must be well below the gram count but > 0 for
+    every doc long enough to have a complete window."""
+    from bigdata2016w_spark.functions.tokenizer import tokenize
+    from bigdata2016w_spark.operators.sketches import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(
+        F.size(tokenize("text")) >= WINNOW_K + WINNOW_W - 1
+    ).count()
+    per_doc = (
+        winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_doc) == eligible
+    total_grams = (
+        docs.select(
+            (F.size(tokenize("text")) - (WINNOW_K - 1)).alias("g")
+        ).where(F.col("g") > 0).agg(F.sum("g")).first()[0]
+    )
+    total_fps = sum(r.n for r in per_doc)
+    # distinct-per-doc undercounts repeated mins; 2/(w+1) is the position
+    # density upper envelope, 1/w the floor
+    assert total_fps <= total_grams * 2.5 / (WINNOW_W + 1)
+    assert total_fps >= total_grams / (2 * WINNOW_W)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min point estimates dominate true counts for EVERY key, and
+    every truly-heavy key appears in the report (no false negatives)."""
+    from bigdata2016w_spark.operators.sketches import cms_heavy_keys
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = cms_heavy_keys(events.select("user_id"), "user_id", 1.15).collect()
+    assert all(r.est_count >= r.true_count for r in out)
+    true = {
+        str(r.user_id): r.c
+        for r in events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    mean = sum(true.values()) / len(true)
+    heavy = {k for k, c in true.items() if c >= mean * 1.15}
+    reported = {r.key for r in out}
+    assert heavy <= reported
+
+
+def test_distinct_sketch_error_bounds(spark, sf_dir):
+    """KMV (k=64) and HLL (m=256) estimates land within loose multiples
+    of their standard errors (1/sqrt(64) = 12.5%, 1.04/16 = 6.5%) of the
+    exact distinct count they carry alongside."""
+    kmv = all_specs()["shingles_kmv_distinct"].fn(spark, sf_dir).first()
+    assert abs(kmv.est_distinct - kmv.exact_distinct) \
+        <= 0.5 * kmv.exact_distinct
+    hll = all_specs()["shingles_hll_distinct"].fn(spark, sf_dir).first()
+    assert abs(hll.est_distinct - hll.exact_distinct) \
+        <= 0.3 * hll.exact_distinct
+
+
+def test_hll_exact_integer_harmonics(spark):
+    """A register set built from known hashes: a single value fills one
+    bucket; isum must equal 2^(53-rho) + 255*2^53 exactly (the integer
+    harmonic invariant that makes the estimate order-independent)."""
+    from bigdata2016w_spark.operators.sketches import HLL_M, hll_distinct
+
+    one = spark.createDataFrame([("only",)], "s string")
+    row = hll_distinct(one, "s").first()
+    assert row.m_filled == 1
+    assert (row.isum - (HLL_M - 1) * (1 << 53)) & (
+        (row.isum - (HLL_M - 1) * (1 << 53)) - 1
+    ) == 0, "single register term must be a power of two"
+    assert row.exact_distinct == 1
+
+
+def test_int8_quant_error_bound(spark, sf_dir):
+    """Reconstruction error of symmetric int8 quantization is bounded by
+    half a quantization step per dimension."""
+    out = all_specs()["embedding_int8_quant"].fn(spark, sf_dir).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        assert 0.0 <= r.mean_abs_err <= r.max_abs_err + 2 ** -24
+
+
+def test_ann_recall_and_vote_shapes(spark, sf_dir):
+    """recall ∈ [0,1] with n_hits/k consistency; the label vote is
+    bounded by k and the predicted label exists among neighbor labels."""
+    rec = all_specs()["ann_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rec) == 5
+    for r in rec:
+        assert 0.0 <= r.recall <= 1.0 and r.recall == r.n_hits / 10.0
+    votes = all_specs()["knn_label_vote"].fn(spark, sf_dir).collect()
+    assert len(votes) == 5
+    assert all(1 <= r.votes <= 10 for r in votes)
+
+
+def test_kmv_merge_equals_global(spark, sf_dir):
+    """The KMV sketch's mergeability: the k smallest of a 2-way split's
+    k-smallest union equal the global k smallest (what the distributed
+    TakeOrdered plan relies on)."""
+    from bigdata2016w_spark.operators.dedup import (
+        portable_hash60,
+        shingle_sets,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", portable_hash60(F.col("s"), "KMV").alias("h"))
+    k = 64
+    left = sh.where(F.col("doc_id") % 2 == 0).select("h").distinct() \
+        .orderBy("h").limit(k)
+    right = sh.where(F.col("doc_id") % 2 == 1).select("h").distinct() \
+        .orderBy("h").limit(k)
+    merged = sorted({r.h for r in left.collect()}
+                    | {r.h for r in right.collect()})[:k]
+    global_k = [r.h for r in sh.select("h").distinct()
+                .orderBy("h").limit(k).collect()]
+    assert merged == global_k
