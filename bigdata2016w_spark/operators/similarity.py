@@ -211,6 +211,9 @@ def knn_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # NULL embeddings would abort the KMeans fit (same contract as the
+    # closed-form quantizers: _seed_centroid_literals filters them there)
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
     feat = embeddings.select(
         "vec_id",
         "embedding",
@@ -308,14 +311,8 @@ def knn_ivf_flat(
     KMeans-trained :func:`knn_ivf` remains the recall-quality path.
     """
     spark = embeddings.sparkSession
-    cent_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
-                for r in cent_rows]
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
@@ -412,14 +409,8 @@ def knn_ivf_lloyd(
     verifiable.
     """
     spark = embeddings.sparkSession
-    cent_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cent_lit = [(int(r.vec_id), [float(x) for x in r.embedding])
-                for r in cent_rows]
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"

@@ -758,14 +758,17 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS, _IVF_PROBE = 16, 4
 
 _ANN_IVF_FLAT_SQL = f"""
-WITH cent AS (
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
   SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
-  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
 ),
 ac AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM embeddings e CROSS JOIN cent c
+  FROM e0 e CROSS JOIN cent c
 ),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (
@@ -775,7 +778,7 @@ assigned AS (
   ) WHERE rn = 1
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
   WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
 ),
 pc AS (
@@ -831,7 +834,7 @@ def _lloyd_round_sql(i: int) -> str:
 a{i} AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM embeddings e CROSS JOIN cent{i - 1} c
+  FROM e0 e CROSS JOIN cent{i - 1} c
 ),
 as{i} AS (
   SELECT vec_id, embedding, cell FROM (
@@ -854,16 +857,19 @@ cent{i} AS (
 
 
 _ANN_IVF_LLOYD_SQL = f"""
-WITH cent0 AS (
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cell,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
 ),
 {','.join(_lloyd_round_sql(i) for i in range(1, _LLOYD_ITERS + 1))},
 fa AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM embeddings e CROSS JOIN cent{_LLOYD_ITERS} c
+  FROM e0 e CROSS JOIN cent{_LLOYD_ITERS} c
 ),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (
@@ -873,7 +879,7 @@ assigned AS (
   ) WHERE rn = 1
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
   WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
 ),
 pc AS (

@@ -84,9 +84,12 @@ _SPEC_MODULES = [
 # knn_label_vote, embedding_int8_quant — and corpus_curation +
 # corpus_datacard (oracle SQL refactored in r6 to interpolate the shared
 # quality_sql — value-equivalent and locally re-verified, but their
-# r05/r03 driver certificates predate the text change). That is 44 names
-# for 50 slots; fillers from the oldest r05 greens. The remainder (any
-# r6-new names that don't fit) lead the r08 window.
+# r05/r03 driver certificates predate the text change) and ann_ivf_flat
+# (oracle gained the e0 NULL-embedding filter late in r6, after its r5
+# green — value-equivalent on clean data, locally re-verified at
+# sf0.01). That is 45 names for 50 slots; fillers from the oldest r05
+# greens. The remainder (any r6-new names that don't fit) lead the r08
+# window.
 _WINDOW_FRONT = [
     # --- never driver-sampled as of r05 (8) + the r6 addition (1) ---
     "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",

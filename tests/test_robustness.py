@@ -201,3 +201,15 @@ def test_embedding_ops_null_embedding_parity(spark, tmp_path):
                    else ["vec_id"])
         for r in out.select(*id_cols).collect():
             assert not set(r).intersection({3, 27}), name
+    # the cosine-DESC family is NULL-safe without operator filters (both
+    # engines sort NULL cosines last on DESC; vec_id tie-break keeps the
+    # filler rows deterministic) — pinned so a future oracle rewrite that
+    # flips a sort direction gets caught; the IVF family filters NULLs
+    # (a NULL seed centroid crashed the literal-matrix collect pre-r6)
+    for name in ("ann_bruteforce", "ann_lsh", "ann_ivf_flat",
+                 "ann_ivf_lloyd", "ann_recall_eval", "knn_label_vote",
+                 "embedding_near_dupes", "embedding_hard_negatives",
+                 "embedding_label_centroids", "embedding_nearest_centroid",
+                 "embedding_int8_quant"):
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
