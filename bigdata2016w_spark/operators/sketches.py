@@ -308,3 +308,169 @@ def cms_heavy_keys(
         )
         .select(F.col("k").alias("key"), "est_count", "true_count")
     )
+
+
+# ------------------------------------------------------------ KMV algebra
+def kmv_set_ops(
+    va: DataFrame, vb: DataFrame, col: str = "s", k: int = KMV_K,
+    seed: str = "KMV",
+) -> DataFrame:
+    """One row (k_union, kth_union, n_common, est_union,
+    est_intersection, exact_union, exact_intersection): KMV sketch
+    ALGEBRA over two value streams (Beyer et al., SIGMOD'07). The union
+    sketch is the k smallest of the two k-min sets' union — computable
+    from the sketches alone, which is the point: at 100 TB each source
+    keeps a k-row sketch and the combine is driver-trivial. The
+    intersection estimate is (|L ∩ A_k ∩ B_k| / |L|) x est_union —
+    the Jaccard-via-union-sketch estimator, again sketch-only. Exact
+    union/intersection ride along as the error report (they, not the
+    sketches, are the full-width passes)."""
+    hA = (
+        va.select(portable_hash60(F.col(col), seed).alias("h"))
+        .where(F.col("h").isNotNull()).distinct()
+    )
+    hB = (
+        vb.select(portable_hash60(F.col(col), seed).alias("h"))
+        .where(F.col("h").isNotNull()).distinct()
+    )
+    kA = hA.orderBy("h").limit(k)
+    kB = hB.orderBy("h").limit(k)
+    lu = kA.union(kB).distinct().orderBy("h").limit(k)
+    ua = lu.agg(
+        F.count("*").cast("int").alias("k_union"),
+        F.max("h").alias("kth_union"),
+    )
+    common = (
+        lu.join(kA, "h", "left_semi")
+        .join(kB, "h", "left_semi")
+        .agg(F.count("*").cast("int").alias("n_common"))
+    )
+    exact_u = hA.union(hB).distinct().agg(
+        F.count("*").alias("exact_union")
+    )
+    exact_i = hA.join(hB, "h", "left_semi").agg(
+        F.count("*").alias("exact_intersection")
+    )
+    est_u = (
+        (F.col("k_union") - F.lit(1)).cast("double")
+        * F.lit(float(1 << 60))
+        / F.col("kth_union").cast("double")
+    )
+    return (
+        ua.crossJoin(broadcast(common))
+        .crossJoin(broadcast(exact_u))
+        .crossJoin(broadcast(exact_i))
+        .select(
+            "k_union", "kth_union", "n_common",
+            F.round(est_u, 4).alias("est_union"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("k_union").cast("double")
+                * est_u,
+                4,
+            ).alias("est_intersection"),
+            "exact_union", "exact_intersection",
+        )
+    )
+
+
+# ------------------------------------------------------------------ bloom
+BLOOM_WORDS, BLOOM_WORD_BITS, BLOOM_D = 64, 62, 3
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS  # 3968
+
+
+def bloom_bitmap(keys: DataFrame, col: str = "k") -> DataFrame:
+    """(word, w): a Bloom filter over ``keys[col]`` as BLOOM_WORDS rows
+    of 62-bit int64 words (62, not 64 — bit 63 is the sign and DuckDB
+    refuses the 1<<63 overflow, so the portable word is sign-free by
+    construction). Built in one explode+hash-agg pass (bit_or partials
+    combine map-side); the result is ~0.5 KB at any corpus size — the
+    runtime-filter artifact a 100-TB join prunes its probe side with."""
+    rows = keys.select(F.col(col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    ex = rows.select(
+        F.explode(
+            F.array(*[
+                (portable_hash60(F.col("k"), f"BL{j}") % BLOOM_BITS)
+                .alias("p")
+                for j in range(BLOOM_D)
+            ])
+        ).alias("pos")
+    )
+    return (
+        ex.select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+
+
+def bloom_probe_summary(
+    build_keys: DataFrame, probe_keys: DataFrame,
+    build_col: str = "k", probe_col: str = "k",
+) -> DataFrame:
+    """One row (n_probe_keys, n_passed, n_members, n_false_positives,
+    n_false_negatives): probe a key stream against the Bloom filter of
+    another and report the confusion counts. A key passes iff ALL d bit
+    probes hit; membership ground truth joins back so the false-positive
+    rate is visible in the result — and n_false_negatives is structurally
+    0 (a Bloom filter never drops a member), pinned by the oracle. The
+    bitmap reaches the probe join broadcast (it is 64 rows); this is the
+    runtime-filter shape Spark's own bloom-join uses, made portable."""
+    bitmap = bloom_bitmap(build_keys, build_col)
+    bk = build_keys.select(
+        F.col(build_col).cast("string").alias("k")
+    ).where(F.col("k").isNotNull()).distinct()
+    pk = probe_keys.select(
+        F.col(probe_col).cast("string").alias("k")
+    ).where(F.col("k").isNotNull()).distinct()
+    probes = pk.select(
+        "k",
+        F.explode(
+            F.array(*[
+                (portable_hash60(F.col("k"), f"BL{j}") % BLOOM_BITS)
+                .alias("p")
+                for j in range(BLOOM_D)
+            ])
+        ).alias("pos"),
+    ).select(
+        "k",
+        (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    hits = (
+        probes.join(broadcast(bitmap), "word", "left")
+        .select(
+            "k",
+            (
+                F.coalesce(F.col("w"), F.lit(0).cast("long"))
+                .bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("k")
+        .agg((F.min("hit") == 1).alias("passed"))
+    )
+    flagged = hits.join(
+        bk.withColumn("is_member", F.lit(True)), "k", "left"
+    ).select(
+        "passed", F.coalesce("is_member", F.lit(False)).alias("member")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum(F.col("passed").cast("long")).alias("n_passed"),
+        F.sum(F.col("member").cast("long")).alias("n_members"),
+        F.sum((F.col("passed") & ~F.col("member")).cast("long"))
+        .alias("n_false_positives"),
+        F.sum((F.col("member") & ~F.col("passed")).cast("long"))
+        .alias("n_false_negatives"),
+    )

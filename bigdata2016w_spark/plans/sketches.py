@@ -266,3 +266,155 @@ WHERE CAST(e.est_count AS DOUBLE)
 
 register(QuerySpec("events_cms_heavy_users", events_cms_heavy_users,
                    _CMS_SQL, doc=cms_heavy_keys.__doc__))
+
+
+# ----------------------------------------------------------- KMV algebra
+def shingles_kmv_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch algebra across two corpus slices (en vs non-en): union
+    and intersection distinct-shingle estimates computed FROM THE TWO
+    k-ROW SKETCHES ALONE, with the exact counts alongside as the error
+    report — the sketch-combine a federated 100-TB corpus census runs
+    instead of shipping shingle sets."""
+    from bigdata2016w_spark.operators.sketches import kmv_set_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shingle_sets(docs.where(F.col("lang") == "en")).select(
+        F.explode("shingles").alias("s")
+    )
+    b = shingle_sets(docs.where(F.col("lang") != "en")).select(
+        F.explode("shingles").alias("s")
+    )
+    return kmv_set_ops(a, b, "s", KMV_K, "KMV")
+
+
+def _shingle_cte(name: str, where: str = "") -> str:
+    """Per-doc-distinct 3-gram shingle stream CTE (same convention as
+    plans/pipeline._SHINGLES), optionally slice-filtered."""
+    return f"""{name}0 AS (
+  SELECT doc_id, [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  for i in range(1, len(t) - 1)] AS sl
+  FROM (SELECT doc_id, {_TOK} AS t FROM documents{where})
+  WHERE len(t) >= 3
+),
+{name} AS (
+  SELECT unnest(list_distinct(sl)) AS s FROM {name}0
+)"""
+
+
+_KMV_EST_U = ("CAST(k_union - 1 AS DOUBLE) * "
+              f"{float(1 << 60)!r} / CAST(kth_union AS DOUBLE)")
+
+_KMV_SET_OPS_SQL = f"""
+WITH {_shingle_cte("va", " WHERE lang = 'en'")},
+{_shingle_cte("vb", " WHERE lang <> 'en'")},
+ha AS (SELECT DISTINCT {_phash_sql('KMV', 's')} AS h FROM va),
+hb AS (SELECT DISTINCT {_phash_sql('KMV', 's')} AS h FROM vb),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+lu AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT {KMV_K}
+),
+ua AS (
+  SELECT CAST(count(*) AS INTEGER) AS k_union, max(h) AS kth_union FROM lu
+),
+cm AS (
+  SELECT CAST(count(*) AS INTEGER) AS n_common FROM lu
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+eu AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union
+  FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+),
+ei AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM ha WHERE h IN (SELECT h FROM hb)
+)
+SELECT k_union, kth_union, n_common,
+       round({_KMV_EST_U}, 4) AS est_union,
+       round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
+             * ({_KMV_EST_U}), 4) AS est_intersection,
+       exact_union, exact_intersection
+FROM ua CROSS JOIN cm CROSS JOIN eu CROSS JOIN ei
+"""
+
+register(QuerySpec("shingles_kmv_lang_overlap", shingles_kmv_lang_overlap,
+                   _KMV_SET_OPS_SQL,
+                   doc=shingles_kmv_lang_overlap.__doc__))
+
+
+# ------------------------------------------------------------------ bloom
+def orders_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning, made measurable: the filter is
+    built from BUILDING-segment customers and probed by every ordering
+    customer; the one-row confusion summary (passed / members / false
+    positives / structurally-zero false negatives) is the artifact that
+    decides whether the prune is worth shipping to the scan."""
+    from bigdata2016w_spark.operators.sketches import bloom_probe_summary
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_probe_summary(
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"),
+        orders.select("o_custkey"),
+        "c_custkey", "o_custkey",
+    )
+
+
+def _bloom_pos_sql(src: str) -> str:
+    from bigdata2016w_spark.operators.sketches import BLOOM_BITS, BLOOM_D
+
+    js = ", ".join(str(j) for j in range(BLOOM_D))
+    return (f"SELECT k, ('0x' || substr(md5('BL' || j || ':' || k), 1, 15))"
+            f"::BIGINT % {BLOOM_BITS} AS pos "
+            f"FROM (SELECT k, unnest([{js}]) AS j FROM {src})")
+
+
+def _bloom_sql() -> str:
+    from bigdata2016w_spark.operators.sketches import BLOOM_WORD_BITS
+
+    wb = BLOOM_WORD_BITS
+    mask = f"(1::BIGINT << CAST(pos % {wb} AS INTEGER))"
+    bmask = f"(1::BIGINT << CAST(b.pos % {wb} AS INTEGER))"
+    return f"""
+WITH bk AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
+),
+bpos AS ({_bloom_pos_sql('bk')}),
+bitmap AS (
+  SELECT CAST(pos // {wb} AS INTEGER) AS word, bit_or({mask}) AS w
+  FROM bpos GROUP BY 1
+),
+pk AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+  WHERE o_custkey IS NOT NULL
+),
+ppos AS ({_bloom_pos_sql('pk')}),
+ph AS (
+  SELECT b.k,
+         CASE WHEN (coalesce(m.w, 0) & (1::BIGINT
+                    << CAST(b.pos % {wb} AS INTEGER)))
+                   = {bmask}
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos b LEFT JOIN bitmap m
+    ON m.word = CAST(b.pos // {wb} AS INTEGER)
+),
+hits AS (SELECT k, min(hit) = 1 AS passed FROM ph GROUP BY k),
+fl AS (
+  SELECT h.passed, (h.k IN (SELECT k FROM bk)) AS member FROM hits h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN passed AND NOT member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST(sum(CASE WHEN member AND NOT passed THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negatives
+FROM fl
+"""
+
+
+register(QuerySpec("orders_bloom_probe", orders_bloom_probe,
+                   _bloom_sql(), doc=orders_bloom_probe.__doc__))

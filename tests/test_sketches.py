@@ -180,3 +180,61 @@ def test_kmv_merge_equals_global(spark, sf_dir):
     global_k = [r.h for r in sh.select("h").distinct()
                 .orderBy("h").limit(k).collect()]
     assert merged == global_k
+
+
+@pytest.mark.parametrize("name", ["shingles_kmv_lang_overlap",
+                                  "orders_bloom_probe"])
+def test_sketch_algebra_matches_oracle(name, spark, sf_dir, duck):
+    spec = all_specs()[name]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """A Bloom filter never drops a member; with n*d/m ≈ 0.23 load the
+    false-positive rate must stay below a loose 5% of non-members."""
+    row = all_specs()["orders_bloom_probe"].fn(spark, sf_dir).first()
+    assert row.n_false_negatives == 0
+    assert row.n_passed == row.n_members + row.n_false_positives
+    non_members = row.n_probe_keys - row.n_members
+    if non_members:
+        assert row.n_false_positives / non_members <= 0.05
+
+
+def test_bloom_membership_is_exactly_bitmap(spark):
+    """Planted keys: every build key passes its own filter; a disjoint
+    probe set yields only (rare) false positives, never misses."""
+    from bigdata2016w_spark.operators.sketches import bloom_probe_summary
+
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    self_probe = bloom_probe_summary(build, build, "k", "k").first()
+    assert self_probe.n_passed == self_probe.n_members == 50
+    other = spark.createDataFrame([(i,) for i in range(1000, 1100)],
+                                  "k long")
+    cross = bloom_probe_summary(build, other, "k", "k").first()
+    assert cross.n_members == 0 and cross.n_false_negatives == 0
+
+
+def test_kmv_set_ops_consistency(spark, sf_dir):
+    """The union estimate from the two sketches alone must equal the
+    estimate a single KMV built over the concatenated stream would give
+    (same k-min set), and the intersection estimate must be positive
+    when slices genuinely overlap."""
+    from bigdata2016w_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_set_ops,
+    )
+    from bigdata2016w_spark.operators.dedup import shingle_sets
+    from bigdata2016w_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shingle_sets(docs.where(F.col("lang") == "en")).select(
+        F.explode("shingles").alias("s"))
+    b = shingle_sets(docs.where(F.col("lang") != "en")).select(
+        F.explode("shingles").alias("s"))
+    ops = kmv_set_ops(a, b, "s").first()
+    single = kmv_distinct(a.union(b), "s").first()
+    assert ops.kth_union == single.kth_min
+    assert ops.est_union == single.est_distinct
+    assert ops.exact_intersection > 0
+    assert ops.est_intersection > 0
