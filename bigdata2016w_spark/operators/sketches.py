@@ -86,23 +86,32 @@ def winnow_fingerprints(
     toks = docs.select("doc_id", tokenize("text").alias("t")).where(
         F.size("t") >= k + w - 1
     )
+    # every array expression below is guarded with F.when so it stays
+    # TOTAL on short rows: the optimizer may collapse these projections
+    # with the length filter and evaluate them on unfiltered rows, where
+    # sequence(1, n<1) runs DESCENDING into slice(t, 0, k), which throws
     grams = toks.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - (k - 1)),
-            lambda i: portable_hash60(
-                F.concat_ws(" ", *[F.element_at("t", i + j) for j in range(k)]),
-                "WN",
+        F.when(
+            F.size("t") >= k + w - 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: portable_hash60(
+                    F.concat_ws(" ", F.slice("t", i, k)), "WN"
+                ),
             ),
-        ).alias("g"),
+        ).otherwise(F.array().cast("array<bigint>")).alias("g"),
     )
     fps = grams.select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("g") - (w - 1)),
-                lambda i: F.array_min(F.slice("g", i, w)),
-            )
+            F.when(
+                F.size("g") >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("g") - (w - 1)),
+                    lambda i: F.array_min(F.slice("g", i, w)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("fps"),
     )
     return fps.select("doc_id", F.explode("fps").alias("fingerprint"))

@@ -213,3 +213,65 @@ def test_embedding_ops_null_embedding_parity(spark, tmp_path):
                  "embedding_int8_quant"):
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
+
+
+def test_sketch_ops_dirty_inputs_parity(spark, tmp_path):
+    """Dirty-corpus parity for the sketch/fingerprint tier: NULL text,
+    empty text, a doc with k-grams but no complete winnow window, NULL
+    user_id in the CMS stream — all excluded identically by Spark and
+    the oracle, with the long docs still producing real fingerprints."""
+    import duckdb
+
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    d = tmp_path / "dirty_sketch"
+    d.mkdir()
+    # alphabetic tokens: the tokenizer strips digits at token edges, so
+    # tok0..tok29 would all normalize to "tok" and collapse every gram
+    def w(i):
+        return f"w{chr(97 + i // 26)}{chr(97 + i % 26)}"
+
+    long_a = " ".join(w(i) for i in range(30))
+    long_b = " ".join(w(i) for i in range(5, 30)) + " zeta yeta xeta"
+    docs = spark.createDataFrame(
+        [(0, None, "en", "srcA", 0),          # NULL text
+         (1, "", "en", "srcA", 0),            # empty text
+         (2, "five tokens but no window", "en", "srcB", 25),  # grams, no win
+         (3, long_a, "en", "srcB", len(long_a)),
+         (4, long_b, "de", "srcB", len(long_b)),
+         (5, long_a, "de", "srcC", len(long_a))],  # exact dup of 3
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:01:00", (None if i % 7 == 0 else i % 3),
+          "view", 1.0, "{}") for i in range(60)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+                 "event_type", "value", "props")
+    ev.write.parquet(str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    for name in ("doc_winnow_fingerprints", "winnow_dup_candidates",
+                 "shingles_kmv_distinct", "shingles_hll_distinct",
+                 "shingles_kmv_lang_overlap", "events_cms_heavy_users"):
+        spec = all_specs()[name]
+        compare_spark_duckdb(spec.fn(spark, str(d)), con, spec.oracle)
+
+    fps = all_specs()["doc_winnow_fingerprints"].fn(spark, str(d)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert set(by_doc) == {3, 4, 5}          # 0/1/2 structurally excluded
+    assert by_doc[3] == by_doc[5]            # identical docs, same fps
+    assert by_doc[3] & by_doc[4]             # shared 25-token span
+    pairs = {(r.doc_a, r.doc_b)
+             for r in all_specs()["winnow_dup_candidates"]
+             .fn(spark, str(d)).collect()}
+    assert (3, 5) in pairs and (3, 4) in pairs
