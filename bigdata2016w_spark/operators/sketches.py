@@ -190,6 +190,53 @@ def kmv_distinct(
 
 
 # ------------------------------------------------------------------ HLL
+def hll_registers(
+    values: DataFrame, col: str = "s", seed: str = "HLL"
+) -> DataFrame:
+    """(bucket, rho): the 2^p max-rank register table — the HLL sketch
+    state itself, built in one hash-partial-agg pass. Mergeable by
+    ``groupBy(bucket).max(rho)``: per-partition partials, per-batch
+    streaming partials, and cross-corpus combines are all the same
+    max-merge (used by ``streaming.sketch_sink``)."""
+    h = values.select(
+        portable_hash60(F.col(col), seed).alias("h")
+    ).where(F.col("h").isNotNull())
+    buckets = h.select(
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
+        F.shiftright("h", HLL_P).alias("rest"),
+    ).select(
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest")))
+        .cast("int")
+        .alias("rho"),
+    )
+    return buckets.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One row (m_filled, isum, est_distinct) from a register table —
+    the read-side half of the sketch, shared by :func:`hll_distinct`
+    and the streaming merge reader. Same exact-int64 harmonic sum and
+    single-division estimate as documented on hll_distinct."""
+    agg = regs.agg(
+        F.count("*").cast("int").alias("m_filled"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
+        ).alias("isum"),
+    )
+    raw = F.lit(HLL_EST_NUMERATOR) / F.col("isum").cast("double")
+    v = F.lit(HLL_M) - F.col("m_filled")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "m_filled", "isum", F.round(est, 4).alias("est_distinct")
+    )
+
+
 def hll_distinct(
     values: DataFrame, col: str = "s", seed: str = "HLL"
 ) -> DataFrame:
@@ -204,41 +251,13 @@ def hll_distinct(
     float accumulation order anywhere. Linear counting takes over below
     2.5·m when empty registers exist (the standard small-range branch;
     ln is rounded like every libm call in the engine)."""
-    h = values.select(
-        portable_hash60(F.col(col), seed).alias("h")
-    ).where(F.col("h").isNotNull())
-    buckets = h.select(
-        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
-        F.shiftright("h", HLL_P).alias("rest"),
-    ).select(
-        "bucket",
-        F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
-        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest")))
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = buckets.groupBy("bucket").agg(F.max("rho").alias("rho"))
-    agg = regs.agg(
-        F.count("*").cast("int").alias("m_filled"),
-        (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
-            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
-        ).alias("isum"),
-    )
+    regs = hll_registers(values, col, seed)
     exact = values.select(F.col(col)).where(
         F.col(col).isNotNull()
     ).distinct().agg(F.count("*").alias("exact_distinct"))
-    raw = F.lit(HLL_EST_NUMERATOR) / F.col("isum").cast("double")
-    v = F.lit(HLL_M) - F.col("m_filled")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
-    ).otherwise(raw)
-    return agg.crossJoin(broadcast(exact)).select(
-        "m_filled", "isum",
-        F.round(est, 4).alias("est_distinct"),
-        "exact_distinct",
-    )
+    return hll_estimate_from_registers(regs).crossJoin(
+        broadcast(exact)
+    ).select("m_filled", "isum", "est_distinct", "exact_distinct")
 
 
 # ------------------------------------------------------------------ CMS

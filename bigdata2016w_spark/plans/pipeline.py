@@ -1467,3 +1467,83 @@ GROUP BY dim, scale
 
 register(QuerySpec("embedding_int8_quant", embedding_int8_quant,
                    _INT8_QUANT_SQL, doc=embedding_int8_quant.__doc__))
+
+
+TRUNC_DIMS = 16
+
+
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of brute-force search over
+    the FIRST 16 of 64 embedding dimensions against full-dimension
+    ground truth — the Matryoshka/truncation eval that decides whether a
+    4x cheaper scan (and 4x smaller index) keeps enough neighborhood
+    structure. Same two-search + k-row-join shape as ann_recall_eval;
+    the truncated side is the same knn_bruteforce plan over a sliced
+    embedding column, so the scan still never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    full = knn_bruteforce(emb, KNN_QUERY_IDS, KNN_K).select(
+        "query_id", "vec_id"
+    )
+    trunc = knn_bruteforce(
+        emb.select(
+            "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+        ),
+        KNN_QUERY_IDS, KNN_K,
+    ).select("query_id", "vec_id")
+    hits = full.join(trunc, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return full.select("query_id").distinct().join(
+        hits, "query_id", "left"
+    ).select(
+        "query_id", n.alias("n_hits"),
+        (n.cast("double") / F.lit(float(KNN_K))).alias("recall"),
+    )
+
+
+def _bf_search_sql(src: str) -> str:
+    """Parenthesized brute-force kNN SELECT over any (vec_id, embedding)
+    relation — the _ANN_SQL shape, reusable as a CTE body (DuckDB allows
+    a nested WITH inside the parens)."""
+    return f"""(
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM {src}
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id, {_cos_sql('q.qe', 'e.embedding')} AS cosine
+  FROM q JOIN {src} e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= {KNN_K})"""
+
+
+_ANN_TRUNC_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+e16 AS (
+  SELECT vec_id, embedding[1:{TRUNC_DIMS}] AS embedding FROM e0
+),
+fullk AS ({_bf_search_sql('e0')}),
+trunck AS ({_bf_search_sql('e16')}),
+hits AS (
+  SELECT f.query_id, count(*) AS n_hits
+  FROM fullk f JOIN trunck t USING (query_id, vec_id)
+  GROUP BY f.query_id
+),
+base AS (SELECT DISTINCT query_id FROM fullk)
+SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {float(KNN_K)!r} AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
+
+register(QuerySpec("ann_dim_truncation_recall", ann_dim_truncation_recall,
+                   _ANN_TRUNC_SQL, doc=ann_dim_truncation_recall.__doc__))

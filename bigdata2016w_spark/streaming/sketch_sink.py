@@ -1,0 +1,84 @@
+"""Streaming sketch maintenance — per-micro-batch CMS counter and HLL
+register partials, merged on read.
+
+Sketches are ALGEBRAIC aggregates (counters add, registers max), so the
+streaming design writes each micro-batch's d·w-row / 2^p-row partial to
+a batch-stamped subdirectory and merges at read time: the write side
+needs no read-modify-write (a replayed batch overwrites its own subdir —
+the exactly-once-per-batch-id convention of ``streaming.ingest``), and
+the read side folds a few hundred tiny rows per batch. A read-modify-
+write counter table would instead double-count on every replay unless
+it re-derived which batches were already folded in — exactly the state
+this layout keeps in the directory structure for free.
+
+At 100 TB the per-batch partial is STILL d·w / 2^p rows — the whole
+point of maintaining sketches instead of exact aggregates on a stream.
+A compaction job can periodically fold old batch dirs into one (the
+merge is associative), keeping the read-side fan-in bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.operators.sketches import (
+    cms_counters,
+    hll_registers,
+)
+from bigdata2016w_spark.streaming.ingest import _guard_fresh_checkpoint
+
+
+def sketch_maintenance_sink(
+    keys_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    hll_seed: str = "HLL",
+):
+    """Start the sketch-maintenance stream: batch N's CMS counter
+    partial lands in ``{target_dir}/batch=N/cms`` and its HLL register
+    partial in ``{target_dir}/batch=N/hll``. Returns the StreamingQuery.
+    Same fresh-checkpoint-vs-populated-target fail-fast as the admission
+    sinks (batch ids are the replay-safety keys here too)."""
+    spark = keys_stream.sparkSession
+    _guard_fresh_checkpoint(spark, target_dir, checkpoint_dir,
+                            keys_stream.schema)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base = f"{target_dir}/batch={batch_id}"
+        cms_counters(batch_df, col).write.mode("overwrite").parquet(
+            f"{base}/cms"
+        )
+        hll_registers(batch_df, col, hll_seed).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/hll")
+
+    return (
+        keys_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_merged_cms(spark: SparkSession, target_dir: str) -> DataFrame:
+    """(j, slot, cnt): the merged Count-Min matrix — counters ADD across
+    batches. Identical to ``cms_counters`` over the concatenated stream
+    (pinned in tests), because counter addition is associative."""
+    return (
+        spark.read.parquet(f"{target_dir}/batch=*/cms")
+        .groupBy("j", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def read_merged_hll(spark: SparkSession, target_dir: str) -> DataFrame:
+    """(bucket, rho): the merged HLL register table — registers MAX
+    across batches. Identical to ``hll_registers`` over the concatenated
+    stream; feed to ``hll_estimate_from_registers`` for the estimate."""
+    return (
+        spark.read.parquet(f"{target_dir}/batch=*/hll")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -8,7 +8,7 @@ from tests.oracle import compare_spark_duckdb
 
 ORACLE_BACKED = ["dedup_exact", "dedup_jaccard", "dedup_minhash_lsh",
                  "dedup_simhash", "ann_bruteforce", "doc_stats",
-                 "doc_lang_id"]
+                 "doc_lang_id", "ann_dim_truncation_recall"]
 
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
