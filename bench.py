@@ -100,7 +100,8 @@ def main() -> None:
     for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
                  "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
                  "graph_sssp_hops", "shared_shingle_pairs_pipeline",
-                 "ann_pq_adc", "ann_ivf_pq"):
+                 "ann_pq_adc", "ann_ivf_pq", "ann_recall_eval",
+                 "semantic_dedup"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):

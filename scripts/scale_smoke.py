@@ -161,6 +161,26 @@ def main() -> None:
           f"{n_rem[0]}/{n_rem[1]} tokens removed "
           f"({n_rem[0] / max(n_rem[1], 1):.4f})")
 
+    # winnowing fingerprints + rare-fp pairing: fps/doc and pair rows/doc
+    # must hold across the corpus doubling (the max_df cap is the bound)
+    from bigdata2016w_spark.operators.sketches import (
+        winnow_dup_candidates,
+        winnow_fingerprints,
+    )
+
+    t0 = time.perf_counter()
+    n_fps = winnow_fingerprints(docs).count()
+    n_wpairs = winnow_dup_candidates(docs).count()
+    wall_w = time.perf_counter() - t0
+    half_docs = docs.where(F.col("doc_id") < n_docs // 2)
+    fps_h = winnow_fingerprints(half_docs).count()
+    wp_h = winnow_dup_candidates(half_docs).count()
+    print(f"winnow fps+pairs: {wall_w:.1f}s, "
+          f"fps/doc {fps_h / (n_docs // 2):.3f} @ {n_docs // 2} -> "
+          f"{n_fps / n_docs:.3f} @ {n_docs} "
+          f"(ratio {(n_fps / n_docs) / max(fps_h / (n_docs // 2), 1e-9):.2f}x), "
+          f"pairs/doc {wp_h / (n_docs // 2):.4f} -> {n_wpairs / n_docs:.4f}")
+
     t0 = time.perf_counter()
     mh = minhash_lsh_near_dupes(docs, 0.5, shingled=sh, portable=False)
     n_pairs = mh.count()
