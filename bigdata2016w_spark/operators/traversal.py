@@ -72,3 +72,51 @@ def bfs_hops(
             dist = dist.localCheckpoint(eager=True)
 
     return dist.where(F.col("dist").isNotNull()).select("id", "dist")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ (id, core_degree): the subgraph surviving ``rounds`` rounds of
+    k-core peeling (repeatedly remove nodes of undirected degree < k),
+    with each survivor's degree inside the surviving subgraph.
+
+    Bounded-round peel, the SSSP-hops convention: a FIXED number of
+    rounds keeps the whole computation closed-form so the oracle can
+    unroll it into chained CTEs; on a converged graph the result IS the
+    k-core (pinned in tests by running one extra round and asserting a
+    fixpoint). Each round is one hash-agg degree count plus two
+    semi-joins against the ≤|V|-row survivor set — at 100 TB the edge
+    table shuffles once up front (partitioned by src) and each round's
+    survivor list is broadcastable long before the edge table is.
+    Per-round ``localCheckpoint`` caps lineage exactly like PageRank's
+    iteration (operators/pagerank.py)."""
+    spark = edges.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            und.groupBy("src").agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        und = (
+            und.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .repartition(par, "src")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("core_degree")
+    )

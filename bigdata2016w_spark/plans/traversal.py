@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdata2016w_spark.operators.traversal import bfs_hops
+from bigdata2016w_spark.operators.traversal import bfs_hops, kcore_peel
 from bigdata2016w_spark.plans.graph import PR_MOD, order_graph_edges
 from bigdata2016w_spark.registry import QuerySpec, register
 
@@ -64,3 +64,51 @@ d{t} AS MATERIALIZED (
 register(QuerySpec("graph_sssp_hops", graph_sssp_hops,
                    _sssp_sql(SSSP_SOURCE, SSSP_HOPS),
                    doc=graph_sssp_hops.__doc__))
+
+
+KCORE_K = 12
+KCORE_ROUNDS = 8
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the undirected orders-derived graph after 8 bounded
+    peeling rounds: (id, core_degree) per surviving node. The uniform
+    fixture is all-or-nothing by density — at sf0.001 the cascade peels
+    the whole graph away (the oracle replays all 8 rounds of it), at
+    sf0.01+ every node clears k and the verified content is the
+    per-node core degrees. Partial peeling (clique survives, tail
+    dissolves) is pinned on a planted graph in tests, where the fixture
+    can be shaped."""
+    edges = order_graph_edges(spark, sf_dir)
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS, num_partitions=4)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % {PR_MOD} AS src, o_orderkey % {PR_MOD} AS dst
+  FROM orders WHERE o_custkey % {PR_MOD} <> o_orderkey % {PR_MOD}
+),
+u0 AS MATERIALIZED (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+k{t} AS MATERIALIZED (
+  SELECT src AS id FROM u{t - 1} GROUP BY src HAVING count(*) >= {k}
+),
+u{t} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{t - 1} u
+  JOIN k{t} a ON u.src = a.id
+  JOIN k{t} b ON u.dst = b.id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree"
+          f"\nFROM u{rounds} GROUP BY src"
+    )
+
+
+register(QuerySpec("graph_kcore", graph_kcore,
+                   _kcore_sql(KCORE_K, KCORE_ROUNDS),
+                   doc=graph_kcore.__doc__))

@@ -48,3 +48,39 @@ def test_bfs_hops_cap_is_respected(spark):
     )
     got = {r.id: r.dist for r in bfs_hops(edges, 0, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_graph_kcore_matches_oracle(spark, sf_dir, duck):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["graph_kcore"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_kcore_planted_clique_survives_tail_dissolves(spark):
+    """Partial peeling on a shaped graph: a 6-clique plus a degree-1
+    chain hanging off it. The 3-core is exactly the clique (each member
+    keeps degree 5); the chain peels away over the bounded rounds, and
+    one extra round is a fixpoint."""
+    from bigdata2016w_spark.operators.traversal import kcore_peel
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    chain = [(5, 6), (6, 7), (7, 8), (8, 9)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {(r.id, r.core_degree)
+           for r in kcore_peel(edges, 3, 6, 4).collect()}
+    assert got == {(i, 5) for i in range(6)}
+    again = {(r.id, r.core_degree)
+             for r in kcore_peel(edges, 3, 7, 4).collect()}
+    assert again == got  # fixpoint: bounded rounds reached the true core
+
+
+def test_kcore_cascade_to_empty(spark):
+    """A pure chain has no 2-core: peeling must cascade to empty through
+    several rounds (each round only exposes the next endpoint)."""
+    from bigdata2016w_spark.operators.traversal import kcore_peel
+
+    chain = [(i, i + 1) for i in range(10)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    assert kcore_peel(edges, 2, 10, 4).count() == 0
