@@ -956,8 +956,10 @@ def knn_pq_from_index(
     from the stored codebook (M = max(m)+1, subdim = len(cv)) rather
     than trusted as caller parameters — a geometry mismatch between
     caller defaults and the index would otherwise NULL out every LUT
-    distance and return k arbitrary rows with NULL adc_d2. A query
-    whose embedding length disagrees with the index fails fast."""
+    distance and return k arbitrary rows with NULL adc_d2. EVERY query
+    row's embedding length is checked against the index geometry by an
+    in-plan ``raise_error`` guard (a driver-side check of the first row
+    would let later mismatched rows slip through silently)."""
     cb = spark.read.parquet(f"{index_path}/codebook")
     meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
                   ).first()
@@ -967,16 +969,27 @@ def knn_pq_from_index(
         )
     n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
     dim = n_subspaces * sd
-    qrow = queries.where(F.col("embedding").isNotNull()).select(
-        "embedding").first()
-    if qrow is not None and len(qrow["embedding"]) != dim:
-        raise ValueError(
-            f"query embedding length {len(qrow['embedding'])} does not "
-            f"match the index geometry ({n_subspaces} subspaces x {sd} "
-            f"dims = {dim})"
-        )
+    guarded = queries.select(
+        "vec_id",
+        F.when(
+            F.col("embedding").isNull()  # dropped by _pq_subvectors
+            | (F.size("embedding") == dim),
+            F.col("embedding"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("query embedding length "),
+                    F.size("embedding").cast("string"),
+                    F.lit(
+                        f" does not match the index geometry "
+                        f"({n_subspaces} subspaces x {sd} dims = {dim})"
+                    ),
+                )
+            )
+        ).alias("embedding"),
+    )
     codes = unpack_pq_codes(spark.read.parquet(f"{index_path}/codes"))
-    qsub = _pq_subvectors(queries, n_subspaces, dim).select(
+    qsub = _pq_subvectors(guarded, n_subspaces, dim).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
     return _pq_adc_search(codes, cb, qsub, k)

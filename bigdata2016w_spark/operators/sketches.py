@@ -52,6 +52,7 @@ from bigdata2016w_spark.operators.dedup import portable_hash60
 WINNOW_K = 5       # tokens per k-gram (guarantee threshold = k + w - 1)
 WINNOW_W = 4       # consecutive k-gram hashes per fingerprint window
 WINNOW_MAX_DF = 20  # MOSS stop-fingerprints: ignore fps in > max_df docs
+WINNOW_MIN_SHARED = 2  # candidate pairs need this many shared rare fps
 
 KMV_K = 64
 
@@ -59,7 +60,8 @@ HLL_P = 8
 HLL_M = 1 << HLL_P            # 256 registers
 _HLL_REST_BITS = 60 - HLL_P   # 52 rank bits above the bucket field
 # rho ∈ [1, 53]; Σ 2^(53-rho) ≤ m·2^52 = 2^60 — exact in int64.
-_HLL_SCALE = float(1 << 53)
+_HLL_RHO_MAX = _HLL_REST_BITS + 1   # 53: rho of an all-zero rest field
+_HLL_SCALE = float(1 << _HLL_RHO_MAX)
 # alpha_m · m² · 2^53, folded to ONE python double so both engines do a
 # single division — no engine-side multiply-order divergence possible.
 HLL_EST_NUMERATOR = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * _HLL_SCALE
@@ -122,7 +124,7 @@ def winnow_dup_candidates(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     max_df: int = WINNOW_MAX_DF,
-    min_shared: int = 2,
+    min_shared: int = WINNOW_MIN_SHARED,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): doc pairs sharing ≥ ``min_shared``
     *rare* fingerprints (document frequency ≤ ``max_df`` — MOSS's
@@ -178,11 +180,14 @@ def kmv_distinct(
         .select(
             "k_used",
             "kth_min",
-            F.round(
-                (F.col("k_used") - F.lit(1)).cast("double")
-                * F.lit(float(1 << 60))
-                / F.col("kth_min").cast("double"),
-                4,
+            # empty stream: 0, not NULL — consumers threshold on this
+            F.when(F.col("k_used") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    (F.col("k_used") - F.lit(1)).cast("double")
+                    * F.lit(float(1 << 60))
+                    / F.col("kth_min").cast("double"),
+                    4,
+                )
             ).alias("est_distinct"),
             "exact_distinct",
         )
@@ -222,8 +227,15 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     agg = regs.agg(
         F.count("*").cast("int").alias("m_filled"),
         (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
-            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
+            # empty register table: sum is NULL — coalesce to 0 so the
+            # all-empty isum (m·2^53) and estimate 0.0 come out, not NULL
+            F.coalesce(
+                F.sum(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)"
+                )),
+                F.lit(0).cast("long"),
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << _HLL_RHO_MAX)
         ).alias("isum"),
     )
     raw = F.lit(HLL_EST_NUMERATOR) / F.col("isum").cast("double")
@@ -261,14 +273,14 @@ def hll_distinct(
 
 
 # ------------------------------------------------------------------ CMS
-def cms_counters(keys: DataFrame, col: str = "k") -> DataFrame:
-    """(j, slot, cnt): the d×w Count-Min counter matrix — one
-    explode+hash-agg pass over the stream (partial aggregation does the
-    map-side combine; at any corpus size the result is d·w rows)."""
-    rows = keys.select(F.col(col).cast("string").alias("k")).where(
-        F.col("k").isNotNull()
-    )
-    ex = rows.select(
+def _cms_slots(df: DataFrame) -> DataFrame:
+    """Append (j, slot) — the d seeded hash positions of string column
+    ``k`` — one explode per input row, passthrough columns kept. ONE
+    definition shared by the counter build and the point-estimate probe:
+    if build and probe hashed differently, every estimate would read
+    the wrong cells with nothing pointing at the divergence."""
+    return df.select(
+        "*",
         F.explode(
             F.array(*[
                 F.struct(
@@ -279,11 +291,20 @@ def cms_counters(keys: DataFrame, col: str = "k") -> DataFrame:
                 )
                 for j in range(CMS_D)
             ])
-        ).alias("s")
+        ).alias("s"),
+    ).select(*df.columns, "s.j", "s.slot")
+
+
+def cms_counters(keys: DataFrame, col: str = "k") -> DataFrame:
+    """(j, slot, cnt): the d×w Count-Min counter matrix — one
+    explode+hash-agg pass over the stream (partial aggregation does the
+    map-side combine; at any corpus size the result is d·w rows)."""
+    rows = keys.select(F.col(col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
     )
-    return ex.groupBy(
-        F.col("s.j").alias("j"), F.col("s.slot").alias("slot")
-    ).agg(F.count("*").alias("cnt"))
+    return _cms_slots(rows).groupBy("j", "slot").agg(
+        F.count("*").alias("cnt")
+    )
 
 
 def cms_heavy_keys(
@@ -304,20 +325,7 @@ def cms_heavy_keys(
     )
     counters = cms_counters(keys, col)
     true_counts = rows.groupBy("k").agg(F.count("*").alias("true_count"))
-    probes = true_counts.select("k", "true_count").select(
-        "k", "true_count",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (portable_hash60(F.col("k"), f"CMS{j}") % CMS_W)
-                    .cast("int")
-                    .alias("slot"),
-                )
-                for j in range(CMS_D)
-            ])
-        ).alias("s"),
-    ).select("k", "true_count", "s.j", "s.slot")
+    probes = _cms_slots(true_counts)
     est = (
         probes.join(broadcast(counters), ["j", "slot"])
         .groupBy("k", "true_count")
@@ -384,18 +392,23 @@ def kmv_set_ops(
         * F.lit(float(1 << 60))
         / F.col("kth_union").cast("double")
     )
+    empty = F.col("k_union") == 0  # both slices empty: 0, not NULL
     return (
         ua.crossJoin(broadcast(common))
         .crossJoin(broadcast(exact_u))
         .crossJoin(broadcast(exact_i))
         .select(
             "k_union", "kth_union", "n_common",
-            F.round(est_u, 4).alias("est_union"),
-            F.round(
-                F.col("n_common").cast("double")
-                / F.col("k_union").cast("double")
-                * est_u,
-                4,
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(est_u, 4)
+            ).alias("est_union"),
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("n_common").cast("double")
+                    / F.col("k_union").cast("double")
+                    * est_u,
+                    4,
+                )
             ).alias("est_intersection"),
             "exact_union", "exact_intersection",
         )
@@ -405,6 +418,32 @@ def kmv_set_ops(
 # ------------------------------------------------------------------ bloom
 BLOOM_WORDS, BLOOM_WORD_BITS, BLOOM_D = 64, 62, 3
 BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS  # 3968
+
+
+def _bloom_words(df: DataFrame) -> DataFrame:
+    """Append (word, mask) — the d seeded bit positions of string column
+    ``k`` split into word index and in-word mask — passthrough columns
+    kept. ONE definition shared by the filter build and the probe (same
+    rationale as :func:`_cms_slots`: diverging hash arithmetic between
+    the two sides would silently break every membership answer)."""
+    ex = df.select(
+        "*",
+        F.explode(
+            F.array(*[
+                (portable_hash60(F.col("k"), f"BL{j}") % BLOOM_BITS)
+                .alias("p")
+                for j in range(BLOOM_D)
+            ])
+        ).alias("pos"),
+    )
+    return ex.select(
+        *df.columns,
+        (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
 
 
 def bloom_bitmap(keys: DataFrame, col: str = "k") -> DataFrame:
@@ -417,25 +456,8 @@ def bloom_bitmap(keys: DataFrame, col: str = "k") -> DataFrame:
     rows = keys.select(F.col(col).cast("string").alias("k")).where(
         F.col("k").isNotNull()
     )
-    ex = rows.select(
-        F.explode(
-            F.array(*[
-                (portable_hash60(F.col("k"), f"BL{j}") % BLOOM_BITS)
-                .alias("p")
-                for j in range(BLOOM_D)
-            ])
-        ).alias("pos")
-    )
-    return (
-        ex.select(
-            (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("w"))
+    return _bloom_words(rows).groupBy("word").agg(
+        F.bit_or("mask").alias("w")
     )
 
 
@@ -458,23 +480,7 @@ def bloom_probe_summary(
     pk = probe_keys.select(
         F.col(probe_col).cast("string").alias("k")
     ).where(F.col("k").isNotNull()).distinct()
-    probes = pk.select(
-        "k",
-        F.explode(
-            F.array(*[
-                (portable_hash60(F.col("k"), f"BL{j}") % BLOOM_BITS)
-                .alias("p")
-                for j in range(BLOOM_D)
-            ])
-        ).alias("pos"),
-    ).select(
-        "k",
-        (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("mask"),
-    )
+    probes = _bloom_words(pk)
     hits = (
         probes.join(broadcast(bitmap), "word", "left")
         .select(

@@ -1344,8 +1344,14 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     nn = knn_bruteforce(emb, KNN_QUERY_IDS, KNN_K)
+    # a NULL label is not a vote — and keeping it would diverge the
+    # engines at the tie-break (Spark ASC sorts NULLs first, DuckDB's
+    # default sorts them last)
     votes = (
-        nn.join(emb.select("vec_id", "label"), "vec_id")
+        nn.join(
+            emb.select("vec_id", "label").where(F.col("label").isNotNull()),
+            "vec_id",
+        )
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"))
     )
@@ -1369,6 +1375,7 @@ WITH nn AS ({_ANN_SQL}),
 votes AS (
   SELECT n.query_id, e.label, count(*) AS votes
   FROM nn n JOIN embeddings e USING (vec_id)
+  WHERE e.label IS NOT NULL
   GROUP BY n.query_id, e.label
 ),
 pick AS (

@@ -26,9 +26,11 @@ from bigdata2016w_spark.operators.sketches import (
     CMS_W,
     HLL_EST_NUMERATOR,
     HLL_M,
+    HLL_P,
     KMV_K,
     WINNOW_K,
     WINNOW_MAX_DF,
+    WINNOW_MIN_SHARED,
     WINNOW_W,
     cms_heavy_keys,
     hll_distinct,
@@ -109,7 +111,7 @@ SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
 FROM fr x JOIN fr y
   ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
-HAVING count(*) >= 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 register(QuerySpec("doc_winnow_fingerprints", doc_winnow_fingerprints,
@@ -162,30 +164,37 @@ a AS (
 ),
 e AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h)
 SELECT k_used, kth_min,
-       round(CAST(k_used - 1 AS DOUBLE) * {float(1 << 60)!r}
-             / CAST(kth_min AS DOUBLE), 4) AS est_distinct,
+       CASE WHEN k_used = 0 THEN 0.0
+            ELSE round(CAST(k_used - 1 AS DOUBLE) * {float(1 << 60)!r}
+                       / CAST(kth_min AS DOUBLE), 4)
+       END AS est_distinct,
        exact_distinct
 FROM a CROSS JOIN e
 """
+
+_HLL_RHO_MAX = 60 - HLL_P + 1  # 53: rho of an all-zero 52-bit rest field
 
 _HLL_SQL = f"""
 WITH {_SHINGLE_V},
 h AS (SELECT {_phash_sql('HLL', 's')} AS h FROM v),
 b AS (
-  SELECT CAST(h & {HLL_M - 1} AS INTEGER) AS bucket, h >> 8 AS rest FROM h
+  SELECT CAST(h & {HLL_M - 1} AS INTEGER) AS bucket,
+         h >> {HLL_P} AS rest
+  FROM h
 ),
 r AS (
   SELECT bucket,
-         CAST(CASE WHEN rest = 0 THEN 53
-                   ELSE 53 - length(printf('%b', rest)) END
+         CAST(CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(printf('%b', rest)) END
               AS INTEGER) AS rho
   FROM b
 ),
 regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
 a AS (
   SELECT CAST(count(*) AS INTEGER) AS m_filled,
-         CAST(sum(1::BIGINT << (53 - rho))
-              + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS BIGINT) AS isum
+         CAST(coalesce(sum(1::BIGINT << ({_HLL_RHO_MAX} - rho)), 0)
+              + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
+              AS BIGINT) AS isum
   FROM regs
 ),
 e AS (
@@ -331,9 +340,11 @@ ei AS (
   FROM ha WHERE h IN (SELECT h FROM hb)
 )
 SELECT k_union, kth_union, n_common,
-       round({_KMV_EST_U}, 4) AS est_union,
-       round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
-             * ({_KMV_EST_U}), 4) AS est_intersection,
+       CASE WHEN k_union = 0 THEN 0.0
+            ELSE round({_KMV_EST_U}, 4) END AS est_union,
+       CASE WHEN k_union = 0 THEN 0.0
+            ELSE round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
+                       * ({_KMV_EST_U}), 4) END AS est_intersection,
        exact_union, exact_intersection
 FROM ua CROSS JOIN cm CROSS JOIN eu CROSS JOIN ei
 """

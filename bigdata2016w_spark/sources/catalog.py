@@ -103,10 +103,19 @@ def table_row_count(sf_dir: str, name: str) -> int:
     warehouse this is the table-stats read every CBO already does."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return dir_row_count(f"{sf_dir}/{name}.parquet")
+
+
+def dir_row_count(path: str) -> int:
+    """Exact row count of one parquet directory from footer metadata
+    (shared by :func:`table_row_count` and the streaming sinks' accepted-
+    corpus sizing). Falls back to reading the footer explicitly when a
+    fragment carries no inline metadata — silently treating that case as
+    0 rows would undersize every consumer that scales to the input."""
     import pyarrow.dataset as ds
     import pyarrow.parquet as pq
 
-    dataset = ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet")
+    dataset = ds.dataset(path, format="parquet")
     return sum(
         (f.metadata.num_rows if f.metadata is not None
          else pq.read_metadata(f.path).num_rows)

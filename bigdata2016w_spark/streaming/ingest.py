@@ -22,20 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _accepted(
-    spark, target_dir: str, schema, before_batch: int | None = None
-) -> DataFrame:
-    """All previously admitted docs (batch-stamped subdirs), or an empty
-    frame with the right schema before the first batch commits.
-
-    ``before_batch`` (the replaying sink passes its own batch id) excludes
-    that batch's — and any later — subdirectory. Without it, a replay of a
-    batch whose parquet write succeeded but whose checkpoint commit did not
-    would anti-join the batch against its OWN prior output, classify every
-    doc as already-accepted, and overwrite ``batch=N`` with an empty set:
-    silent permanent loss. Subdirs are enumerated via the Hadoop FileSystem
-    API (a metadata listing, works on any DFS), never a glob that could
-    swallow the in-flight batch."""
+def _batch_dirs(
+    spark, target_dir: str, before_batch: int | None = None
+) -> list[str]:
+    """Committed ``batch=`` subdirectory paths under ``target_dir`` via
+    the Hadoop FileSystem API (a metadata listing, works on any DFS) —
+    NEVER a glob, which could swallow an in-flight batch's partial
+    files. ``before_batch`` excludes that id and later (the replaying
+    writer passes its own batch id; see :func:`_accepted`). Shared by
+    the admission sinks and ``streaming.sketch_sink``."""
     path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     dirs = []
@@ -50,6 +45,24 @@ def _accepted(
                 continue
             if before_batch is None or bid < before_batch:
                 dirs.append(st.getPath().toString())
+    return dirs
+
+
+def _accepted(
+    spark, target_dir: str, schema, before_batch: int | None = None
+) -> DataFrame:
+    """All previously admitted docs (batch-stamped subdirs), or an empty
+    frame with the right schema before the first batch commits.
+
+    ``before_batch`` (the replaying sink passes its own batch id) excludes
+    that batch's — and any later — subdirectory. Without it, a replay of a
+    batch whose parquet write succeeded but whose checkpoint commit did not
+    would anti-join the batch against its OWN prior output, classify every
+    doc as already-accepted, and overwrite ``batch=N`` with an empty set:
+    silent permanent loss. Subdirs are enumerated via :func:`_batch_dirs`
+    (Hadoop listing, never a glob that could swallow the in-flight
+    batch)."""
+    dirs = _batch_dirs(spark, target_dir, before_batch)
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)
@@ -153,33 +166,21 @@ def dedup_admission_sink(
 def _accepted_count(spark, target_dir: str,
                     before_batch: int | None = None) -> int:
     """Row count of the accepted corpus from parquet FOOTER metadata —
-    the catalog-stats read (sources.catalog.table_row_count's sibling),
-    NOT a per-batch count() job over every batch= subdir; the scan-free
-    way to size the cross-checker's LSH planes as the corpus grows.
-    Uses the same Hadoop listing as ``_accepted`` for the replay-safety
-    semantics, then pyarrow for the footers (local/DFS paths pyarrow can
-    reach; on an object store a real deployment reads table stats)."""
-    import pyarrow.dataset as pds
+    the catalog-stats read, NOT a per-batch count() job over every
+    batch= subdir; the scan-free way to size the cross-checker's LSH
+    planes as the corpus grows. Same Hadoop listing as ``_accepted``
+    for the replay-safety semantics, then ``catalog.dir_row_count``
+    for the footers (which falls back to an explicit footer read when
+    a fragment carries no inline metadata — counting such a fragment
+    as 0 would undersize the blocker)."""
+    from urllib.parse import urlparse
 
-    path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = 0
-    if fs.exists(path):
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("batch=")):
-                continue
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if before_batch is not None and bid >= before_batch:
-                continue
-            d = pds.dataset(st.getPath().toUri().getPath(),
-                            format="parquet")
-            total += sum(f.metadata.num_rows for f in d.get_fragments()
-                         if f.metadata is not None)
-    return total
+    from bigdata2016w_spark.sources.catalog import dir_row_count
+
+    return sum(
+        dir_row_count(urlparse(d).path or d)
+        for d in _batch_dirs(spark, target_dir, before_batch)
+    )
 
 
 def admit_embedding_batch(

@@ -20,13 +20,18 @@ merge is associative), keeping the read-side fan-in bounded.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bigdata2016w_spark.operators.sketches import (
     cms_counters,
     hll_registers,
 )
-from bigdata2016w_spark.streaming.ingest import _guard_fresh_checkpoint
+from bigdata2016w_spark.streaming.ingest import (
+    _batch_dirs,
+    _checkpoint_started,
+)
+
+CMS_SCHEMA = "j int, slot int, cnt bigint"
+HLL_SCHEMA = "bucket int, rho int"
 
 
 def sketch_maintenance_sink(
@@ -39,11 +44,24 @@ def sketch_maintenance_sink(
     """Start the sketch-maintenance stream: batch N's CMS counter
     partial lands in ``{target_dir}/batch=N/cms`` and its HLL register
     partial in ``{target_dir}/batch=N/hll``. Returns the StreamingQuery.
+
     Same fresh-checkpoint-vs-populated-target fail-fast as the admission
-    sinks (batch ids are the replay-safety keys here too)."""
+    sinks (batch ids are the replay-safety keys here too), implemented
+    against THIS sink's nested layout — the admission sinks' guard
+    checks via a flat parquet read, which would silently pass on these
+    ``batch=N/cms|hll`` subtrees."""
     spark = keys_stream.sparkSession
-    _guard_fresh_checkpoint(spark, target_dir, checkpoint_dir,
-                            keys_stream.schema)
+    if not _checkpoint_started(spark, checkpoint_dir):
+        existing = _batch_dirs(spark, target_dir)
+        if existing:
+            raise ValueError(
+                f"target_dir {target_dir!r} already holds batch= subdirs "
+                f"but checkpoint_dir {checkpoint_dir!r} is fresh — batch "
+                "ids would restart at 0 and overwrite existing sketch "
+                "partials while stale ones kept merging in. Reuse the "
+                "original checkpoint, or point the stream at an empty "
+                "target."
+            )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         base = f"{target_dir}/batch={batch_id}"
@@ -62,12 +80,36 @@ def sketch_maintenance_sink(
     )
 
 
+def _read_partials(
+    spark: SparkSession, target_dir: str, sub: str, schema: str
+) -> DataFrame:
+    """All batches' ``{sub}`` partials, via the Hadoop batch-dir listing
+    (``streaming.ingest._batch_dirs`` — never a glob, which would both
+    swallow an in-flight batch's partial files and throw PATH_NOT_FOUND
+    before the first commit). No batches yet → empty typed frame, so a
+    reader sees cardinality 0, not an AnalysisException."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    paths = []
+    for d in _batch_dirs(spark, target_dir):
+        p = jvm.org.apache.hadoop.fs.Path(f"{d}/{sub}")
+        # a crash between the sink's two writes can leave batch=N with
+        # only one partial; skip the missing half instead of failing
+        if p.getFileSystem(hconf).exists(p):
+            paths.append(f"{d}/{sub}")
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def read_merged_cms(spark: SparkSession, target_dir: str) -> DataFrame:
     """(j, slot, cnt): the merged Count-Min matrix — counters ADD across
     batches. Identical to ``cms_counters`` over the concatenated stream
     (pinned in tests), because counter addition is associative."""
+    from pyspark.sql import functions as F
+
     return (
-        spark.read.parquet(f"{target_dir}/batch=*/cms")
+        _read_partials(spark, target_dir, "cms", CMS_SCHEMA)
         .groupBy("j", "slot")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -77,8 +119,10 @@ def read_merged_hll(spark: SparkSession, target_dir: str) -> DataFrame:
     """(bucket, rho): the merged HLL register table — registers MAX
     across batches. Identical to ``hll_registers`` over the concatenated
     stream; feed to ``hll_estimate_from_registers`` for the estimate."""
+    from pyspark.sql import functions as F
+
     return (
-        spark.read.parquet(f"{target_dir}/batch=*/hll")
+        _read_partials(spark, target_dir, "hll", HLL_SCHEMA)
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )

@@ -32,7 +32,12 @@ def _norm(v):
 
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # sort by repr: total over mixed types (the NULL sentinel string
+    # otherwise collides with int/float columns and raises TypeError);
+    # multiset equality is unaffected — equal multisets sort identically
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 # DuckDB type name → Spark dtype string. HUGEINT is deliberately absent:

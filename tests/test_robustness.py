@@ -42,6 +42,11 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "documents_scrub_dup_spans", "dedup_keep_best",
     "documents_rejection_audit", "ann_pq_adc", "semantic_dedup",
     "events_transition_matrix", "events_user_value_ema", "ann_ivf_pq",
+    "doc_winnow_fingerprints", "winnow_dup_candidates",
+    "shingles_kmv_distinct", "shingles_hll_distinct",
+    "shingles_kmv_lang_overlap", "events_cms_heavy_users",
+    "orders_bloom_probe", "ann_recall_eval", "knn_label_vote",
+    "embedding_int8_quant", "ann_dim_truncation_recall", "graph_kcore",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -49,6 +54,13 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     rows = all_specs()[name].fn(spark, empty_sf).collect()
     if name == "q1_count_shipped":
         assert rows[0][0] == 0
+    elif name in ("shingles_kmv_distinct", "shingles_hll_distinct"):
+        # global sketch summaries: one row, zero estimate (never NULL)
+        assert len(rows) == 1 and rows[0].est_distinct == 0.0
+    elif name == "shingles_kmv_lang_overlap":
+        assert len(rows) == 1 and rows[0].est_union == 0.0
+    elif name == "orders_bloom_probe":
+        assert len(rows) == 1 and rows[0].n_probe_keys == 0
     elif name == "q17_small_quantity_revenue":
         # global aggregate: one row, null sum / zero count
         assert len(rows) == 1 and rows[0].n_lineitems == 0
@@ -185,7 +197,10 @@ def test_embedding_ops_null_embedding_parity(spark, tmp_path):
     for i in range(40):
         emb = (None if i in (3, 27) else
                [round(rng.uniform(-1, 1), 3) for _ in range(64)])
-        rows.append((i, emb, i % 5))
+        # rows 7/21: NULL label — knn_label_vote must exclude them from
+        # the vote in BOTH engines (Spark ASC sorts NULLs first, DuckDB
+        # last, so a NULL label reaching the tie-break would diverge)
+        rows.append((i, emb, None if i in (7, 21) else i % 5))
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.parquet(str(d / "embeddings.parquet"))

@@ -238,3 +238,27 @@ def test_kmv_set_ops_consistency(spark, sf_dir):
     assert ops.est_union == single.est_distinct
     assert ops.exact_intersection > 0
     assert ops.est_intersection > 0
+
+
+def test_sketch_estimates_zero_not_null_on_empty(spark):
+    """Empty (or all-NULL) input streams: every estimate is 0, never
+    NULL — consumers threshold and do arithmetic on these."""
+    from bigdata2016w_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+        kmv_distinct,
+        kmv_set_ops,
+    )
+
+    empty = spark.createDataFrame([], "s string")
+    k = kmv_distinct(empty, "s").first()
+    assert k.k_used == 0 and k.est_distinct == 0.0
+    assert k.exact_distinct == 0
+    h = hll_distinct(empty, "s").first()
+    assert h.m_filled == 0 and h.est_distinct == 0.0
+    assert h.isum is not None
+    e = hll_estimate_from_registers(hll_registers(empty, "s")).first()
+    assert e.est_distinct == 0.0
+    so = kmv_set_ops(empty, empty, "s").first()
+    assert so.est_union == 0.0 and so.est_intersection == 0.0

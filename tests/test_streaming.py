@@ -716,3 +716,43 @@ def test_sketch_maintenance_sink_merges_to_batch_parity(spark, tmp_path):
                 for r in read_merged_cms(spark,
                                          str(tmp_path / "sk")).collect()}
     assert got_cms2 == want_cms
+
+
+def test_sketch_sink_fresh_checkpoint_guard_fires(spark, tmp_path):
+    """The fail-fast must work against THIS sink's nested batch=N/cms|hll
+    layout (the admission sinks' flat-parquet guard silently passes on
+    it): planted batch dirs + a fresh checkpoint -> ValueError before
+    any stream starts; and the merged readers return EMPTY TYPED frames
+    (not AnalysisException) when no batch has ever committed."""
+    import pytest as _pytest
+
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        read_merged_cms,
+        read_merged_hll,
+        sketch_maintenance_sink,
+    )
+
+    empty_target = tmp_path / "sk_empty"
+    assert read_merged_cms(spark, str(empty_target)).collect() == []
+    assert read_merged_hll(spark, str(empty_target)).collect() == []
+
+    target = tmp_path / "sk"
+    spark.createDataFrame([(0, 1, 5)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target / "batch=0" / "cms"))
+    spark.createDataFrame([(3, 7)], "bucket int, rho int") \
+        .write.parquet(str(target / "batch=0" / "hll"))
+    (tmp_path / "in_unread").mkdir()
+    src = (
+        spark.readStream.schema("user_id long")
+        .parquet(str(tmp_path / "in_unread"))
+    )
+    with _pytest.raises(ValueError, match="fresh"):
+        sketch_maintenance_sink(
+            src, str(target), str(tmp_path / "fresh_ckpt"), "user_id"
+        )
+    # a half-written batch (cms only) must not break the hll reader
+    assert read_merged_hll(spark, str(target)).count() == 1
+    spark.createDataFrame([(9, 9, 9)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target / "batch=1" / "cms"))
+    assert read_merged_hll(spark, str(target)).count() == 1
+    assert read_merged_cms(spark, str(target)).count() == 2
