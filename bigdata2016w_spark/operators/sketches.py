@@ -508,3 +508,44 @@ def bloom_probe_summary(
         F.sum((F.col("member") & ~F.col("passed")).cast("long"))
         .alias("n_false_negatives"),
     )
+
+
+def winnow_cross_candidates(
+    index_docs: DataFrame,
+    probe_docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(probe_id, index_id, n_shared): incremental dup candidates — each
+    PROBE doc paired with every INDEX doc it shares ≥ ``min_shared``
+    rare fingerprints with, probe-vs-index only (never intra-side; the
+    ``jaccard_cross_near_dupes`` admission convention). ``min_shared``
+    defaults to 1 because one shared fingerprint is already the winnow
+    guarantee for any shared span of ≥ k+w-1 tokens crossing the corpus
+    boundary — the lossless candidate tier an ingest gate needs.
+    Stop-fingerprints are judged on INDEX document frequency (the
+    corpus knows what its boilerplate is; a probe batch is too small
+    to), which is also the skew bound: ≤ max_df index rows per
+    fingerprint reach the join."""
+    fpi = winnow_fingerprints(index_docs, k, w)
+    fpp = winnow_fingerprints(probe_docs, k, w)
+    rare = (
+        fpi.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    fi = fpi.join(rare, "fingerprint").select(
+        F.col("doc_id").alias("index_id"), "fingerprint"
+    )
+    fp = fpp.join(rare, "fingerprint").select(
+        F.col("doc_id").alias("probe_id"), "fingerprint"
+    )
+    return (
+        fp.join(fi, "fingerprint")
+        .groupBy("probe_id", "index_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

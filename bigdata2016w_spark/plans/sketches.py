@@ -66,31 +66,39 @@ def winnow_dup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the complete-window filter is i <= ng - w on 0-based gram positions;
 # docs shorter than k+w-1 tokens have no complete window in either engine
-_WINNOW_CTES = f"""toks AS (
-  SELECT doc_id, {_TOK} AS t FROM documents
+def _winnow_cte(prefix: str = "", where: str = "") -> str:
+    """The winnow fingerprint CTE chain ending in ``{prefix}fps``,
+    optionally slice-filtered — ONE generator for the whole-corpus, the
+    pair, and the cross-corpus (index/probe) oracles, so the gram/window
+    arithmetic cannot drift between them."""
+    return f"""{prefix}toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents{where}
 ),
-g AS (
+{prefix}g AS (
   SELECT doc_id, t, unnest(range(len(t) - {WINNOW_K - 1})) AS i
-  FROM toks WHERE len(t) >= {WINNOW_K + WINNOW_W - 1}
+  FROM {prefix}toks WHERE len(t) >= {WINNOW_K + WINNOW_W - 1}
 ),
-grams AS (
+{prefix}grams AS (
   SELECT doc_id, i,
          {_phash_sql('WN',
                      f"array_to_string(t[i+1:i+{WINNOW_K}], ' ')")} AS h
-  FROM g
+  FROM {prefix}g
 ),
-wins AS (
+{prefix}wins AS (
   SELECT doc_id, i,
          min(h) OVER (PARTITION BY doc_id ORDER BY i
                       ROWS BETWEEN CURRENT ROW
                       AND {WINNOW_W - 1} FOLLOWING) AS fp,
          count(*) OVER (PARTITION BY doc_id) AS ng
-  FROM grams
+  FROM {prefix}grams
 ),
-fps AS (
+{prefix}fps AS (
   SELECT DISTINCT doc_id, fp AS fingerprint
-  FROM wins WHERE i <= ng - {WINNOW_W}
+  FROM {prefix}wins WHERE i <= ng - {WINNOW_W}
 )"""
+
+
+_WINNOW_CTES = _winnow_cte()
 
 _WINNOW_FPS_SQL = f"""
 WITH {_WINNOW_CTES}
@@ -429,3 +437,45 @@ FROM fl
 
 register(QuerySpec("orders_bloom_probe", orders_bloom_probe,
                    _bloom_sql(), doc=orders_bloom_probe.__doc__))
+
+
+# ------------------------------------------------- cross-corpus winnowing
+def winnow_cross_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnow candidates: the incoming shard (doc_id % 4 ==
+    0, the documents_incremental_dedup split convention) probed against
+    the accepted corpus — one shared rare fingerprint is already the
+    lossless guarantee for any cross-boundary span of ≥ 8 tokens."""
+    from bigdata2016w_spark.operators.sketches import (
+        winnow_cross_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_cross_candidates(
+        docs.where(F.col("doc_id") % 4 != 0),
+        docs.where(F.col("doc_id") % 4 == 0),
+    )
+
+
+_WINNOW_CROSS_SQL = f"""
+WITH {_winnow_cte("", " WHERE doc_id % 4 <> 0")},
+{_winnow_cte("p", " WHERE doc_id % 4 = 0")},
+rare AS (
+  SELECT fingerprint FROM fps
+  GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_DF}
+),
+fi AS (
+  SELECT f.doc_id AS index_id, f.fingerprint
+  FROM fps f JOIN rare USING (fingerprint)
+),
+fp AS (
+  SELECT f.doc_id AS probe_id, f.fingerprint
+  FROM pfps f JOIN rare USING (fingerprint)
+)
+SELECT fp.probe_id, fi.index_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM fp JOIN fi USING (fingerprint)
+GROUP BY fp.probe_id, fi.index_id
+"""
+
+register(QuerySpec("winnow_cross_candidates", winnow_cross_candidates_q,
+                   _WINNOW_CROSS_SQL,
+                   doc=winnow_cross_candidates_q.__doc__))

@@ -75,20 +75,21 @@ _SPEC_MODULES = [
 # on a rows-only check is wasted.
 #
 # ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
-# (orders_upsert .. dedup_simhash in registration order), plus the 20
+# (orders_upsert .. dedup_simhash in registration order), plus the 21
 # r6-added queries with no driver rows yet — documents_scrub_dup_spans,
 # dedup_keep_best, documents_rejection_audit, ann_pq_adc, ann_ivf_pq,
 # semantic_dedup, events_transition_matrix, events_user_value_ema,
 # doc_winnow_fingerprints, winnow_dup_candidates, shingles_kmv_distinct,
 # shingles_hll_distinct, events_cms_heavy_users, ann_recall_eval,
 # knn_label_vote, embedding_int8_quant, shingles_kmv_lang_overlap,
-# orders_bloom_probe, ann_dim_truncation_recall, graph_kcore — and corpus_curation +
+# orders_bloom_probe, ann_dim_truncation_recall, graph_kcore,
+# winnow_cross_candidates — and corpus_curation +
 # corpus_datacard (oracle SQL refactored in r6 to interpolate the shared
 # quality_sql — value-equivalent and locally re-verified, but their
 # r05/r03 driver certificates predate the text change) and ann_ivf_flat
 # (oracle gained the e0 NULL-embedding filter late in r6, after its r5
 # green — value-equivalent on clean data, locally re-verified at
-# sf0.01). That is 49 names for 50 slots; fillers from the oldest r05
+# sf0.01). That is 50 names for 50 slots — exactly full; fillers only if any name is cut; fillers from the oldest r05
 # greens. The remainder (any r6-new names that don't fit) lead the r08
 # window.
 _WINDOW_FRONT = [

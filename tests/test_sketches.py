@@ -183,7 +183,8 @@ def test_kmv_merge_equals_global(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["shingles_kmv_lang_overlap",
-                                  "orders_bloom_probe"])
+                                  "orders_bloom_probe",
+                                  "winnow_cross_candidates"])
 def test_sketch_algebra_matches_oracle(name, spark, sf_dir, duck):
     spec = all_specs()[name]
     compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
@@ -262,3 +263,34 @@ def test_sketch_estimates_zero_not_null_on_empty(spark):
     assert e.est_distinct == 0.0
     so = kmv_set_ops(empty, empty, "s").first()
     assert so.est_union == 0.0 and so.est_intersection == 0.0
+
+
+def test_winnow_cross_probe_vs_index_only(spark):
+    """Cross winnowing pairs probe docs with index docs only: a probe
+    doc sharing a long span with an index doc is caught (the k+w-1
+    guarantee crosses the corpus boundary); two probe docs sharing a
+    span with only each other are NOT reported."""
+    from bigdata2016w_spark.operators.sketches import (
+        winnow_cross_candidates,
+    )
+
+    def w(i):
+        return f"w{chr(97 + i // 26)}{chr(97 + i % 26)}"
+
+    span = " ".join(w(i) for i in range(40, 48))      # 8 tokens = k+w-1
+    probe_only = " ".join(w(i) for i in range(60, 68))
+    index = spark.createDataFrame(
+        [(1, " ".join(w(i) for i in range(20)) + " " + span)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, span + " " + " ".join(w(i) for i in range(26, 36))),
+         (101, probe_only + " alpha beta gamma delta"),
+         (102, probe_only + " epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = {(r.probe_id, r.index_id)
+           for r in winnow_cross_candidates(index, probe).collect()}
+    # exactly the cross-boundary pair: 101/102 share a span only with
+    # EACH OTHER (probe-probe, out of scope) and nothing with the index
+    assert got == {(100, 1)}
