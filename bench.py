@@ -101,7 +101,13 @@ def main() -> None:
                  "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
                  "graph_sssp_hops", "shared_shingle_pairs_pipeline",
                  "ann_pq_adc", "ann_ivf_pq", "ann_recall_eval",
-                 "semantic_dedup"):
+                 "semantic_dedup",
+                 # the r6 driver run showed containment at 5.53 s where
+                 # the same code measured 1.58 s here — these three give
+                 # the dedup tier's outliers an isolated reference so
+                 # environment noise is attributable, not arguable
+                 "documents_containment_dupes", "winnow_dup_candidates",
+                 "documents_incremental_dedup"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
@@ -117,12 +123,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         isolated[name] = round(best, 3)
 
+    # Regression tripwire: diff this run's per-query map against the
+    # COMMITTED artifact (read before we overwrite it) and surface any
+    # query >1.5x its committed time straight into the machine line —
+    # suite-noise episodes (r5's +12%, r6's 5.53 s containment outlier)
+    # become visible in the driver artifact itself instead of only to
+    # someone diffing git history. Sub-0.3 s lines are skipped (codegen
+    # jitter dominates there); the list is capped at the 8 worst.
+    regressions: dict[str, list[float]] = {}
+    prev_path = Path(__file__).with_name("BENCH_LOCAL.json")
+    try:
+        prev = json.loads(prev_path.read_text())
+        prev_q = prev.get("queries", {})
+        if prev.get("sf") == sf:
+            # committed 0.0 entries (round(best,3) of a trivial query)
+            # are excluded: no meaningful ratio exists for them
+            flagged = [
+                (name, prev_q[name], t)
+                for name, t in timings.items()
+                if isinstance(prev_q.get(name), (int, float))
+                and prev_q[name] > 0 and t > 0.3 and t > 1.5 * prev_q[name]
+            ]
+            flagged.sort(key=lambda r: -(r[2] / r[1]))
+            regressions = {n: [old, new] for n, old, new in flagged[:8]}
+    except (FileNotFoundError, json.JSONDecodeError, TypeError):
+        pass
+
     payload = {
         "metric": "suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "isolated": isolated,
+        "regressions": regressions,
         "ppjoin": ppjoin_metrics,
         "sf": sf,
     }
@@ -147,6 +180,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_full": "BENCH_LOCAL.json",
         "isolated": isolated,
+        "regressions": regressions,
         "ppjoin": ppjoin_metrics,
         "sf": sf,
     }

@@ -55,6 +55,20 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     expp.add_argument(
+        "--dedup",
+        choices=("jaccard", "winnow", "exact"),
+        default="jaccard",
+        help="near-dup removal tier for the curation gate (survivor = "
+             "lowest doc_id in every tier): 'jaccard' (default) drops "
+             "the higher id of every shingle-Jaccard>=0.5 pair (the "
+             "corpus_curation PPJoin tier); 'winnow' drops the higher "
+             "id of every pair sharing >=2 rare winnowing fingerprints "
+             "(the cheapest tier, no shingle index — the "
+             "winnow_dup_candidates registered convention; the "
+             "min_shared=1 lossless long-span variant is the streaming "
+             "admission gate); 'exact' drops only byte-identical texts",
+    )
+    expp.add_argument(
         "--scrub-spans",
         action="store_true",
         help="also remove cross-document duplicated spans from the "
@@ -164,18 +178,61 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _curated(spark, sf_dir: str, tier: str):
+    """(doc_id, n_tokens, quality) after the quality gate + the chosen
+    near-dup tier's removal — survivor = lowest doc_id in every tier, so
+    the tiers differ only in WHICH pairs they find: 'jaccard' is
+    plans/pipeline.corpus_curation verbatim (the PPJoin shingle tier),
+    'winnow' uses operators/sketches.winnow_dup_candidates at its
+    registered defaults (min_shared=2 — the cheapest tier; the
+    min_shared=1 variant that is LOSSLESS for ≥ k+w−1-token shared
+    spans is the streaming admission gate, ingest.admit_winnow_batch),
+    'exact' keeps only the min doc_id per distinct text
+    (operators/dedup.exact_dedup_groups' convention). Each tier's
+    survivor set is pinned equal to its registered-query derivation in
+    the CLI tests."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.plans.pipeline import (
+        corpus_curation,
+        quality_gated_stats,
+    )
+
+    if tier == "jaccard":
+        return corpus_curation(spark, sf_dir)
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = quality_gated_stats(spark, sf_dir)
+    if tier == "exact":
+        keep = docs.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id")
+        ).select("doc_id")
+        stats = stats.join(keep, "doc_id", "left_semi")
+    else:  # winnow
+        from bigdata2016w_spark.operators.sketches import (
+            winnow_dup_candidates,
+        )
+
+        losers = winnow_dup_candidates(docs).select(
+            F.col("doc_b").alias("doc_id")
+        ).distinct()
+        stats = stats.join(losers, "doc_id", "left_anti")
+    return stats.select("doc_id", "n_tokens", "quality")
+
+
 def _export(args) -> int:
     """One-command training-set export — the whole curation pipeline the
     registered queries expose piecewise, run as a single shared-cache job:
-    quality filter + exact-Jaccard near-dup removal (corpus_curation) ∩
-    deterministic 80/20 split, joined back to full text, written as
-    train/test parquet plus a one-line JSON datacard."""
+    quality filter + near-dup removal (``--dedup`` tier) ∩ deterministic
+    80/20 split, joined back to full text, written as train/test parquet
+    plus a one-line JSON datacard."""
     import json
 
     from pyspark.sql import functions as F
 
     from bigdata2016w_spark import get_spark
-    from bigdata2016w_spark.plans.pipeline import corpus_curation
     from bigdata2016w_spark.plans.sampling import doc_train_test_split
     from bigdata2016w_spark.sources.catalog import load_table
     from bigdata2016w_spark.sources.sinks import write_parquet
@@ -183,7 +240,8 @@ def _export(args) -> int:
     spark = get_spark(app_name="cli-export")
     spark.sparkContext.setLogLevel("WARN")
     docs = load_table(spark, args.sf_dir, "documents")
-    kept = corpus_curation(spark, args.sf_dir)  # doc_id, n_tokens, quality
+    dedup_tier = getattr(args, "dedup", "jaccard")
+    kept = _curated(spark, args.sf_dir, dedup_tier)  # doc_id, n_tokens, quality
     body = docs.select("doc_id", "text", "lang", "source")
     if getattr(args, "scrub_spans", False):
         # swap text for its span-scrubbed form BEFORE the export lands —
@@ -231,6 +289,7 @@ def _export(args) -> int:
     card = {
         "sf_dir": args.sf_dir,
         "total_docs": docs.count(),
+        "dedup": dedup_tier,
         "scrub_spans": bool(getattr(args, "scrub_spans", False)),
     }
     for split in ("train", "test"):

@@ -381,6 +381,54 @@ def _assign_to_literal_centroids(
     )
 
 
+def _lloyd_centroid_literals(
+    emb: DataFrame,
+    cent_lit: list[tuple[int, list[float]]],
+    n_iter: int,
+    dim: int,
+) -> list[tuple[int, list[float]]]:
+    """``n_iter`` exact-arithmetic Lloyd rounds over ``emb``, returning
+    the refined centroid literals (empty cells drop out). Each round:
+    map-side max-cosine assignment against the literal matrix, then ONE
+    (cell, dim) hash agg whose per-dimension sums run over 2^24-quantized
+    int64 components — associative, partitioning-independent and
+    engine-portable (mirrors label_centroids), so the DuckDB oracles
+    replay the fit as unrolled CTE rounds. n_cells × dim rows per round
+    cross the driver: the model-fetch sync, same O(1)-per-round class as
+    PageRank's dangling mass. Shared by :func:`knn_ivf_lloyd` (full
+    corpus, caller checkpoints) and the residual-PQ coarse trainer
+    (bounded sample)."""
+    for _ in range(n_iter):
+        assigned = _assign_to_literal_centroids(emb, cent_lit)
+        # centroid recompute in the label_centroids shape: posexplode →
+        # one generic (cell, dim) hash agg — a 2-column plan Catalyst
+        # analyzes in O(1), where the dim-wide sum-per-column formulation
+        # was a 64-expression codegen unit per round.
+        q = F.round(
+            F.col("x").cast("double") * CENTROID_QUANT
+        ).cast("bigint")
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+            .select(
+                "cell", "dim",
+                F.round(
+                    F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
+                ).alias("c"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["c"])
+        cent_lit = sorted(
+            (cell, [vals[d] for d in range(dim)])
+            for cell, vals in by_cell.items()
+        )
+    return cent_lit
+
+
 def knn_ivf_lloyd(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -419,37 +467,7 @@ def knn_ivf_lloyd(
     # once (at cluster scale: cache/shuffle-file reuse across iterations,
     # the same reason PageRank checkpoints its rank table)
     emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
-    for _ in range(n_iter):
-        assigned = _assign_to_literal_centroids(emb, cent_lit)
-        # centroid recompute in the label_centroids shape: posexplode →
-        # one generic (cell, dim) hash agg over int64-quantized
-        # components — a 2-column plan Catalyst analyzes in O(1), where
-        # the dim-wide sum-per-column formulation was a 64-expression
-        # codegen unit per round. n_cells x dim rows (~1k) per round
-        # cross the driver: the model-fetch sync, same O(1)-per-round
-        # class as PageRank's dangling mass.
-        q = F.round(
-            F.col("x").cast("double") * CENTROID_QUANT
-        ).cast("bigint")
-        rows = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
-            .select(
-                "cell", "dim",
-                F.round(
-                    F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
-                ).alias("c"),
-            )
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["c"])
-        cent_lit = sorted(
-            (cell, [vals[d] for d in range(dim)])
-            for cell, vals in by_cell.items()
-        )
+    cent_lit = _lloyd_centroid_literals(emb, cent_lit, n_iter, dim)
     assigned = _assign_to_literal_centroids(emb, cent_lit)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
@@ -721,7 +739,16 @@ def _pq_subvectors(
     drop them structurally via unnest-over-len; without the filter they
     would encode to the lowest codeword and surface as fake neighbors);
     ``dim`` must split evenly — a remainder would silently vanish from
-    every distance."""
+    every distance. EVERY surviving row's embedding length is checked
+    against ``dim`` by an in-plan ``raise_error`` guard shared by all PQ
+    entry points (codebook / encode / ADC / IVF-PQ): a short vector's
+    ``slice`` yields short sub-vectors whose ``zip_with`` distance terms
+    are NULL, and struct ordering sorts the NULL d2 FIRST, so without
+    the guard the row would silently take the lowest codeword and
+    surface as a fake nearest neighbor. The NULL case rides inside the
+    ``when`` condition, not only the filter, because Catalyst may
+    collapse this projection with a consumer and evaluate it on
+    pre-filter rows."""
     if dim % n_subspaces:
         raise ValueError(
             f"dim={dim} not divisible by n_subspaces={n_subspaces} — "
@@ -729,7 +756,25 @@ def _pq_subvectors(
             "silently dropped from all PQ distances"
         )
     sd = dim // n_subspaces
-    return embeddings.where(F.col("embedding").isNotNull()).select(
+    checked = embeddings.where(F.col("embedding").isNotNull()).select(
+        *keep,
+        F.when(
+            F.col("embedding").isNull() | (F.size("embedding") == dim),
+            F.col("embedding"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding length "),
+                    F.size("embedding").cast("string"),
+                    F.lit(
+                        f" does not match the PQ geometry "
+                        f"({n_subspaces} subspaces x {sd} dims = {dim})"
+                    ),
+                )
+            )
+        ).alias("embedding"),
+    )
+    return checked.select(
         *keep,
         F.explode(
             F.array(*[
@@ -768,6 +813,8 @@ def pq_codebook(
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
     train_n: int = PQ_TRAIN_N,
+    init_offset: int = 0,
+    n_steps: int = 1,
 ) -> DataFrame:
     """Per-subspace PQ codebook (m, code, cv array<double>).
 
@@ -776,52 +823,71 @@ def pq_codebook(
     on a fraction; at 100 TB training on the full corpus would be the
     bug): codebook cost is O(train_n·M·K) regardless of corpus size and
     the vec_id predicate prunes parquet row groups at the scan. Init
-    codewords are the sub-vectors of the ``n_codes`` lowest vec_ids; one
-    Lloyd step then assigns every training sub-vector to its nearest
-    init codeword (integer-exact L2, ties → lowest code) and recomputes
-    each SURVIVING code as the CENTROID_QUANT integer-quantized
-    per-dimension mean rounded to 6 decimals — the exact
-    :func:`label_centroids` formula, so both engines emit bit-identical
-    doubles.
+    codewords are the sub-vectors of the ``n_codes`` lowest vec_ids;
+    each of the ``n_steps`` Lloyd steps then assigns every training
+    sub-vector to its nearest current codeword (integer-exact L2, ties
+    → lowest code) and recomputes each SURVIVING code as the
+    CENTROID_QUANT integer-quantized per-dimension mean rounded to 6
+    decimals — the exact :func:`label_centroids` formula, so both
+    engines emit bit-identical doubles and the oracle replays the fit
+    as unrolled CTE steps.
 
     Shape: assignment is a broadcast join + map-side array_min (nothing
     corpus-sized shuffles); the mean update is one hash agg over
     (m, code, d) — ≤ M·K·subdim groups. At production scale the result
     is a model artifact: write it once and read it back, as with
     write_ivf_index.
+
+    ``init_offset`` shifts the init-codeword id window to
+    [init_offset, init_offset + n_codes): the residual-PQ caller needs
+    it because the residuals of the ``n_cells`` lowest vec_ids — the
+    seed centroids themselves — are all-zero vectors, and seeding every
+    codeword with the same zero vector would collapse the codebook to
+    one live code. Codes stay 0..n_codes-1 (vec_id − init_offset).
     """
+    if init_offset + n_codes > train_n:
+        raise ValueError(
+            f"init window [{init_offset}, {init_offset + n_codes}) exceeds "
+            f"the training sample vec_id < {train_n}"
+        )
     sub = _pq_subvectors(
         embeddings.where(F.col("vec_id") < train_n), n_subspaces, dim
     )
-    init = sub.where(F.col("vec_id") < n_codes).select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
-    )
-    init_g = init.groupBy("m").agg(
-        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
-    )
-    assigned = sub.join(broadcast(init_g), "m").select(
-        "m",
-        _argmin_code(F.col("cws"), F.col("sv")).alias("code"),
-        "sv",
+    cur = sub.where(
+        (F.col("vec_id") >= init_offset)
+        & (F.col("vec_id") < init_offset + n_codes)
+    ).select(
+        "m", (F.col("vec_id") - init_offset).alias("code"),
+        F.col("sv").alias("cv"),
     )
     q = F.round(F.col("x").cast("double") * CENTROID_QUANT).cast("bigint")
-    per_dim = (
-        assigned.select("m", "code", F.posexplode("sv").alias("d", "x"))
-        .groupBy("m", "code", "d")
-        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
-        .select(
-            "m", "code", "d",
-            F.round(
-                F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
-            ).alias("c"),
+    for _ in range(n_steps):
+        cur_g = cur.groupBy("m").agg(
+            F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
         )
-    )
-    return per_dim.groupBy("m", "code").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("d", "c"))),
-            lambda t: t["c"],
-        ).alias("cv")
-    )
+        assigned = sub.join(broadcast(cur_g), "m").select(
+            "m",
+            _argmin_code(F.col("cws"), F.col("sv")).alias("code"),
+            "sv",
+        )
+        per_dim = (
+            assigned.select("m", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("m", "code", "d")
+            .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+            .select(
+                "m", "code", "d",
+                F.round(
+                    F.col("s").cast("double") / F.col("n") / CENTROID_QUANT, 6
+                ).alias("c"),
+            )
+        )
+        cur = per_dim.groupBy("m", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "c"))),
+                lambda t: t["c"],
+            ).alias("cv")
+        )
+    return cur
 
 
 def pq_encode(
@@ -883,13 +949,17 @@ def knn_pq_adc(
 
 
 def _pq_codebook_literal(
-    embeddings: DataFrame, n_codes: int, n_subspaces: int, dim: int
+    embeddings: DataFrame, n_codes: int, n_subspaces: int, dim: int,
+    init_offset: int = 0, n_steps: int = 1,
 ) -> DataFrame:
     """Train the codebook and re-ship it as a literal DataFrame: M·K rows
     fetched to the driver once (a model fetch, like the IVF centroid
     syncs). Inlining the multi-stage training plan instead would
     re-execute it once per broadcast consumer."""
-    cb_rows = pq_codebook(embeddings, n_codes, n_subspaces, dim).collect()
+    cb_rows = pq_codebook(
+        embeddings, n_codes, n_subspaces, dim, init_offset=init_offset,
+        n_steps=n_steps,
+    ).collect()
     return embeddings.sparkSession.createDataFrame(
         [(int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
          for r in cb_rows],
@@ -917,12 +987,16 @@ def _pq_adc_search(
     ).select("query_id", "vec_id", "adc_d2")
 
 
-def pack_pq_codes(codes: DataFrame) -> DataFrame:
-    """(vec_id, codes array<tinyint>): the persisted form — M 4-bit code
+def pack_pq_codes(
+    codes: DataFrame, keep: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
+    """(*keep, codes array<tinyint>): the persisted form — M 4-bit code
     ids packed positionally (index = subspace), byte-typed. THIS is the
     footprint story: the codes table replaces the float32 embedding
-    column at scan time, M bytes vs 4·dim bytes per vector."""
-    return codes.groupBy("vec_id").agg(
+    column at scan time, M bytes vs 4·dim bytes per vector. ``keep``
+    threads extra per-vector columns (the IVF-PQ index keeps ``cell``,
+    its hive-partition key) through the pack."""
+    return codes.groupBy(*keep).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("m", "code"))),
             lambda t: t["code"].cast("tinyint"),
@@ -957,9 +1031,10 @@ def knn_pq_from_index(
     than trusted as caller parameters — a geometry mismatch between
     caller defaults and the index would otherwise NULL out every LUT
     distance and return k arbitrary rows with NULL adc_d2. EVERY query
-    row's embedding length is checked against the index geometry by an
-    in-plan ``raise_error`` guard (a driver-side check of the first row
-    would let later mismatched rows slip through silently)."""
+    row's embedding length is checked against the index geometry by the
+    in-plan ``raise_error`` guard shared by all PQ entry points
+    (``_pq_subvectors``; a driver-side check of the first row would let
+    later mismatched rows slip through silently)."""
     cb = spark.read.parquet(f"{index_path}/codebook")
     meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
                   ).first()
@@ -969,27 +1044,8 @@ def knn_pq_from_index(
         )
     n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
     dim = n_subspaces * sd
-    guarded = queries.select(
-        "vec_id",
-        F.when(
-            F.col("embedding").isNull()  # dropped by _pq_subvectors
-            | (F.size("embedding") == dim),
-            F.col("embedding"),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("query embedding length "),
-                    F.size("embedding").cast("string"),
-                    F.lit(
-                        f" does not match the index geometry "
-                        f"({n_subspaces} subspaces x {sd} dims = {dim})"
-                    ),
-                )
-            )
-        ).alias("embedding"),
-    )
     codes = unpack_pq_codes(spark.read.parquet(f"{index_path}/codes"))
-    qsub = _pq_subvectors(guarded, n_subspaces, dim).select(
+    qsub = _pq_subvectors(queries, n_subspaces, dim).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
     return _pq_adc_search(codes, cb, qsub, k)
@@ -1169,6 +1225,309 @@ def knn_ivf_pq(
     adc = (
         codes.join(broadcast(probes), "cell")
         .join(broadcast(lut), ["query_id", "m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
+    return topk_per_group(
+        adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "adc_d2")
+
+
+def _ivf_residual_frame(
+    assigned: DataFrame, cent: DataFrame, dim: int
+) -> DataFrame:
+    """(vec_id, cell, embedding): each vector replaced by its residual
+    against its assigned cell's centroid — the IVFPQ decomposition
+    (Jégou et al., TPAMI'11 §III): residuals concentrate near the
+    origin, so the same code budget quantizes them with less error than
+    the raw vectors. Broadcast centroid join + one zip_with, map-side;
+    float→double per-dim subtraction is IEEE-exact on both engines.
+
+    The raise_error length guard must run HERE, before the zip_with —
+    zip_with pads a short embedding with NULLs up to centroid length,
+    so the residual of a short vector is full-length and would sail
+    through _pq_subvectors' shared guard, NULL out its pq_d2 terms, and
+    encode to the lowest codeword (the exact fake-neighbor failure the
+    guard exists to stop)."""
+    return assigned.join(broadcast(cent), "cell").select(
+        "vec_id", "cell",
+        F.zip_with(
+            _guard_embedding_dim(dim), F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+
+
+def _guard_embedding_dim(dim: int, col: str = "embedding"):
+    """In-plan per-row length check for an embedding column: pass NULL
+    through (callers drop it), raise on any other length mismatch. The
+    NULL case rides inside the when condition, not only an upstream
+    filter, because Catalyst may collapse the projection with a consumer
+    and evaluate it on pre-filter rows (same note as _pq_subvectors)."""
+    return F.when(
+        F.col(col).isNull() | (F.size(col) == dim),
+        F.col(col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding length "),
+                F.size(col).cast("string"),
+                F.lit(f" does not match the PQ geometry (dim = {dim})"),
+            )
+        )
+    )
+
+
+def lloyd_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Seed centroids Lloyd-refined over the (NULL-filtered) corpus —
+    the exact-arithmetic coarse quantizer of :func:`knn_ivf_lloyd`,
+    exposed as a model literal so the residual-PQ tier can train, encode
+    and probe against the SAME centroids without re-fitting per
+    consumer. Refinement matters for the residual formulation
+    specifically: a seed centroid is an arbitrary member of its cell, so
+    residuals against it carry MORE variance than the raw vectors
+    (x − c with near-independent c roughly doubles it) and residual PQ
+    would quantize worse than global PQ — measured on the synthetic
+    fixtures before this trainer existed. Against the Lloyd cell MEAN,
+    residual variance is the within-cell variance — strictly the part
+    the coarse quantizer didn't explain. Same scale contract as
+    knn_ivf_lloyd: n_iter × (map-side assignment + one hash agg),
+    n_cells·dim driver rows per round, corpus checkpointed once; a
+    production deployment persists the result (write_ivf_index) instead
+    of re-fitting per query."""
+    e = embeddings.where(F.col("embedding").isNotNull())
+    seed = _seed_centroid_literals(e, n_cells)
+    if not seed:
+        return []
+    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+    return _lloyd_centroid_literals(emb, seed, n_iter, dim)
+
+
+PQ_RES_STEPS = 2  # codebook Lloyd steps for the residual tier (see below)
+
+
+def residual_pq_codebook(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_codes: int = PQ_CODES,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+    train_n: int = PQ_TRAIN_N,
+    n_iter: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_steps: int = PQ_RES_STEPS,
+) -> DataFrame | None:
+    """Train the residual PQ codebook (the knn_ivf_pq_residual model) as
+    a literal DataFrame, or None on an empty corpus. The codebook
+    training itself reads ONLY vec_id < train_n (the filter pushes below
+    the assignment map to the scan) — O(train_n·M·K·n_steps) at any
+    corpus size; the coarse :func:`lloyd_centroids` fit is the one
+    corpus-sized pass (pass ``centroids`` to reuse an existing fit).
+    Residual sub-vectors carry less structure than raw ones (the cluster
+    component is already subtracted), so the codebook takes
+    ``n_steps`` = 2 Lloyd steps where the global codebook converges
+    usefully in 1 — measured on the fixtures: 1 step leaves residual
+    recall below global, 2 steps puts it at-or-above at every SF. Init
+    codewords come from the id window starting at ``n_cells`` so a
+    degenerate (n_iter=0) quantizer — whose seed-centroid residuals are
+    all-zero vectors — can never seed every codeword identically (see
+    pq_codebook's init_offset note)."""
+    e = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = (centroids if centroids is not None
+                else lloyd_centroids(e, n_cells, n_iter, dim))
+    if not cent_lit:
+        return None
+    cent = e.sparkSession.createDataFrame(
+        cent_lit, "cell int, centroid array<double>"
+    )
+    bounded = e.where(F.col("vec_id") < train_n)
+    res = _ivf_residual_frame(
+        _assign_to_literal_centroids(bounded, cent_lit), cent, dim
+    )
+    return _pq_codebook_literal(
+        res, n_codes, n_subspaces, dim, init_offset=n_cells,
+        n_steps=n_steps,
+    )
+
+
+def knn_ivf_pq_residual(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_codes: int = PQ_CODES,
+    n_subspaces: int = PQ_SUBSPACES,
+    dim: int = 64,
+    codebook: DataFrame | None = None,
+    n_iter: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Residual-aware IVF-PQ — the standard IVFPQ formulation (Jégou et
+    al., TPAMI'11 §III): the coarse quantizer is the exact-arithmetic
+    Lloyd fit of :func:`lloyd_centroids` (pass ``centroids`` to reuse an
+    existing fit), vectors are PQ-encoded as residuals against their
+    assigned centroid instead of raw values, and each query builds a
+    PER-PROBED-CELL LUT from its own residual q − centroid(c). Residuals
+    against the cell MEAN carry only the within-cell variance, so the
+    same M×K code budget spends its resolution on exactly what the
+    coarse quantizer didn't explain — recall at least the global-
+    codebook :func:`knn_ivf_pq`'s at the same scan fraction and
+    footprint (the comparison is pinned in tests at every fixture SF).
+    Returns (query_id, vec_id, adc_d2), ties → lowest vec_id.
+
+    Shape vs knn_ivf_pq: identical scan story — cell assignment and
+    residual encoding in ONE map-side corpus pass (broadcast centroid
+    matrix + broadcast codebook), LUT is |Q|·n_probe·M·K rows broadcast,
+    per-candidate sums combine map-side. The extra training cost is the
+    Lloyd coarse fit (the knn_ivf_lloyd trainer: O(1) driver rows per
+    round, corpus checkpointed once — a production deployment persists
+    it via write_ivf_index instead of re-fitting per query); everything
+    stays closed-form and oracle-replayable (the oracle unrolls both the
+    Lloyd rounds and the codebook steps as CTEs, the PageRank trick)."""
+    spark = embeddings.sparkSession
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = (centroids if centroids is not None
+                else lloyd_centroids(embeddings, n_cells, n_iter, dim))
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_d2 long"
+        )
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    if codebook is None:
+        codebook = residual_pq_codebook(
+            embeddings, n_cells, n_codes, n_subspaces, dim, n_iter=n_iter,
+            centroids=cent_lit,
+        )
+    res = _ivf_residual_frame(
+        _assign_to_literal_centroids(embeddings, cent_lit), cent, dim
+    )
+    codes = pq_encode(res, codebook, n_subspaces, dim,
+                      keep=("vec_id", "cell"))
+
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probes = (
+        broadcast(q)
+        .crossJoin(broadcast(cent))
+        .select(
+            "query_id", "q_emb", "cell", "centroid",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+    )
+    # per-(query, probed cell) residual: the LUT distances are against
+    # q − centroid(cell), so the LUT key gains the cell column. The
+    # length guard runs before the zip_with for the same reason as in
+    # _ivf_residual_frame (zip_with would NULL-pad a short query).
+    qres = probes.select(
+        "query_id", "cell",
+        F.zip_with(
+            _guard_embedding_dim(dim, "q_emb"),
+            F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+    qsub = _pq_subvectors(qres, n_subspaces, dim,
+                          keep=("query_id", "cell"))
+    lut = qsub.join(broadcast(codebook), "m").select(
+        "query_id", "cell", "m", "code",
+        pq_d2(F.col("sv"), F.col("cv")).alias("lut_d2"),
+    )
+    adc = (
+        codes.join(broadcast(lut), ["cell", "m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_d2").alias("adc_d2"))
+    )
+    return topk_per_group(
+        adc, ["query_id"], [F.asc("adc_d2"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "adc_d2")
+
+
+def knn_ivfpq_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC search against a PERSISTED residual IVF-PQ index
+    (``sources.sinks.write_ivfpq_index``): centroids and codebook read
+    back as broadcast model tables, queries ranked against the
+    centroids exactly, and the candidate scan reads ONLY the probed
+    cell partitions of the codes table — M bytes per candidate from
+    n_probe/n_cells of the directories, the fully-bounded disk path.
+    Bit-identical to :func:`knn_ivf_pq_residual` on the same corpus:
+    centroid/codebook doubles, byte codes, and int64 LUT distances all
+    round-trip parquet exactly. Geometry (M, subdim) is derived from
+    the stored codebook; every query row's embedding length is checked
+    in-plan against it (shared `_guard_embedding_dim` raise_error —
+    NULL embeddings pass through and are dropped)."""
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
+                  ).first()
+    if meta["mm"] is None:  # empty index (empty corpus at write time)
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_d2 long"
+        )
+    n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
+    dim = n_subspaces * sd
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    packed = spark.read.parquet(f"{index_path}/codes")
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probes = (
+        broadcast(q)
+        .crossJoin(broadcast(cent))
+        .select(
+            "query_id", "q_emb", "cell", "centroid",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+    )
+    qres = probes.select(
+        "query_id", "cell",
+        F.zip_with(
+            _guard_embedding_dim(dim, "q_emb"),
+            F.col("centroid"),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+    qsub = _pq_subvectors(qres, n_subspaces, dim,
+                          keep=("query_id", "cell"))
+    lut = qsub.join(broadcast(cb), "m").select(
+        "query_id", "cell", "m", "code",
+        pq_d2(F.col("sv"), F.col("cv")).alias("lut_d2"),
+    )
+    # prune on the partition column BEFORE unpacking, so dynamic
+    # partition pruning skips unprobed cell directories at the scan
+    pruned = packed.join(
+        broadcast(probes.select("cell").distinct()), "cell"
+    )
+    codes = pruned.select(
+        "vec_id", "cell", F.posexplode("codes").alias("m", "code")
+    ).select("vec_id", "cell", "m",
+             F.col("code").cast("bigint").alias("code"))
+    adc = (
+        codes.join(broadcast(lut), ["cell", "m", "code"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("lut_d2").alias("adc_d2"))

@@ -163,7 +163,11 @@ def kmv_distinct(
     top-k + a k-row merge (TakeOrderedAndProject): the sketch's merge
     operation is the physical plan, no custom state anywhere.
     ``exact_distinct`` rides along (same distinct pass feeds both) so
-    the query doubles as its own error report."""
+    the query doubles as its own error report. An under-filled sketch
+    (k_used < k) has seen EVERY distinct hash, so the estimate is the
+    exact count k_used (standard KMV small-stream regime — the
+    (k-1)·2^60/kth_min cap formula applies only to a full sketch, and
+    would report 0.0 for a single-value stream)."""
     h = (
         values.select(portable_hash60(F.col(col), seed).alias("h"))
         .where(F.col("h").isNotNull())
@@ -180,8 +184,12 @@ def kmv_distinct(
         .select(
             "k_used",
             "kth_min",
-            # empty stream: 0, not NULL — consumers threshold on this
-            F.when(F.col("k_used") == 0, F.lit(0.0)).otherwise(
+            # under-filled sketch saw everything: exact k_used (this
+            # also makes the empty stream 0.0, not NULL — consumers
+            # threshold on it); the cap formula is full-sketch-only
+            F.when(
+                F.col("k_used") < F.lit(k), F.col("k_used").cast("double")
+            ).otherwise(
                 F.round(
                     (F.col("k_used") - F.lit(1)).cast("double")
                     * F.lit(float(1 << 60))
@@ -360,7 +368,10 @@ def kmv_set_ops(
     intersection estimate is (|L ∩ A_k ∩ B_k| / |L|) x est_union —
     the Jaccard-via-union-sketch estimator, again sketch-only. Exact
     union/intersection ride along as the error report (they, not the
-    sketches, are the full-width passes)."""
+    sketches, are the full-width passes). An under-filled union sketch
+    (k_union < k) implies BOTH input sketches were complete sets, so
+    the union estimate is exactly k_union and n_common IS the
+    intersection — the cap formulas apply only to a full sketch."""
     hA = (
         va.select(portable_hash60(F.col(col), seed).alias("h"))
         .where(F.col("h").isNotNull()).distinct()
@@ -392,17 +403,20 @@ def kmv_set_ops(
         * F.lit(float(1 << 60))
         / F.col("kth_union").cast("double")
     )
-    empty = F.col("k_union") == 0  # both slices empty: 0, not NULL
+    # under-filled union sketch = both input sketches were complete
+    # sets: k_union and n_common are exact (covers the empty stream
+    # too — 0.0, not NULL); the cap formulas are full-sketch-only
+    underfilled = F.col("k_union") < F.lit(k)
     return (
         ua.crossJoin(broadcast(common))
         .crossJoin(broadcast(exact_u))
         .crossJoin(broadcast(exact_i))
         .select(
             "k_union", "kth_union", "n_common",
-            F.when(empty, F.lit(0.0)).otherwise(
+            F.when(underfilled, F.col("k_union").cast("double")).otherwise(
                 F.round(est_u, 4)
             ).alias("est_union"),
-            F.when(empty, F.lit(0.0)).otherwise(
+            F.when(underfilled, F.col("n_common").cast("double")).otherwise(
                 F.round(
                     F.col("n_common").cast("double")
                     / F.col("k_union").cast("double")

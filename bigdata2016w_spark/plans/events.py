@@ -459,8 +459,12 @@ def events_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs (bounded by per-user event count), sort_array orders them,
     and F.aggregate left-folds entirely JVM-side. The fold is seeded
     with the FIRST value and runs in IEEE doubles in sequence order, so
-    DuckDB's seedless list_reduce over list(value ORDER BY ts, event_id)
-    is bit-identical — no rounding needed."""
+    DuckDB's seedless list_reduce over list(value ORDER BY ts, event_id,
+    value) is bit-identical — no rounding needed. Spark's struct sort is
+    (ts, event_id, value), so the oracle ORDER BY carries the same final
+    ``value`` tie-break: (ts, event_id) is unique in the generated data
+    today, but the fold order must not silently diverge if it ever
+    isn't."""
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
@@ -483,7 +487,7 @@ def events_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMA_SQL = f"""
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-       list_reduce(list(value ORDER BY ts, event_id),
+       list_reduce(list(value ORDER BY ts, event_id, value),
                    (acc, x) -> {EMA_ALPHA} * x + {1.0 - EMA_ALPHA} * acc)
          AS ema
 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL

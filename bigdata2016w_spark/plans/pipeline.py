@@ -148,21 +148,32 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_MIN = 0.33
 
 
+def quality_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, quality) for every non-empty-token doc passing
+    the QUALITY_MIN gate — the curation front half, defined ONCE and
+    shared by :func:`corpus_curation` and the CLI export's swappable
+    dedup tiers (``cli._curated``) so the gate shape (tokenizer,
+    doc_stats_cols, the empty-token predicate, the threshold) can never
+    drift between the registered query surface and the export command."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.size(tokenize("text")) > 0)
+        .select("doc_id", *doc_stats_cols(F.col("text")))
+        .where(F.col("quality") >= QUALITY_MIN)
+    )
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: quality-filter + near-dup
     removal in one declarative plan. Keeps docs with quality ≥ 0.45 that
     are not the higher-id member of any Jaccard≥0.5 near-dup pair
     (survivor = lowest doc_id, the exact-dedup convention). Returns
     (doc_id, n_tokens, quality). Threshold 0.33 ≈ corpus median quality."""
-    docs = load_table(spark, sf_dir, "documents")
-    stats = docs.where(F.size(tokenize("text")) > 0).select(
-        "doc_id", *doc_stats_cols(F.col("text"))
-    )
     losers = _shared_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     return (
-        stats.where(F.col("quality") >= QUALITY_MIN)
+        quality_gated_stats(spark, sf_dir)
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality")
     )
@@ -824,12 +835,14 @@ _LLOYD_ITERS = 2
 
 
 def _lloyd_round_sql(i: int) -> str:
-    """One unrolled Lloyd round: assign every vector to its max-cosine
-    centroid (ties → lowest cell, matching Spark's array_max struct
-    order), then recompute each surviving cell's centroid as the
-    2^24-quantized-int64 mean rounded to 6 decimals — the exact formula
-    of operators/similarity.label_centroids, so both engines produce
-    bit-identical doubles regardless of summation order."""
+    """One unrolled Lloyd round over the full NULL-filtered corpus: assign
+    every vector to its max-cosine centroid (ties → lowest cell, matching
+    Spark's array_max struct order), then recompute each surviving cell's
+    centroid as the 2^24-quantized-int64 mean rounded to 6 decimals — the
+    exact formula of operators/similarity.label_centroids, so both
+    engines produce bit-identical doubles regardless of summation order.
+    Shared by the ann_ivf_lloyd oracle and the residual-PQ oracle (whose
+    Spark twin, lloyd_centroids, fits over the same full corpus)."""
     return f"""
 a{i} AS (
   SELECT e.vec_id, e.embedding, c.cell,
@@ -958,41 +971,48 @@ def _pq_d2_rows_sql(x: str, c: str) -> str:
             f"AS BIGINT)")
 
 
-# Shared DuckDB replay of the PQ training/encode/LUT pipeline — ONE copy
-# interpolated by both _ANN_PQ_ADC_SQL and _ANN_IVF_PQ_SQL so a future
-# quantization/tie-break fix cannot drift the two oracles apart (the
-# _CURATION_SQL/_DATACARD_SQL quality_sql lesson).
-_PQ_TRAIN_CTES = f"""ex AS (
-  SELECT vec_id, unnest(range(len(embedding))) AS dim,
-         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
-  FROM embeddings
+# Shared DuckDB replay of the PQ training/encode pipeline — ONE copy
+# interpolated by _ANN_PQ_ADC_SQL, _ANN_IVF_PQ_SQL and the residual
+# variant so a future quantization/tie-break fix cannot drift the
+# oracles apart (the _CURATION_SQL/_DATACARD_SQL quality_sql lesson).
+# ``src`` is the (vec_id, m, d, x) sub-vector-row CTE the chain trains
+# over and encodes (raw ``sub`` rows for the global codebook, residual
+# rows for IVFPQ-residual); ``init_lo`` shifts the init-codeword id
+# window, with codes renumbered back to 0..K-1 (see
+# operators/similarity.pq_codebook init_offset — the residual chain
+# must not seed every codeword with the seed centroids' all-zero
+# residuals).
+
+
+def _pq_train_chain_sql(src: str, init_lo: int = 0, steps: int = 1) -> str:
+    ctes = [f"""train AS (
+  SELECT * FROM {src} WHERE vec_id < {_PQ_TRAIN_N}
 ),
-sub AS (
-  SELECT vec_id, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, x FROM ex
-),
-train AS (
-  SELECT * FROM sub WHERE vec_id < {_PQ_TRAIN_N}
-),
-init AS (
-  SELECT vec_id AS code, m, d, x AS c FROM train WHERE vec_id < {_PQ_K}
-),
-a0 AS (
+cb0 AS (
+  SELECT vec_id - {init_lo} AS code, m, d, x AS c FROM train
+  WHERE vec_id >= {init_lo} AND vec_id < {init_lo + _PQ_K}
+)"""]
+    for s in range(1, steps + 1):
+        ctes.append(f"""asg{s} AS (
   SELECT vec_id, m, code FROM (
     SELECT s.vec_id, s.m, i.code,
            row_number() OVER (
              PARTITION BY s.vec_id, s.m
              ORDER BY sum({_pq_d2_rows_sql('s.x', 'i.c')}) ASC, i.code ASC
            ) AS rn
-    FROM train s JOIN init i ON s.m = i.m AND s.d = i.d
+    FROM train s JOIN cb{s - 1} i ON s.m = i.m AND s.d = i.d
     GROUP BY s.vec_id, s.m, i.code
   ) WHERE rn = 1
 ),
-refined AS (
+cb{s} AS (
   SELECT a.m, a.code, s.d,
          round(CAST(sum(CAST(round(s.x * 16777216) AS BIGINT)) AS DOUBLE)
                / count(*) / 16777216, 6) AS c
-  FROM a0 a JOIN train s ON s.vec_id = a.vec_id AND s.m = a.m
+  FROM asg{s} a JOIN train s ON s.vec_id = a.vec_id AND s.m = a.m
   GROUP BY a.m, a.code, s.d
+)""")
+    ctes.append(f"""refined AS (
+  SELECT m, code, d, c FROM cb{steps}
 ),
 codes AS (
   SELECT vec_id, m, code FROM (
@@ -1001,10 +1021,24 @@ codes AS (
              PARTITION BY s.vec_id, s.m
              ORDER BY sum({_pq_d2_rows_sql('s.x', 'r.c')}) ASC, r.code ASC
            ) AS rn
-    FROM sub s JOIN refined r ON s.m = r.m AND s.d = r.d
+    FROM {src} s JOIN refined r ON s.m = r.m AND s.d = r.d
     GROUP BY s.vec_id, s.m, r.code
   ) WHERE rn = 1
+)""")
+    return ",\n".join(ctes)
+
+
+_PQ_SUB_CTES = f"""ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(embedding[unnest(range(len(embedding))) + 1] AS DOUBLE) AS x
+  FROM embeddings
 ),
+sub AS (
+  SELECT vec_id, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, x FROM ex
+)"""
+
+_PQ_TRAIN_CTES = f"""{_PQ_SUB_CTES},
+{_pq_train_chain_sql('sub')},
 lut AS (
   SELECT s.vec_id AS query_id, s.m, r.code,
          sum({_pq_d2_rows_sql('s.x', 'r.c')}) AS lut_d2
@@ -1101,6 +1135,151 @@ SELECT query_id, vec_id, adc_d2 FROM (
 register(QuerySpec("ann_ivf_pq", ann_ivf_pq, _ANN_IVF_PQ_SQL,
                    doc="IVF-PQ: probe-bounded scan fraction × PQ-bounded "
                        "scan footprint; see operators/similarity.knn_ivf_pq."))
+
+
+# The residual tier's two models — the Lloyd coarse centroids and the
+# residual codebook (trained on r = x − centroid(cell(x))) — are
+# distinct from the global-PQ codebook, so each gets its own memo keyed
+# the same way. Caching the centroids matters most: the Lloyd fit is
+# the one corpus-sized training pass, and the codebook trainer, the
+# encoder and the probe all consume the same literals.
+_LLOYD_CENT_CACHE: dict[tuple[str, str], list] = {}
+_PQ_RES_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_lloyd_centroids(spark: SparkSession, sf_dir: str) -> list:
+    from bigdata2016w_spark.operators.similarity import lloyd_centroids
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cent = _LLOYD_CENT_CACHE.get(key)
+    if cent is None:
+        cent = lloyd_centroids(
+            load_table(spark, sf_dir, "embeddings"),
+            n_cells=_IVF_CELLS, n_iter=_LLOYD_ITERS,
+        )
+        _LLOYD_CENT_CACHE[key] = cent
+    return cent
+
+
+def _shared_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import residual_pq_codebook
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _PQ_RES_CB_CACHE.get(key)
+    if cb is None:
+        cb = residual_pq_codebook(
+            load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS,
+            n_iter=_LLOYD_ITERS,
+            centroids=_shared_lloyd_centroids(spark, sf_dir),
+        )
+        _PQ_RES_CB_CACHE[key] = cb
+    return cb
+
+
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_pq_residual
+
+    return knn_ivf_pq_residual(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        codebook=_shared_residual_pq_codebook(spark, sf_dir),
+        n_iter=_LLOYD_ITERS,
+        centroids=_shared_lloyd_centroids(spark, sf_dir),
+    )
+
+
+_PQ_RES_STEPS = 2  # codebook Lloyd steps (operators/similarity.PQ_RES_STEPS)
+
+_ANN_IVF_PQ_RES_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
+),
+{','.join(_lloyd_round_sql(i) for i in range(1, _LLOYD_ITERS + 1))},
+cent AS (
+  SELECT cell, centroid FROM cent{_LLOYD_ITERS}
+),
+ac AS (
+  SELECT e.vec_id, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM e0 e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+{_PQ_SUB_CTES},
+centd AS (
+  SELECT cell, unnest(range(len(centroid))) AS dim,
+         CAST(centroid[unnest(range(len(centroid))) + 1] AS DOUBLE) AS cx
+  FROM cent
+),
+centsub AS (
+  SELECT cell, dim // {_PQ_SD} AS m, dim % {_PQ_SD} AS d, cx FROM centd
+),
+rsub AS (
+  SELECT s.vec_id, s.m, s.d, s.x - cs.cx AS x
+  FROM sub s
+  JOIN assigned av ON av.vec_id = s.vec_id
+  JOIN centsub cs ON cs.cell = av.cell AND cs.m = s.m AND cs.d = s.d
+),
+{_pq_train_chain_sql('rsub', _IVF_CELLS, _PQ_RES_STEPS)},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {_IVF_PROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell, s.m, s.d, s.x - cs.cx AS x
+  FROM sub s
+  JOIN probes p ON s.vec_id = p.query_id
+  JOIN centsub cs ON cs.cell = p.cell AND cs.m = s.m AND cs.d = s.d
+),
+lut AS (
+  SELECT qr.query_id, qr.cell, qr.m, r.code,
+         sum({_pq_d2_rows_sql('qr.x', 'r.c')}) AS lut_d2
+  FROM qres qr JOIN refined r ON r.m = qr.m AND r.d = qr.d
+  GROUP BY qr.query_id, qr.cell, qr.m, r.code
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN assigned av ON av.vec_id = c.vec_id
+  JOIN lut l ON l.cell = av.cell AND l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "ann_ivf_pq_residual", ann_ivf_pq_residual, _ANN_IVF_PQ_RES_SQL,
+    doc="Residual-aware IVF-PQ (Jégou et al., TPAMI'11): codes quantize "
+        "x − centroid(cell), the LUT is per-(query, probed cell); higher "
+        "recall than the global-codebook ann_ivf_pq at the same scan "
+        "fraction/footprint; see operators/similarity.knn_ivf_pq_residual."))
 
 
 SEMDEDUP_THRESHOLD = 0.4  # same bar as embedding_near_dupes

@@ -172,7 +172,9 @@ a AS (
 ),
 e AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h)
 SELECT k_used, kth_min,
-       CASE WHEN k_used = 0 THEN 0.0
+       -- under-filled sketch saw every distinct hash: exact k_used
+       -- (also yields 0.0 on an empty stream); cap formula only when full
+       CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
             ELSE round(CAST(k_used - 1 AS DOUBLE) * {float(1 << 60)!r}
                        / CAST(kth_min AS DOUBLE), 4)
        END AS est_distinct,
@@ -348,9 +350,10 @@ ei AS (
   FROM ha WHERE h IN (SELECT h FROM hb)
 )
 SELECT k_union, kth_union, n_common,
-       CASE WHEN k_union = 0 THEN 0.0
+       -- under-filled union sketch = both inputs complete: exact values
+       CASE WHEN k_union < {KMV_K} THEN CAST(k_union AS DOUBLE)
             ELSE round({_KMV_EST_U}, 4) END AS est_union,
-       CASE WHEN k_union = 0 THEN 0.0
+       CASE WHEN k_union < {KMV_K} THEN CAST(n_common AS DOUBLE)
             ELSE round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
                        * ({_KMV_EST_U}), 4) END AS est_intersection,
        exact_union, exact_intersection

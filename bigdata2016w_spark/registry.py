@@ -74,47 +74,53 @@ _SPEC_MODULES = [
 # sgd_auc, bpe_merge_table) sit BEHIND the window — an oracle slot spent
 # on a rows-only check is wasted.
 #
-# ROUND 7 TODO: rotate the remaining 26 r03-only greens to the front
-# (orders_upsert .. dedup_simhash in registration order), plus the 21
-# r6-added queries with no driver rows yet — documents_scrub_dup_spans,
-# dedup_keep_best, documents_rejection_audit, ann_pq_adc, ann_ivf_pq,
-# semantic_dedup, events_transition_matrix, events_user_value_ema,
-# doc_winnow_fingerprints, winnow_dup_candidates, shingles_kmv_distinct,
-# shingles_hll_distinct, events_cms_heavy_users, ann_recall_eval,
-# knn_label_vote, embedding_int8_quant, shingles_kmv_lang_overlap,
-# orders_bloom_probe, ann_dim_truncation_recall, graph_kcore,
-# winnow_cross_candidates — and corpus_curation +
-# corpus_datacard (oracle SQL refactored in r6 to interpolate the shared
-# quality_sql — value-equivalent and locally re-verified, but their
-# r05/r03 driver certificates predate the text change) and ann_ivf_flat
-# (oracle gained the e0 NULL-embedding filter late in r6, after its r5
-# green — value-equivalent on clean data, locally re-verified at
-# sf0.01). That is 50 names for 50 slots — exactly full; fillers only if any name is cut; fillers from the oldest r05
-# greens. The remainder (any r6-new names that don't fit) lead the r08
-# window.
+# ROUND 7 window (21 + 2 + 26 + 1 filler = 50), executing the plan the
+# r6 verdict signed off on: first the 21 oracle-backed queries added in
+# r6 with NO driver verdict yet (registration order), then the 2 queries
+# whose oracle SQL text changed AFTER their last green (corpus_curation:
+# quality_sql interpolation refactor; ann_ivf_flat: e0 NULL-embedding
+# filter — both value-equivalent, locally re-verified at sf0.01), then
+# the 26 remaining r03-only greens in registration order (this set
+# includes corpus_datacard, the third stale-SQL certificate), and one
+# filler from the oldest r05 greens (ann_bruteforce). After a green r7
+# every oracle-backed query EXCEPT the queries added in r7 itself
+# (ann_ivf_pq_residual — local gate green, no driver slot left) is
+# driver-certified on SQL text no older than the certificate. The 5
+# rows-only no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble,
+# sgd_auc, bpe_merge_table) stay BEHIND the window — an oracle slot
+# spent on a rows-only check is wasted.
+#
+# ROUND 8 TODO: lead with the r7-new oracle-backed queries that have no
+# driver verdict yet (ann_ivf_pq_residual) and any query whose oracle
+# SQL text changed in r7 AFTER its window slot ran, then rotate the
+# r05-only greens (44 remain after ann_bruteforce) to the front;
+# fillers from the oldest r06 greens.
 _WINDOW_FRONT = [
-    # --- never driver-sampled as of r05 (8) + the r6 addition (1) ---
-    "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
-    "events_nation_hourly", "documents_token_budget_mix",
-    "documents_pii_scrub", "documents_incremental_dedup",
-    "documents_containment_dupes", "bpe_apply_closed_form",
-    # --- r02-only greens (17): a5 core parity set + retrieval +
-    #     the three post-green-SQL-change events windows ---
-    "q1_count_shipped", "q2_order_status", "q3_part_supplier",
-    "q4_nation_counts", "q5_monthly_nation", "q6_lineitem_agg",
-    "q7_top_revenue", "index_stats", "term_postings",
-    "retrieval_and", "retrieval_or_and", "retrieval_bm25",
-    "events_json_agg", "events_tumbling_hour", "events_sliding",
-    "events_sessions", "orders_daily_moving_avg",
-    # --- fillers: oldest r03-only greens, registration order (24) ---
-    "view_purchase_attribution", "asof_purchase_view", "events_close_pairs",
-    "word_count", "prefix_count", "bigram_relfreq_pairs",
-    "bigram_relfreq_stripes", "pmi_pairs", "orders_rollup", "orders_cube",
-    "customer_rank_window", "nation_distinct_counts", "orders_grouping_sets",
-    "totalprice_histogram", "customer_acctbal_quartiles", "pmi_stripes",
-    "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
-    "customers_semi_join", "customers_anti_join", "segment_set_ops",
-    "daily_orders_events_reconcile", "orders_pivot", "lineitem_unpivot",
+    # --- r6-new, oracle-backed, never driver-sampled (21) ---
+    "documents_scrub_dup_spans", "documents_rejection_audit",
+    "dedup_keep_best", "ann_pq_adc", "ann_ivf_pq", "semantic_dedup",
+    "ann_recall_eval", "knn_label_vote", "embedding_int8_quant",
+    "ann_dim_truncation_recall", "events_transition_matrix",
+    "events_user_value_ema", "graph_kcore", "doc_winnow_fingerprints",
+    "winnow_dup_candidates", "shingles_kmv_distinct",
+    "shingles_hll_distinct", "events_cms_heavy_users",
+    "shingles_kmv_lang_overlap", "orders_bloom_probe",
+    "winnow_cross_candidates",
+    # --- stale certificates: oracle SQL changed post-green (2) ---
+    "corpus_curation", "ann_ivf_flat",
+    # --- remaining r03-only greens, registration order (26;
+    #     corpus_datacard is the third stale-SQL certificate) ---
+    "totalprice_percentiles", "q6_tpch_proper", "doc_train_test_split",
+    "documents_stratified_sample", "orders_upsert", "orders_scd2",
+    "orders_snapshot_diff", "doc_repetition_stats", "contamination_check",
+    "dup_span_fraction", "corpus_datacard", "doc_lm_score",
+    "vocab_coverage", "doc_tfidf_terms", "documents_weighted_sample",
+    "doc_bpe_token_stats", "token_heavy_hitters", "media_image_features",
+    "media_frame_sample", "pagerank_top10", "graph_triangles",
+    "dedup_exact", "embedding_near_dupes", "dedup_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash",
+    # --- filler: oldest r05 green (1) ---
+    "ann_bruteforce",
 ]
 
 

@@ -217,3 +217,62 @@ def write_pq_index(embeddings: DataFrame, path: str,
     codes = pq_encode(embeddings, cb, PQ_SUBSPACES, dim)
     cb.write.mode(mode).parquet(f"{path}/codebook")
     pack_pq_codes(codes).write.mode(mode).parquet(f"{path}/codes")
+
+
+def write_ivfpq_index(embeddings: DataFrame, path: str,
+                      mode: str = "overwrite",
+                      n_cells: int = 16, n_iter: int = 2) -> None:
+    """Persist the full residual IVF-PQ index — the production ANN
+    artifact that composes both bounds on disk: ``{path}/centroids``
+    (the Lloyd coarse quantizer, n_cells rows), ``{path}/codebook``
+    (the residual PQ codewords, M·K rows), and ``{path}/codes``
+    (hive-partitioned by cell: vec_id + M positionally-packed byte
+    codes of the vector's RESIDUAL against its cell centroid). A probe
+    (``operators.similarity.knn_ivfpq_from_index``) reads n_probe cell
+    DIRECTORIES of M-byte rows — scan fraction × scan footprint both
+    enforced by the filesystem, which is what lets a 100 TB embedding
+    corpus re-fit NOTHING at query time: both models are train-once
+    artifacts here, and queries are one broadcast away from their ADC
+    ranks."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        PQ_SUBSPACES,
+        _assign_to_literal_centroids,
+        _ivf_residual_frame,
+        lloyd_centroids,
+        pack_pq_codes,
+        pq_encode,
+        residual_pq_codebook,
+    )
+
+    spark = embeddings.sparkSession
+    e = embeddings.where(F.col("embedding").isNotNull())
+    row = e.select("embedding").first()
+    if row is None:  # empty (or all-NULL) corpus: a valid, empty index
+        spark.createDataFrame([], "cell int, centroid array<double>"
+                              ).write.mode(mode).parquet(f"{path}/centroids")
+        spark.createDataFrame([], "m int, code bigint, cv array<double>"
+                              ).write.mode(mode).parquet(f"{path}/codebook")
+        spark.createDataFrame(
+            [], "vec_id bigint, codes array<tinyint>, cell int"
+        ).write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
+        return
+    dim = len(row["embedding"])
+    cent_lit = lloyd_centroids(e, n_cells, n_iter, dim)
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    cb = residual_pq_codebook(e, n_cells, dim=dim, n_iter=n_iter,
+                              centroids=cent_lit)
+    res = _ivf_residual_frame(
+        _assign_to_literal_centroids(e, cent_lit), cent, dim
+    )
+    codes = pq_encode(res, cb, PQ_SUBSPACES, dim, keep=("vec_id", "cell"))
+    cent.write.mode(mode).parquet(f"{path}/centroids")
+    cb.write.mode(mode).parquet(f"{path}/codebook")
+    (
+        pack_pq_codes(codes, keep=("vec_id", "cell"))
+        .repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )

@@ -172,13 +172,19 @@ def _accepted_count(spark, target_dir: str,
     for the replay-safety semantics, then ``catalog.dir_row_count``
     for the footers (which falls back to an explicit footer read when
     a fragment carries no inline metadata — counting such a fragment
-    as 0 would undersize the blocker)."""
-    from urllib.parse import urlparse
-
+    as 0 would undersize the blocker). The Hadoop listing's URIs are
+    passed to pyarrow VERBATIM — stripping to ``.path`` would drop the
+    host/bucket and read the wrong (or no) filesystem on any non-local
+    DFS. pyarrow's filesystem layer resolves the schemes it knows
+    (``file:`` — single- and triple-slash forms verified — ``hdfs:``,
+    ``s3:``); a Hadoop-only scheme spelling like ``s3a://`` fails
+    LOUDLY at dataset construction rather than silently reading a
+    wrong local path, and would need a scheme mapping here plus a
+    filesystem-aware fallback in ``dir_row_count`` to support."""
     from bigdata2016w_spark.sources.catalog import dir_row_count
 
     return sum(
-        dir_row_count(urlparse(d).path or d)
+        dir_row_count(d)
         for d in _batch_dirs(spark, target_dir, before_batch)
     )
 
@@ -211,6 +217,77 @@ def admit_embedding_batch(
         accepted, b, threshold, dim=dim, n_index=n_accepted
     ).select(F.col("probe_id").alias("vec_id")).distinct()
     return b.join(near, "vec_id", "left_anti").select(*batch_df.columns)
+
+
+def admit_winnow_batch(
+    batch_df: DataFrame, accepted: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Winnow-fingerprint admission logic (shared by the sink and its
+    batch tests) — the CHEAPEST long-span dup gate: in-batch exact dedup
+    (min doc_id per text) → in-batch long-span dedup (drop the higher id
+    of every pair sharing ≥ ``min_shared`` rare winnow fingerprints) →
+    drop anything whose text already exists in ``accepted`` → drop
+    anything sharing ≥ ``min_shared`` rare fingerprints with an accepted
+    doc (``winnow_cross_candidates``, probe-vs-index only, never
+    intra-side). ``min_shared`` defaults to 1: one shared fingerprint is
+    already the winnowing guarantee for any shared span of ≥ k+w−1
+    tokens, so this tier is LOSSLESS for long-span dups at a fingerprint
+    density of ~2/(w+1) of the k-grams — far fewer index rows than the
+    PPJoin shingle gate of :func:`admit_batch`, which remains the
+    stronger (Jaccard-over-whole-doc) but costlier tier."""
+    from bigdata2016w_spark.operators.sketches import (
+        winnow_cross_candidates,
+        winnow_dup_candidates,
+    )
+
+    keep_exact = batch_df.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    b = batch_df.join(keep_exact, "doc_id", "left_semi")
+    losers = winnow_dup_candidates(b, min_shared=min_shared).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    b = b.join(losers, "doc_id", "left_anti")
+    b = b.join(accepted.select("text").distinct(), "text", "left_anti")
+    near = winnow_cross_candidates(accepted, b, min_shared=min_shared).select(
+        F.col("probe_id").alias("doc_id")
+    ).distinct()
+    return b.join(near, "doc_id", "left_anti").select(*batch_df.columns)
+
+
+def winnow_admission_sink(
+    docs_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    min_shared: int = 1,
+):
+    """Streaming winnow-fingerprint admission gate: the long-span-dup
+    analogue of :func:`dedup_admission_sink`, sharing its replay-safety
+    machinery — batch-stamped overwrite subdirs, the
+    ``_accepted(before_batch=…)`` listing that keeps a replayed batch
+    from anti-joining against its own half-committed output, and the
+    fresh-checkpoint-vs-populated-target fail-fast guard. Survivors of
+    batch N land in ``{target_dir}/batch=N``."""
+    spark = docs_stream.sparkSession
+    _guard_fresh_checkpoint(spark, target_dir, checkpoint_dir,
+                            docs_stream.schema)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        accepted = _accepted(
+            spark, target_dir, batch_df.schema, before_batch=batch_id
+        )
+        survivors = admit_winnow_batch(batch_df, accepted, min_shared)
+        survivors.write.mode("overwrite").parquet(
+            f"{target_dir}/batch={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def embedding_admission_sink(

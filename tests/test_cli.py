@@ -127,3 +127,44 @@ def test_cli_admit(tmp_path, spark):
     p = _run("admit", str(sdir), out)
     assert p.returncode == 0, p.stderr[-500:]
     assert "accepted corpus: 3 docs" in p.stdout
+
+
+def test_cli_export_dedup_tiers(tmp_path, spark):
+    """--dedup {jaccard,winnow,exact}: each tier's exported survivor set
+    (train ∪ test doc_ids) must equal the set derived from the
+    REGISTERED queries — the quality gate of doc_stats minus that tier's
+    loser list (dedup_jaccard / winnow_dup_candidates doc_b's, or
+    everyone outside dedup_exact's keep_id set) — so the one-command
+    export and the piecewise query surface can never drift apart."""
+    sf = "/root/testdata/sf0.001"
+
+    from bigdata2016w_spark.plans.pipeline import QUALITY_MIN
+    from bigdata2016w_spark.registry import all_specs
+
+    specs = all_specs()
+    quality_ok = {
+        r.doc_id for r in specs["doc_stats"].fn(spark, sf).collect()
+        if r.quality >= QUALITY_MIN
+    }
+    jac_losers = {r.doc_b for r in
+                  specs["dedup_jaccard"].fn(spark, sf).collect()}
+    win_losers = {r.doc_b for r in
+                  specs["winnow_dup_candidates"].fn(spark, sf).collect()}
+    exact_keep = {r.keep_id for r in
+                  specs["dedup_exact"].fn(spark, sf).collect()}
+    expected = {
+        "jaccard": quality_ok - jac_losers,
+        "winnow": quality_ok - win_losers,
+        "exact": quality_ok & exact_keep,
+    }
+
+    for tier in ("jaccard", "winnow", "exact"):
+        out = str(tmp_path / tier)
+        p = _run("export", out, "--sf-dir", sf, "--dedup", tier)
+        assert p.returncode == 0, (tier, p.stderr[-500:])
+        card = json.loads(p.stdout.strip().splitlines()[-1])
+        assert card["dedup"] == tier
+        got = {r.doc_id for r in spark.read.parquet(
+            f"{out}/train", f"{out}/test").select("doc_id").collect()}
+        assert got == expected[tier], tier
+        assert card["train"]["n_docs"] + card["test"]["n_docs"] == len(got)

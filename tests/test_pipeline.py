@@ -763,6 +763,121 @@ def test_pq_adc_exact_on_codebook_points(spark):
     assert got == {0: (4, 0), 1: (5, 0)}
 
 
+def test_pq_length_guard_shared_by_all_entry_points(spark):
+    """A length-mismatched embedding must RAISE from every PQ entry point
+    (the guard lives in _pq_subvectors, shared by codebook / encode /
+    ADC): without it the short vector's NULL zip_with distance terms
+    sort FIRST in the argmin struct, silently taking the lowest codeword
+    and surfacing as a fake neighbor. NULL embeddings still pass through
+    silently dropped (the documented oracle-parity convention)."""
+    import pytest
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_pq_adc, pq_codebook, pq_encode,
+    )
+
+    base = [
+        [1.0, 0.0, 0.5, 0.25, -1.0, 2.0, 0.125, 0.5],
+        [0.0, 1.0, -0.5, 0.75, 1.0, -2.0, 0.25, 0.0],
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+        [-1.0, -1.0, 0.0, 0.0, 1.0, 1.0, 3.0, 3.0],
+    ]
+    clean = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base + base)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cb = pq_codebook(clean, n_codes=4, n_subspaces=4, dim=8)
+    dirty = clean.union(spark.createDataFrame(
+        [(8, [1.0, 2.0, 3.0]), (9, None)],
+        "vec_id bigint, embedding array<float>",
+    ))
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        pq_encode(dirty, cb, n_subspaces=4, dim=8).collect()
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        knn_pq_adc(dirty, [0, 1], k=1, n_codes=4, n_subspaces=4, dim=8,
+                   codebook=cb).collect()
+    # the RESIDUAL path must raise too — its zip_with against the
+    # centroid NULL-pads a short vector to full length, so without its
+    # own pre-zip guard the shared _pq_subvectors check never fires
+    from bigdata2016w_spark.operators.similarity import knn_ivf_pq_residual
+
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        knn_ivf_pq_residual(dirty, [0, 1], k=1, n_cells=4, n_probe=2,
+                            n_codes=4, n_subspaces=4, dim=8).collect()
+    # NULL embedding alone: dropped, not raised — the clean answers hold
+    with_null = clean.union(spark.createDataFrame(
+        [(9, None)], "vec_id bigint, embedding array<float>"))
+    got = {r.query_id: (r.vec_id, r.adc_d2) for r in
+           knn_pq_adc(with_null, [0, 1], k=1, n_codes=4, n_subspaces=4,
+                      dim=8, codebook=cb).collect()}
+    assert got == {0: (4, 0), 1: (5, 0)}
+
+
+def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """write_ivfpq_index → knn_ivfpq_from_index must reproduce
+    knn_ivf_pq_residual bit-exactly (Lloyd centroids, residual codebook
+    doubles, byte codes, and int64 LUT distances all round-trip
+    parquet), the persisted codes must be materially smaller than the
+    raw embeddings, and the probe scan must be dynamically
+    partition-pruned so only probed cell directories are read."""
+    import os
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivf_pq_residual,
+        knn_ivfpq_from_index,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path)
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+    from_index = knn_ivfpq_from_index(
+        spark, path, queries, k=10, n_probe=4
+    ).collect()
+    in_memory = knn_ivf_pq_residual(
+        emb, qids, k=10, n_cells=16, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
+
+    def _bytes(d):
+        if os.path.isfile(d):
+            return os.path.getsize(d)
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs
+                   if f.endswith(".parquet"))
+
+    assert _bytes(f"{path}/codes") < _bytes(f"{sf_dir}/embeddings.parquet") / 3
+
+    # physical proof: the codes scan is dynamically partition-pruned
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn_ivfpq_from_index(spark, path, queries).explain("formatted")
+    assert "dynamicpruning" in buf.getvalue()
+
+
+def test_ivfpq_index_empty_corpus(spark, tmp_path):
+    """An empty (or all-NULL-embedding) corpus writes a valid, empty
+    index and the probe returns an empty typed frame."""
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    emb = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<float>"
+    )
+    path = str(tmp_path / "ivfpq_empty")
+    write_ivfpq_index(emb, path)
+    out = knn_ivfpq_from_index(spark, path, emb)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "vec_id", "adc_d2"]
+
+
 def test_semantic_dedup_oracle_and_convention(spark, sf_dir, duck):
     """SemDeDup drop list: bit-exact oracle parity (assignment + in-cell
     pair search + witness argmax), and the survivor convention — every
@@ -855,3 +970,42 @@ def test_ann_ivf_pq_oracle_and_recall(spark, sf_dir, duck):
     recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets]
     assert sum(recalls) / len(recalls) >= 0.25
+
+
+def _mean_recall_vs_bruteforce(spark, sf_dir, name):
+    bf = all_specs()["ann_bruteforce"].fn(spark, sf_dir).collect()
+    got = all_specs()[name].fn(spark, sf_dir).collect()
+    bf_sets, g_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in got:
+        g_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(
+        len(bf_sets[q] & g_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets
+    ) / len(bf_sets)
+
+
+def test_ann_ivf_pq_residual_oracle_and_recall_vs_global(spark, sf_dir, duck):
+    """Residual-aware IVF-PQ (the standard Jégou formulation): bit-exact
+    DuckDB parity of the full composed pipeline (coarse assignment →
+    residual decomposition → residual codebook training → per-probed-cell
+    query-residual LUT → ADC), k rows per query, and the capability
+    claim itself — recall@10 must be at least the global-codebook
+    variant's, since the code budget now quantizes only what the coarse
+    quantizer didn't explain."""
+    from bigdata2016w_spark.plans.pipeline import KNN_K, KNN_QUERY_IDS
+
+    spec = all_specs()["ann_ivf_pq_residual"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    rows = spec.fn(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == set(KNN_QUERY_IDS)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == KNN_K for v in per_q.values())
+    res_recall = _mean_recall_vs_bruteforce(spark, sf_dir,
+                                            "ann_ivf_pq_residual")
+    glob_recall = _mean_recall_vs_bruteforce(spark, sf_dir, "ann_ivf_pq")
+    assert res_recall >= glob_recall, (res_recall, glob_recall)
+    assert res_recall >= 0.25

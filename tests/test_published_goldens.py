@@ -147,3 +147,53 @@ def test_prefix_count_matches_published_assignment0_values(
     top3 = sorted(got.items(), key=lambda kv: -kv[1])[:3]
     want3 = sorted(published.items(), key=lambda kv: -kv[1])[:3]
     assert top3 == want3
+
+
+# ---------------------------------------------------------------------------
+# assignment2.md:17-29 bigram relative frequencies — the GRADER'S expected
+# values, i.e. the numbers the reference got WRONG. The deduction detail
+# shows the reference emitting f(till|faithfully) = f(you|faithfully) = 1.0
+# where the grader expected 0.16666667 (= 1/6 at the reference's float32
+# output formatting): its pairs job computed the (w1,*) marginal per
+# reducer stream, so a w1 whose bigrams straddled a partition boundary
+# normalized against a partial total. The engine's marginal is a window
+# sum over ALL of w1's bigrams (plans/text_analytics.py:90), correct by
+# construction regardless of input partitioning — these are the published
+# numbers the fix is FOR.
+#
+# The graded corpus is absent (.MISSING_LARGE_BLOBS), but 0.16666667 pins
+# the count shape exactly: c(faithfully,till) = c(faithfully,you) = 1 with
+# c(faithfully,*) = 6 (any k/6k with k>1 would have made 1.0 impossible
+# for BOTH pairs simultaneously under the reference's bug, and the grader
+# diff shows each pair once). The slice below replays that shape, spread
+# across many input partitions so a per-partition marginal could never
+# produce 1/6 — the engine must anyway.
+
+A2_FOLLOWERS = ["till", "you", "serve", "bound", "love", "obey"]
+
+
+@pytest.mark.parametrize("variant", ["pairs", "stripes"])
+def test_bigram_relfreq_matches_published_assignment2_values(
+    spark, tmp_path, variant
+):
+    from bigdata2016w_spark.registry import all_specs
+
+    d = tmp_path / f"a2_{variant}"
+    d.mkdir()
+    rows = [(i, f"faithfully {w}") for i, w in enumerate(A2_FOLLOWERS)]
+    # filler docs so "faithfully" is not the only w1 and the slice spans
+    # every partition (the bug being replayed was a partition-boundary one)
+    rows += [(100 + i, "and more and") for i in range(18)]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .repartition(24)
+        .write.parquet(str(d / "documents.parquet"))
+    )
+    q = all_specs()[f"bigram_relfreq_{variant}"]
+    got = {(r.w1, r.w2): r for r in q.fn(spark, str(d)).collect()}
+    for w2 in ("till", "you"):
+        r = got[("faithfully", w2)]
+        assert r.cnt == 1
+        assert r.rel_freq == 1 / 6  # exact double, not the buggy 1.0
+        # the published grader string, at its 8-decimal formatting
+        assert round(r.rel_freq, 8) == 0.16666667

@@ -47,6 +47,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "shingles_kmv_lang_overlap", "events_cms_heavy_users",
     "orders_bloom_probe", "ann_recall_eval", "knn_label_vote",
     "embedding_int8_quant", "ann_dim_truncation_recall", "graph_kcore",
+    "ann_ivf_pq_residual",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -208,7 +209,8 @@ def test_embedding_ops_null_embedding_parity(spark, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
             f"'{d}/embeddings.parquet/*.parquet'")
-    for name in ("ann_pq_adc", "ann_ivf_pq", "semantic_dedup"):
+    for name in ("ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_residual",
+                 "semantic_dedup"):
         spec = all_specs()[name]
         out = spec.fn(spark, str(d))
         compare_spark_duckdb(out, con, spec.oracle)

@@ -265,6 +265,34 @@ def test_sketch_estimates_zero_not_null_on_empty(spark):
     assert so.est_union == 0.0 and so.est_intersection == 0.0
 
 
+def test_kmv_underfilled_sketch_is_exact(spark):
+    """A sketch with k_used < k has seen every distinct hash, so the
+    estimate must be the exact count (standard KMV small-stream regime)
+    — the (k-1)·2^60/kth_min cap formula would report 0.0 for a stream
+    with exactly one distinct value. Same for the set-ops union sketch:
+    under-filled union ⇒ both inputs complete ⇒ n_common IS the
+    intersection."""
+    from bigdata2016w_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_set_ops,
+    )
+
+    one = spark.createDataFrame([("only",)] * 5, "s string")
+    r = kmv_distinct(one, "s").first()
+    assert r.k_used == 1 and r.est_distinct == 1.0 and r.exact_distinct == 1
+
+    few = spark.createDataFrame([(f"v{i}",) for i in range(7)], "s string")
+    r = kmv_distinct(few, "s").first()
+    assert r.k_used == 7 and r.est_distinct == 7.0
+
+    a = spark.createDataFrame([("x",), ("y",), ("z",)], "s string")
+    b = spark.createDataFrame([("y",), ("z",), ("w",)], "s string")
+    so = kmv_set_ops(a, b, "s").first()
+    assert so.k_union == 4 and so.est_union == 4.0
+    assert so.n_common == 2 and so.est_intersection == 2.0
+    assert so.exact_union == 4 and so.exact_intersection == 2
+
+
 def test_winnow_cross_probe_vs_index_only(spark):
     """Cross winnowing pairs probe docs with index docs only: a probe
     doc sharing a long span with an index doc is caught (the k+w-1

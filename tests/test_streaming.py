@@ -622,6 +622,69 @@ def test_embedding_admission_sink_across_batches(spark, tmp_path):
     assert again == {1, 3, 12}
 
 
+def test_winnow_admission_sink_across_batches(spark, tmp_path):
+    """Streaming winnow-fingerprint gate (the cheap long-span tier): two
+    micro-batches. An in-batch exact copy and an in-batch doc sharing a
+    ≥ k+w−1-token span both collapse to the lowest doc_id; a batch-2
+    exact copy of an accepted text and a batch-2 doc sharing a long span
+    with an accepted doc are rejected ACROSS the batch boundary (the
+    winnowing guarantee crosses via the accepted table); a genuinely new
+    doc lands; short docs (< k+w−1 tokens, no complete window) are
+    admitted — the tier is long-span-only by design. Restart against the
+    same checkpoint replays nothing."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.streaming.ingest import winnow_admission_sink
+
+    def wd(i):
+        return f"w{chr(97 + i // 26)}{chr(97 + i % 26)}"
+
+    span = " ".join(wd(i) for i in range(12))            # 12-token span
+    base = span + " " + " ".join(wd(i) for i in range(40, 46))
+    b1 = [(1, base),
+          (2, base),                                     # exact dup of 1
+          (3, span + " zeta yeta xeta weta veta ueta"),  # long-span dup of 1
+          (4, " ".join(wd(i) for i in range(100, 118)))]  # new
+    b2 = [(10, base),                                    # exact dup of acc. 1
+          (11, span + " pome qome rome some tome uome"),  # span dup of acc. 1
+          (12, " ".join(wd(i) for i in range(200, 218))),  # new
+          (13, "tiny doc under window")]                 # short: admitted
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "doc_id long, text string"
+    for i, rows in enumerate((b1, b2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(sdir))
+    )
+    q = winnow_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert got == {1, 4, 12, 13}
+
+    q2 = winnow_admission_sink(
+        src, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    again = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus" / "batch=*")).collect()}
+    assert again == {1, 4, 12, 13}
+
+
 def test_embedding_cross_near_dupes_probe_only(spark):
     """The cross checker reports probe-vs-index pairs only (never
     intra-side), survives an empty index, and multiprobe catches a
