@@ -107,7 +107,11 @@ def main() -> None:
                  # the dedup tier's outliers an isolated reference so
                  # environment noise is attributable, not arguable
                  "documents_containment_dupes", "winnow_dup_candidates",
-                 "documents_incremental_dedup"):
+                 "documents_incremental_dedup",
+                 # the r7 residual tier is the new slowest suite line
+                 # (Lloyd coarse fit + 2-step residual codebook) —
+                 # isolated so its cost is attributable from day one
+                 "ann_ivf_pq_residual"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):

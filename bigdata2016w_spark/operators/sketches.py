@@ -563,3 +563,84 @@ def winnow_cross_candidates(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------- hash-sample
+QSK_K = 128
+QSK_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def hash_sample_quantiles(
+    rows: DataFrame,
+    key: str,
+    col: str,
+    k: int = QSK_K,
+    quantiles: tuple[float, ...] = QSK_QUANTILES,
+    seed: str = "QSK",
+) -> DataFrame:
+    """(q, est, k_used, n_rows): quantile estimates from a k-minimum-hash
+    uniform sample — the quantile member of the KMV family. The sample
+    is the k rows whose ``portable_hash60(key)`` values are smallest
+    (ties broken by the value itself so both engines cut identically):
+    a without-replacement uniform row sample whose merge operation —
+    exactly like KMV — is "keep the k smallest of the union", and whose
+    physical plan IS ``ORDER BY h LIMIT k`` = per-partition top-k +
+    a k-row merge (TakeOrderedAndProject). Each estimate is the
+    ⌈q·k_used⌉-th order statistic of the sampled values — an actual
+    data value, no interpolation arithmetic, so the oracle replays it
+    bit-for-bit. ``n_rows`` (one cheap count) rides along as sampling
+    context; state is O(k) at any corpus size. Out-of-range order
+    statistics (empty input) surface as NULL via the non-throwing
+    ``F.get`` — never ``element_at``, which raises under ANSI when the
+    optimizer evaluates a collapsed projection on unguarded rows."""
+    samp = hash_sample_rows(rows, key, col, k, seed)
+    n = rows.agg(F.count("*").alias("n_rows"))
+    return (
+        quantile_rows_from_sample(samp, quantiles)
+        .crossJoin(broadcast(n))
+        .select("q", "est", "k_used", "n_rows")
+    )
+
+
+def hash_sample_rows(
+    rows: DataFrame, key: str, col: str, k: int = QSK_K, seed: str = "QSK"
+) -> DataFrame:
+    """(h, x): the k-minimum-hash sample itself — the mergeable state of
+    :func:`hash_sample_quantiles` (merge = the k smallest (h, x) of any
+    union of samples, which is again ``ORDER BY h, x LIMIT k``). ``key``
+    must identify rows uniquely (event_id, o_orderkey) or the sample is
+    biased toward repeated keys; the streaming maintenance sink persists
+    exactly this frame per micro-batch."""
+    s = rows.select(
+        # explicit string cast: the DuckDB twin's `seed || ':' || key`
+        # stringifies a numeric key the same way
+        portable_hash60(F.col(key).cast("string"), seed).alias("h"),
+        F.col(col).cast("double").alias("x"),
+    ).where(F.col("h").isNotNull() & F.col("x").isNotNull())
+    return s.orderBy("h", "x").limit(k)
+
+
+def quantile_rows_from_sample(
+    samp: DataFrame, quantiles: tuple[float, ...] = QSK_QUANTILES
+) -> DataFrame:
+    """(q, est, k_used) from a (h, x) sample frame — the read-side half,
+    shared by :func:`hash_sample_quantiles` and the streaming merge
+    reader (same split as hll_estimate_from_registers)."""
+    agg = samp.agg(
+        F.sort_array(F.collect_list("x")).alias("xs"),
+        F.count("*").cast("int").alias("k_used"),
+    )
+    qcols = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.get(
+                    F.col("xs"),
+                    F.ceil(F.lit(float(q)) * F.col("k_used")).cast("int")
+                    - F.lit(1),
+                ).alias("est"),
+            )
+            for q in quantiles
+        ])
+    ).alias("s")
+    return agg.select(qcols, "k_used").select("s.q", "s.est", "k_used")

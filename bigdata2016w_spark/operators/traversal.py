@@ -120,3 +120,60 @@ def kcore_peel(
     return und.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ (id, label): community detection by synchronous label
+    propagation (Raghavan et al. 2007, Phys. Rev. E 76) over the
+    undirected graph, made fully deterministic: every node starts
+    labeled with its own id, and each round every node adopts the most
+    frequent label among its NEIGHBORS with ties broken toward the
+    LOWEST label — the deterministic tie-break that replaces the
+    paper's random choice, so the DuckDB oracle replays the identical
+    result. A FIXED round count (the SSSP/k-core convention) makes the
+    output well-defined even where synchronous LPA oscillates (a lone
+    edge swaps labels with period 2 — pinned in tests) and lets the
+    oracle unroll the rounds into chained CTEs.
+
+    Scale shape: the symmetrized edge table shuffles once up front
+    (partitioned by src, checkpointed); each round is ONE hash agg over
+    (node, neighbor-label) — map-side combinable, ≤ 2|E| input rows —
+    plus an argmax expressed as max(struct(count, −label)) so no window
+    function touches the per-node groups. The label table (≤ |V| rows)
+    is the only per-round state and is localCheckpoint'ed each round,
+    exactly like PageRank's rank table."""
+    spark = edges.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    # after symmetrization every node appears as a src
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nb = und.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        best = (
+            nb.groupBy("id", "label").agg(F.count("*").alias("c"))
+            .groupBy("id")
+            .agg(F.max(F.struct(
+                F.col("c"), (-F.col("label")).alias("nl")
+            )).alias("b"))
+        )
+        labels = best.select(
+            "id", (-F.col("b.nl")).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels

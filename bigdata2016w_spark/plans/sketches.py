@@ -482,3 +482,52 @@ GROUP BY fp.probe_id, fi.index_id
 register(QuerySpec("winnow_cross_candidates", winnow_cross_candidates_q,
                    _WINNOW_CROSS_SQL,
                    doc=winnow_cross_candidates_q.__doc__))
+
+
+# ------------------------------------------------------- hash-sample
+def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from a k=128 minimum-hash uniform row
+    sample (q, est, k_used, n_rows) — the O(k)-state quantile tier next
+    to the exact totalprice_percentiles query; estimates are actual
+    sampled data values (⌈q·k_used⌉-th order statistic), so the oracle
+    replays them bit-for-bit."""
+    from bigdata2016w_spark.operators.sketches import (
+        hash_sample_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_sample_quantiles(orders, "o_orderkey", "o_totalprice")
+
+
+from bigdata2016w_spark.operators.sketches import (  # noqa: E402
+    QSK_K,
+    QSK_QUANTILES,
+)
+
+# CAST each literal: a bare [0.25, ...] unnests as DECIMAL in DuckDB,
+# while the Spark side emits DOUBLE q values
+_QSK_QLIST = ", ".join(
+    f"CAST({float(q)!r} AS DOUBLE)" for q in QSK_QUANTILES
+)
+
+_QSK_SQL = f"""
+WITH s AS (
+  SELECT {_phash_sql('QSK', 'o_orderkey')} AS h,
+         CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+samp AS (SELECT x FROM s ORDER BY h, x LIMIT {QSK_K}),
+a AS (
+  SELECT list_sort(list(x)) AS xs, CAST(count(*) AS INTEGER) AS k_used
+  FROM samp
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+qs AS (SELECT unnest([{_QSK_QLIST}]) AS q)
+SELECT q, xs[CAST(ceil(q * k_used) AS INTEGER)] AS est, k_used, n_rows
+FROM a CROSS JOIN n CROSS JOIN qs
+"""
+
+register(QuerySpec("orders_price_quantile_sketch",
+                   orders_price_quantile_sketch, _QSK_SQL,
+                   doc=orders_price_quantile_sketch.__doc__))

@@ -112,3 +112,54 @@ u{t} AS MATERIALIZED (
 register(QuerySpec("graph_kcore", graph_kcore,
                    _kcore_sql(KCORE_K, KCORE_ROUNDS),
                    doc=graph_kcore.__doc__))
+
+
+LPA_ROUNDS = 4
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    orders-derived graph, 4 bounded rounds: (id, label) per node, label
+    = the community representative each node has converged toward
+    (most-frequent neighbor label per round, ties → lowest). The
+    ~200-node fixture is dense enough that a handful of low ids absorb
+    almost everything — the verified content is the exact per-node
+    fixpoint of the deterministic update rule."""
+    from bigdata2016w_spark.operators.traversal import lpa_communities
+
+    edges = order_graph_edges(spark, sf_dir)
+    return lpa_communities(edges, LPA_ROUNDS, num_partitions=4)
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % {PR_MOD} AS src, o_orderkey % {PR_MOD} AS dst
+  FROM orders WHERE o_custkey % {PR_MOD} <> o_orderkey % {PR_MOD}
+),
+u AS MATERIALIZED (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS label FROM u
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT u.src AS id, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY u.src
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM u JOIN l{t - 1} l ON u.dst = l.id
+    GROUP BY u.src, l.label
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT id, label FROM l{rounds}"
+    )
+
+
+register(QuerySpec("graph_lpa_communities", graph_lpa_communities,
+                   _lpa_sql(LPA_ROUNDS),
+                   doc=graph_lpa_communities.__doc__))

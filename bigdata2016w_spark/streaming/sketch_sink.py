@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdata2016w_spark.operators.sketches import (
+    QSK_K,
     cms_counters,
+    hash_sample_rows,
     hll_registers,
 )
 from bigdata2016w_spark.streaming.ingest import (
@@ -32,6 +34,7 @@ from bigdata2016w_spark.streaming.ingest import (
 
 CMS_SCHEMA = "j int, slot int, cnt bigint"
 HLL_SCHEMA = "bucket int, rho int"
+QSK_SCHEMA = "h bigint, x double"
 
 
 def sketch_maintenance_sink(
@@ -40,10 +43,16 @@ def sketch_maintenance_sink(
     checkpoint_dir: str,
     col: str,
     hll_seed: str = "HLL",
+    value_col: str | None = None,
 ):
     """Start the sketch-maintenance stream: batch N's CMS counter
     partial lands in ``{target_dir}/batch=N/cms`` and its HLL register
-    partial in ``{target_dir}/batch=N/hll``. Returns the StreamingQuery.
+    partial in ``{target_dir}/batch=N/hll``; when ``value_col`` is given
+    the batch's k-minimum-hash quantile sample (keyed by ``col``, which
+    must then identify rows uniquely) additionally lands in
+    ``batch=N/qsk`` — the quantile member of the family, whose merge
+    (k smallest of the union) is just as algebraic as counter-add and
+    register-max. Returns the StreamingQuery.
 
     Same fresh-checkpoint-vs-populated-target fail-fast as the admission
     sinks (batch ids are the replay-safety keys here too), implemented
@@ -71,6 +80,10 @@ def sketch_maintenance_sink(
         hll_registers(batch_df, col, hll_seed).write.mode(
             "overwrite"
         ).parquet(f"{base}/hll")
+        if value_col is not None:
+            hash_sample_rows(batch_df, col, value_col).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/qsk")
 
     return (
         keys_stream.writeStream.foreachBatch(_write)
@@ -125,4 +138,19 @@ def read_merged_hll(spark: SparkSession, target_dir: str) -> DataFrame:
         _read_partials(spark, target_dir, "hll", HLL_SCHEMA)
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def read_merged_quantile_sample(
+    spark: SparkSession, target_dir: str, k: int = QSK_K
+) -> DataFrame:
+    """(h, x): the merged k-minimum-hash quantile sample — the k
+    smallest (h, x) of all batches' samples, which (given row-unique
+    keys) is identical to ``hash_sample_rows`` over the concatenated
+    stream (pinned in tests); feed to
+    ``operators.sketches.quantile_rows_from_sample`` for estimates."""
+    return (
+        _read_partials(spark, target_dir, "qsk", QSK_SCHEMA)
+        .orderBy("h", "x")
+        .limit(k)
     )

@@ -542,3 +542,18 @@ def test_int8_quant_broadcasts_scale_table(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "partial" in plan.lower()
+
+
+def test_quantile_sketch_sample_takes_ordered(spark, sf_dir):
+    """The quantile sketch's k-minimum-hash sample must plan as bounded
+    per-partition heaps + a k-row merge (TakeOrderedAndProject) — the
+    KMV physical story — never a global sort of the table."""
+    from bigdata2016w_spark.operators.sketches import hash_sample_rows
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    plan = _formatted_plan(
+        hash_sample_rows(load_table(spark, sf_dir, "orders"),
+                         "o_orderkey", "o_totalprice")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan

@@ -47,7 +47,8 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "shingles_kmv_lang_overlap", "events_cms_heavy_users",
     "orders_bloom_probe", "ann_recall_eval", "knn_label_vote",
     "embedding_int8_quant", "ann_dim_truncation_recall", "graph_kcore",
-    "ann_ivf_pq_residual",
+    "ann_ivf_pq_residual", "graph_lpa_communities",
+    "orders_price_quantile_sketch",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -62,6 +63,10 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
         assert len(rows) == 1 and rows[0].est_union == 0.0
     elif name == "orders_bloom_probe":
         assert len(rows) == 1 and rows[0].n_probe_keys == 0
+    elif name == "orders_price_quantile_sketch":
+        # one row per requested quantile, NULL estimate, zero counts
+        assert len(rows) == 5
+        assert all(r.est is None and r.k_used == 0 for r in rows)
     elif name == "q17_small_quantity_revenue":
         # global aggregate: one row, null sum / zero count
         assert len(rows) == 1 and rows[0].n_lineitems == 0

@@ -322,3 +322,75 @@ def test_winnow_cross_probe_vs_index_only(spark):
     # exactly the cross-boundary pair: 101/102 share a span only with
     # EACH OTHER (probe-probe, out of scope) and nothing with the index
     assert got == {(100, 1)}
+
+
+def test_quantile_sketch_oracle_and_accuracy(spark, sf_dir, duck):
+    """Hash-sample quantile sketch: bit-exact oracle parity, every
+    estimate is an ACTUAL data value, and with k=128 of the orders
+    table each estimate's true rank sits near q (binomial bound: ±0.15
+    is > 3 sigma at k=128)."""
+    from bigdata2016w_spark.registry import all_specs
+    from bigdata2016w_spark.sources.catalog import load_table
+    from tests.oracle import compare_spark_duckdb
+
+    spec = all_specs()["orders_price_quantile_sketch"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    rows = spec.fn(spark, sf_dir).collect()
+    prices = sorted(
+        r.o_totalprice for r in
+        load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_rows == len(prices)
+        assert r.est in prices                      # actual data value
+        true_rank = sum(p <= r.est for p in prices) / len(prices)
+        assert abs(true_rank - r.q) < 0.15, (r.q, true_rank)
+
+
+def test_quantile_sketch_merge_equals_global(spark):
+    """The sketch of a union must equal the k-smallest-of-union merge of
+    the two halves' sketches — the KMV merge property, which is what
+    makes the sample maintainable per-shard at 100 TB."""
+    from bigdata2016w_spark.operators.sketches import (
+        QSK_K,
+        hash_sample_quantiles,
+        portable_hash60,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    a, b = df.where("k < 300"), df.where("k >= 300")
+
+    def sample_set(part):
+        s = part.select(
+            portable_hash60(F.col("k").cast("string"), "QSK").alias("h"),
+            F.col("x"),
+        ).orderBy("h", "x").limit(QSK_K)
+        return [(r.h, r.x) for r in s.collect()]
+
+    merged = sorted(set(sample_set(a)) | set(sample_set(b)))[:QSK_K]
+    global_s = sorted(sample_set(df))
+    assert merged == global_s
+    # and the quantile rows derived from the global sketch are stable
+    got = {r.q: r.est
+           for r in hash_sample_quantiles(df, "k", "x").collect()}
+    xs = sorted(x for _, x in global_s)
+    import math
+    for q, est in got.items():
+        assert est == xs[math.ceil(q * len(xs)) - 1]
+
+
+def test_quantile_sketch_empty_input(spark):
+    """Empty input: one row per requested quantile with NULL est and
+    zero counts — never an element_at raise (the F.get contract)."""
+    from bigdata2016w_spark.operators.sketches import (
+        hash_sample_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "k long, x double")
+    rows = hash_sample_quantiles(empty, "k", "x").collect()
+    assert len(rows) == 5
+    assert all(r.est is None and r.k_used == 0 and r.n_rows == 0
+               for r in rows)

@@ -819,3 +819,71 @@ def test_sketch_sink_fresh_checkpoint_guard_fires(spark, tmp_path):
         .write.parquet(str(target / "batch=1" / "cms"))
     assert read_merged_hll(spark, str(target)).count() == 1
     assert read_merged_cms(spark, str(target)).count() == 2
+
+
+def test_sketch_sink_quantile_sample_merges_to_batch_parity(spark, tmp_path):
+    """Streaming quantile maintenance: with a value_col the sink also
+    writes each batch's k-minimum-hash sample; the read-side merge (k
+    smallest of the union) must equal the batch sample over the
+    concatenated stream, the derived quantile rows must match the batch
+    operator's, and a restart with no new data changes nothing."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.operators.sketches import (
+        hash_sample_quantiles,
+        hash_sample_rows,
+        quantile_rows_from_sample,
+    )
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        read_merged_quantile_sample,
+        sketch_maintenance_sink,
+    )
+
+    b1 = [(i, float((i * 37) % 500)) for i in range(200)]
+    b2 = [(i, float((i * 53) % 500)) for i in range(200, 450)]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    schema = "event_id long, value double"
+    for i, rows in enumerate((b1, b2)):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    def start():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(sdir))
+        )
+        return sketch_maintenance_sink(
+            src, str(tmp_path / "sk"), str(tmp_path / "ckpt"), "event_id",
+            value_col="value",
+        )
+
+    q = start()
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = sorted((r.h, r.x) for r in
+                  hash_sample_rows(full, "event_id", "value").collect())
+    merged = read_merged_quantile_sample(spark, str(tmp_path / "sk"))
+    got = sorted((r.h, r.x) for r in merged.collect())
+    assert got == want
+
+    want_q = {(r.q, r.est, r.k_used) for r in
+              hash_sample_quantiles(full, "event_id", "value").collect()}
+    got_q = {(r.q, r.est, r.k_used) for r in
+             quantile_rows_from_sample(merged).collect()}
+    assert got_q == want_q
+
+    q2 = start()
+    q2.awaitTermination()
+    again = sorted((r.h, r.x) for r in read_merged_quantile_sample(
+        spark, str(tmp_path / "sk")).collect())
+    assert again == want

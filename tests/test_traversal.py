@@ -84,3 +84,66 @@ def test_kcore_cascade_to_empty(spark):
     chain = [(i, i + 1) for i in range(10)]
     edges = spark.createDataFrame(chain, "src long, dst long")
     assert kcore_peel(edges, 2, 10, 4).count() == 0
+
+
+def test_lpa_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["graph_lpa_communities"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def _lpa_python(edges, rounds):
+    """Reference implementation of the engine's deterministic rule:
+    synchronous update, most-frequent NEIGHBOR label, ties → lowest."""
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+def test_lpa_planted_cliques_converge_to_min_label(spark):
+    """Two 5-cliques joined by one bridge edge: after 4 synchronous
+    rounds each clique must carry a single community label, the two
+    communities must differ, and every per-node label must equal the
+    Python reference of the exact same deterministic rule."""
+    from bigdata2016w_spark.operators.traversal import lpa_communities
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges_py = c1 + c2 + [(0, 10)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {r.id: r.label
+           for r in lpa_communities(edges, rounds=4).collect()}
+    want = _lpa_python(edges_py, 4)
+    assert got == want
+    lab1 = {got[v] for v in range(5)}
+    lab2 = {got[v] for v in range(10, 15)}
+    assert len(lab1) == 1 and len(lab2) == 1 and lab1 != lab2
+
+
+def test_lpa_pair_oscillation_is_deterministic(spark):
+    """A single edge is the classic synchronous-LPA oscillator: each
+    node's only neighbor label wins outright, so the pair swaps labels
+    every round with period 2. The bounded-round semantics doesn't hide
+    that — it makes the result a DETERMINISTIC function of the round
+    count, which is exactly what the oracle replays; pinned here at an
+    odd and an even round count against the Python reference."""
+    from bigdata2016w_spark.operators.traversal import lpa_communities
+
+    edges = spark.createDataFrame([(7, 3)], "src long, dst long")
+    for rounds in (3, 4):
+        got = {r.id: r.label
+               for r in lpa_communities(edges, rounds=rounds).collect()}
+        assert got == _lpa_python([(7, 3)], rounds)
