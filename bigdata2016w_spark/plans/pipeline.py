@@ -1190,8 +1190,11 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_RES_STEPS = 2  # codebook Lloyd steps (operators/similarity.PQ_RES_STEPS)
 
-_ANN_IVF_PQ_RES_SQL = f"""
-WITH e0 AS (
+# ONE copy of the residual IVF-PQ replay chain (coarse Lloyd fit →
+# residual decomposition → residual codebook → per-probed-cell LUT →
+# ADC), shared by the plain top-k query and the exact-rerank variant so
+# the two oracles can never drift apart (the quality_sql lesson again).
+_IVF_PQ_RES_CTES = f"""e0 AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent0 AS (
@@ -1266,7 +1269,10 @@ adc AS (
   JOIN lut l ON l.cell = av.cell AND l.m = c.m AND l.code = c.code
   WHERE c.vec_id <> l.query_id
   GROUP BY l.query_id, c.vec_id
-)
+)"""
+
+_ANN_IVF_PQ_RES_SQL = f"""
+WITH {_IVF_PQ_RES_CTES}
 SELECT query_id, vec_id, adc_d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_d2 ASC, vec_id ASC) AS rn
@@ -1280,6 +1286,53 @@ register(QuerySpec(
         "x − centroid(cell), the LUT is per-(query, probed cell); higher "
         "recall than the global-codebook ann_ivf_pq at the same scan "
         "fraction/footprint; see operators/similarity.knn_ivf_pq_residual."))
+
+
+RERANK_FACTOR = 3
+
+
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_pq_rerank
+
+    return knn_ivf_pq_rerank(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        rerank_factor=RERANK_FACTOR,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        codebook=_shared_residual_pq_codebook(spark, sf_dir),
+        n_iter=_LLOYD_ITERS,
+        centroids=_shared_lloyd_centroids(spark, sf_dir),
+    )
+
+
+_ANN_IVF_PQ_RERANK_SQL = f"""
+WITH {_IVF_PQ_RES_CTES},
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {KNN_K * RERANK_FACTOR}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         {_cos_sql('q.qe', 'e.embedding')} AS cosine
+  FROM short s
+  JOIN e0 e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM rer
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "ann_ivf_pq_rerank", ann_ivf_pq_rerank, _ANN_IVF_PQ_RERANK_SQL,
+    doc="Two-stage ANN: residual IVF-PQ ADC shortlist (k×3 candidates "
+        "from code bytes only) exactly re-ranked by true cosine over "
+        "just the shortlist rows — the standard production refinement "
+        "step; see operators/similarity.knn_ivf_pq_rerank."))
 
 
 SEMDEDUP_THRESHOLD = 0.4  # same bar as embedding_near_dupes

@@ -85,8 +85,8 @@ _SPEC_MODULES = [
 # filler from the oldest r05 greens (ann_bruteforce). After a green r7
 # every oracle-backed query EXCEPT the queries added in r7 itself
 # (ann_ivf_pq_residual, graph_lpa_communities,
-# orders_price_quantile_sketch — local gate green, no driver slot
-# left) is
+# orders_price_quantile_sketch, ann_ivf_pq_rerank — local gate green,
+# no driver slot left) is
 # driver-certified on SQL text no older than the certificate. The 5
 # rows-only no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble,
 # sgd_auc, bpe_merge_table) stay BEHIND the window — an oracle slot
@@ -94,7 +94,8 @@ _SPEC_MODULES = [
 #
 # ROUND 8 TODO: lead with the r7-new oracle-backed queries that have no
 # driver verdict yet (ann_ivf_pq_residual, graph_lpa_communities,
-# orders_price_quantile_sketch) and any query whose oracle
+# orders_price_quantile_sketch, ann_ivf_pq_rerank) and any query whose
+# oracle
 # SQL text changed in r7 AFTER its window slot ran, then rotate the
 # r05-only greens (44 remain after ann_bruteforce) to the front;
 # fillers from the oldest r06 greens.

@@ -276,3 +276,55 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+
+
+def ivfpq_index_append(spark, index_path: str,
+                       new_embeddings: DataFrame) -> None:
+    """Append new vectors to a persisted residual IVF-PQ index WITHOUT
+    re-training — the other half of ``write_ivfpq_index``'s train-once
+    claim, and where an admission sink's survivors flow: the centroids
+    and codebook are read back as the frozen model artifacts, the new
+    batch takes ONE map-side pass (cell assignment + residual encode),
+    and its packed codes land in the existing cell partitions with
+    ``mode('append')`` — no existing file is rewritten, searches see the
+    union immediately. The caller owns vec_id uniqueness across appends
+    (the same contract as every keyed sink here). Appending to an empty
+    index raises: there is no model to encode against."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        _assign_to_literal_centroids,
+        _ivf_residual_frame,
+        pack_pq_codes,
+        pq_encode,
+    )
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    if not cent_rows:
+        raise ValueError(
+            f"index at {index_path!r} has no centroids — it was written "
+            "from an empty corpus; build it with write_ivfpq_index on a "
+            "non-empty corpus before appending"
+        )
+    cent_lit = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in cent_rows
+    )
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
+                  ).first()
+    n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
+    dim = n_subspaces * sd
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    e = new_embeddings.where(F.col("embedding").isNotNull())
+    res = _ivf_residual_frame(
+        _assign_to_literal_centroids(e, cent_lit), cent, dim
+    )
+    codes = pq_encode(res, cb, n_subspaces, dim, keep=("vec_id", "cell"))
+    (
+        pack_pq_codes(codes, keep=("vec_id", "cell"))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/codes")
+    )

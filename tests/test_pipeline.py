@@ -813,6 +813,29 @@ def test_pq_length_guard_shared_by_all_entry_points(spark):
     assert got == {0: (4, 0), 1: (5, 0)}
 
 
+def test_ann_ivf_pq_rerank_oracle_and_recall_gain(spark, sf_dir, duck):
+    """Two-stage ANN (ADC shortlist → exact cosine re-rank): bit-exact
+    DuckDB parity of the composed pipeline, k rows per query in
+    bruteforce-comparable (query_id, vec_id, cosine) shape, and the
+    point of the stage — recall at least the ADC-only residual tier's
+    (exact re-ranking can only fix quantization reorderings inside the
+    shortlist, never introduce new ones)."""
+    from bigdata2016w_spark.plans.pipeline import KNN_K, KNN_QUERY_IDS
+
+    spec = all_specs()["ann_ivf_pq_rerank"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+    rows = spec.fn(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == set(KNN_QUERY_IDS)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == KNN_K for v in per_q.values())
+    rr = _mean_recall_vs_bruteforce(spark, sf_dir, "ann_ivf_pq_rerank")
+    res = _mean_recall_vs_bruteforce(spark, sf_dir, "ann_ivf_pq_residual")
+    assert rr >= res, (rr, res)
+    assert rr >= 0.5
+
+
 def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     """write_ivfpq_index → knn_ivfpq_from_index must reproduce
     knn_ivf_pq_residual bit-exactly (Lloyd centroids, residual codebook
@@ -859,6 +882,56 @@ def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         knn_ivfpq_from_index(spark, path, queries).explain("formatted")
     assert "dynamicpruning" in buf.getvalue()
+
+
+def test_ivfpq_index_append_matches_full_inmemory(spark, sf_dir, tmp_path):
+    """Train-once, append-forever: an index built on HALF the corpus
+    then appended with the other half must search bit-identically to
+    the in-memory residual pipeline running over the FULL corpus with
+    the half-trained models (frozen centroids + codebook) — i.e. the
+    append encoded the new vectors against the existing models without
+    touching them. Appending to an empty index raises."""
+    import pytest
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivf_pq_residual,
+        knn_ivfpq_from_index,
+        lloyd_centroids,
+        residual_pq_codebook,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import (
+        ivfpq_index_append,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where(emb.vec_id % 2 == 0)
+    second = emb.where(emb.vec_id % 2 == 1)
+    path = str(tmp_path / "ivfpq_grow")
+    write_ivfpq_index(first, path)
+    ivfpq_index_append(spark, path, second)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+    from_index = knn_ivfpq_from_index(
+        spark, path, queries, k=10, n_probe=4
+    ).collect()
+    cent = lloyd_centroids(first.where(first.embedding.isNotNull()))
+    cb = residual_pq_codebook(first, centroids=cent)
+    in_memory = knn_ivf_pq_residual(
+        emb, qids, k=10, n_cells=16, n_probe=4, codebook=cb,
+        centroids=cent,
+    ).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, in_memory))
+
+    empty_path = str(tmp_path / "ivfpq_never")
+    write_ivfpq_index(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        empty_path,
+    )
+    with pytest.raises(ValueError, match="no centroids"):
+        ivfpq_index_append(spark, empty_path, second)
 
 
 def test_ivfpq_index_empty_corpus(spark, tmp_path):

@@ -48,7 +48,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_bloom_probe", "ann_recall_eval", "knn_label_vote",
     "embedding_int8_quant", "ann_dim_truncation_recall", "graph_kcore",
     "ann_ivf_pq_residual", "graph_lpa_communities",
-    "orders_price_quantile_sketch",
+    "orders_price_quantile_sketch", "ann_ivf_pq_rerank",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
