@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     expp.add_argument(
         "--dedup",
-        choices=("jaccard", "winnow", "exact"),
+        choices=("jaccard", "winnow", "exact", "semdedup"),
         default="jaccard",
         help="near-dup removal tier for the curation gate (survivor = "
              "lowest doc_id in every tier): 'jaccard' (default) drops "
@@ -66,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
              "(the cheapest tier, no shingle index — the "
              "winnow_dup_candidates registered convention; the "
              "min_shared=1 lossless long-span variant is the streaming "
-             "admission gate); 'exact' drops only byte-identical texts",
+             "admission gate); 'exact' drops only byte-identical texts; "
+             "'semdedup' drops every doc on the semantic_dedup "
+             "embedding drop list (SemDeDup cluster-scoped cosine; "
+             "doc_id == vec_id by the corpus convention)",
     )
     expp.add_argument(
         "--scrub-spans",
@@ -188,9 +191,12 @@ def _curated(spark, sf_dir: str, tier: str):
     min_shared=1 variant that is LOSSLESS for ≥ k+w−1-token shared
     spans is the streaming admission gate, ingest.admit_winnow_batch),
     'exact' keeps only the min doc_id per distinct text
-    (operators/dedup.exact_dedup_groups' convention). Each tier's
-    survivor set is pinned equal to its registered-query derivation in
-    the CLI tests."""
+    (operators/dedup.exact_dedup_groups' convention), 'semdedup' drops
+    the semantic_dedup registered query's embedding drop list (SemDeDup
+    chained-drop convention: removing every dropped_id leaves the lowest
+    id of each near-dup chain; doc_id == vec_id — the corpus convention
+    of plans/corpus_ext.hybrid_search_rrf). Each tier's survivor set is
+    pinned equal to its registered-query derivation in the CLI tests."""
     from pyspark.sql import functions as F
 
     from bigdata2016w_spark.plans.pipeline import (
@@ -210,6 +216,13 @@ def _curated(spark, sf_dir: str, tier: str):
             F.min("doc_id").alias("doc_id")
         ).select("doc_id")
         stats = stats.join(keep, "doc_id", "left_semi")
+    elif tier == "semdedup":
+        from bigdata2016w_spark.plans.pipeline import semantic_dedup
+
+        losers = semantic_dedup(spark, sf_dir).select(
+            F.col("dropped_id").alias("doc_id")
+        )
+        stats = stats.join(losers, "doc_id", "left_anti")
     else:  # winnow
         from bigdata2016w_spark.operators.sketches import (
             winnow_dup_candidates,

@@ -457,7 +457,12 @@ def knn_ivf_lloyd(
     verifiable.
     """
     spark = embeddings.sparkSession
-    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    # same in-plan length guard as the PQ tiers: a short non-NULL
+    # embedding would otherwise skew the quantized centroid sums silently
+    # (zip over mismatched lengths NULL-pads) instead of failing loudly
+    embeddings = embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", _guard_embedding_dim(dim).alias("embedding")
+    )
     cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
@@ -1301,7 +1306,12 @@ def lloyd_centroids(
     n_cells·dim driver rows per round, corpus checkpointed once; a
     production deployment persists the result (write_ivf_index) instead
     of re-fitting per query."""
-    e = embeddings.where(F.col("embedding").isNotNull())
+    # shared PQ length guard, applied BEFORE the fit: a short non-NULL
+    # embedding silently skews the quantized centroid means (and an
+    # all-short cell only surfaces as a later driver-side KeyError)
+    e = embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", _guard_embedding_dim(dim).alias("embedding")
+    )
     seed = _seed_centroid_literals(e, n_cells)
     if not seed:
         return []

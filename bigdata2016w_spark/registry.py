@@ -92,39 +92,43 @@ _SPEC_MODULES = [
 # sgd_auc, bpe_merge_table) stay BEHIND the window — an oracle slot
 # spent on a rows-only check is wasted.
 #
-# ROUND 8 TODO: lead with the r7-new oracle-backed queries that have no
-# driver verdict yet (ann_ivf_pq_residual, graph_lpa_communities,
-# orders_price_quantile_sketch, ann_ivf_pq_rerank) and any query whose
-# oracle
-# SQL text changed in r7 AFTER its window slot ran, then rotate the
-# r05-only greens (44 remain after ann_bruteforce) to the front;
-# fillers from the oldest r06 greens.
+# ROUND 8 window was never rotated (no-op round; CORRECTNESS_r08 re-ran
+# the r7 window). ROUND 9 window below executes the deferred plan: lead
+# with the 4 r7-new oracle-backed queries that have NO driver verdict in
+# r01–r08, then the 42 queries whose latest green is r05 (three rounds
+# stale), then 4 fillers from the oldest r06 greens in registration
+# order. A green r9 makes all 146 oracle-backed queries driver-certified
+# for the first time (latest-green distribution becomes 50 r9 / 46 r6 /
+# 50 r8).
+#
+# ROUND 10 TODO: rotate the 46 remaining r06-latest greens to the front;
+# fillers from the oldest r08 greens.
 _WINDOW_FRONT = [
-    # --- r6-new, oracle-backed, never driver-sampled (21) ---
-    "documents_scrub_dup_spans", "documents_rejection_audit",
-    "dedup_keep_best", "ann_pq_adc", "ann_ivf_pq", "semantic_dedup",
-    "ann_recall_eval", "knn_label_vote", "embedding_int8_quant",
-    "ann_dim_truncation_recall", "events_transition_matrix",
-    "events_user_value_ema", "graph_kcore", "doc_winnow_fingerprints",
-    "winnow_dup_candidates", "shingles_kmv_distinct",
-    "shingles_hll_distinct", "events_cms_heavy_users",
-    "shingles_kmv_lang_overlap", "orders_bloom_probe",
-    "winnow_cross_candidates",
-    # --- stale certificates: oracle SQL changed post-green (2) ---
-    "corpus_curation", "ann_ivf_flat",
-    # --- remaining r03-only greens, registration order (26;
-    #     corpus_datacard is the third stale-SQL certificate) ---
-    "totalprice_percentiles", "q6_tpch_proper", "doc_train_test_split",
-    "documents_stratified_sample", "orders_upsert", "orders_scd2",
-    "orders_snapshot_diff", "doc_repetition_stats", "contamination_check",
-    "dup_span_fraction", "corpus_datacard", "doc_lm_score",
-    "vocab_coverage", "doc_tfidf_terms", "documents_weighted_sample",
-    "doc_bpe_token_stats", "token_heavy_hitters", "media_image_features",
-    "media_frame_sample", "pagerank_top10", "graph_triangles",
-    "dedup_exact", "embedding_near_dupes", "dedup_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash",
-    # --- filler: oldest r05 green (1) ---
-    "ann_bruteforce",
+    # --- r7-new, oracle-backed, never driver-sampled (4) ---
+    "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",
+    "orders_price_quantile_sketch",
+    # --- r05-latest greens, three rounds stale (42) ---
+    "ann_lsh", "doc_stats", "doc_lang_id", "dedup_clusters",
+    "dedup_clusters_star", "embedding_label_centroids",
+    "embedding_nearest_centroid", "embedding_hard_negatives",
+    "q4_priority_late_exists", "q21_waiting_supplier",
+    "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
+    "q16_supplier_count", "q19_disjunctive_revenue",
+    "q22_sales_opportunity", "q11_important_stock", "q15_top_supplier",
+    "q20_surplus_suppliers", "q13_customer_distribution",
+    "q18_large_volume_customers", "retrieval_phrase",
+    "sgd_score_closed_form", "sgd_ensemble_closed_form", "auc_rank_check",
+    "events_funnel", "user_retention_cohorts", "events_hourly_gapfill",
+    "graph_sssp_hops", "orders_column_stats",
+    "documents_reservoir_by_source", "events_user_value_anomalies",
+    "doc_bigram_surprisal", "documents_pack_sequences",
+    "media_audio_features", "embedding_covariance_stats",
+    "hybrid_search_rrf", "skipgram_training_pairs",
+    "orders_incremental_daily_agg", "events_trending_keys",
+    "documents_chunk_for_rag", "events_hourly_unique_users",
+    # --- fillers: oldest r06 greens, registration order (4) ---
+    "view_purchase_attribution", "asof_purchase_view",
+    "events_close_pairs", "word_count",
 ]
 
 

@@ -94,22 +94,44 @@ def sketch_maintenance_sink(
 
 
 def _read_partials(
-    spark: SparkSession, target_dir: str, sub: str, schema: str
+    spark: SparkSession, target_dir: str, sub: str, schema: str,
+    strict: bool = False,
 ) -> DataFrame:
     """All batches' ``{sub}`` partials, via the Hadoop batch-dir listing
     (``streaming.ingest._batch_dirs`` — never a glob, which would both
     swallow an in-flight batch's partial files and throw PATH_NOT_FOUND
     before the first commit). No batches yet → empty typed frame, so a
-    reader sees cardinality 0, not an AnalysisException."""
+    reader sees cardinality 0, not an AnalysisException.
+
+    ``strict`` raises when SOME batches have the partial and some don't —
+    the mixed-mode signature of a stream restarted WITH ``value_col``
+    after batches ran without it: silently merging only the batches that
+    have a ``qsk`` subdir would return a sample of part of the stream as
+    if it covered all of it. (cms/hll stay lenient: they are written
+    unconditionally, so a missing half there is an in-flight batch whose
+    replay will overwrite the whole ``batch=N`` dir.)"""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
+    batch_dirs = _batch_dirs(spark, target_dir)
     paths = []
-    for d in _batch_dirs(spark, target_dir):
+    missing = []
+    for d in batch_dirs:
         p = jvm.org.apache.hadoop.fs.Path(f"{d}/{sub}")
-        # a crash between the sink's two writes can leave batch=N with
-        # only one partial; skip the missing half instead of failing
+        # a crash between the sink's writes can leave batch=N with only
+        # some partials; skip the missing half instead of failing
         if p.getFileSystem(hconf).exists(p):
             paths.append(f"{d}/{sub}")
+        else:
+            missing.append(d)
+    if strict and paths and missing:
+        raise ValueError(
+            f"{len(missing)} of {len(batch_dirs)} batch dirs under "
+            f"{target_dir!r} lack a {sub!r} partial (e.g. {missing[0]!r})"
+            " — the stream ran some batches without this sketch enabled;"
+            " merging only the batches that have it would silently "
+            "misrepresent the stream. Re-run from a fresh target with "
+            "the sketch enabled throughout, or compact the old batches."
+        )
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
@@ -150,7 +172,7 @@ def read_merged_quantile_sample(
     stream (pinned in tests); feed to
     ``operators.sketches.quantile_rows_from_sample`` for estimates."""
     return (
-        _read_partials(spark, target_dir, "qsk", QSK_SCHEMA)
+        _read_partials(spark, target_dir, "qsk", QSK_SCHEMA, strict=True)
         .orderBy("h", "x")
         .limit(k)
     )

@@ -1,0 +1,52 @@
+"""Unit tests for bench.py's regression tripwire (flag_regressions).
+
+The r8 driver artifact flagged four queries as "regressions" on a round
+with ZERO code change — all were committed ~0.2–1.2 s lines jittering by
+sub-1.5 s absolute deltas. The tripwire now requires BOTH >1.5x the
+committed time AND >0.5 s absolute delta, so host-noise jitter can't
+cry wolf while a real 2x regression still trips.
+"""
+
+from __future__ import annotations
+
+from bench import flag_regressions
+
+
+def test_no_flags_on_small_absolute_jitter():
+    # the r8 false-flag shapes: big ratios, tiny absolute deltas
+    prev = {"winnow_cross_candidates": 1.21, "asof_purchase_view": 0.60,
+            "corpus_curation": 0.84, "graph_triangles": 0.78,
+            "tiny": 0.2}
+    now = {"winnow_cross_candidates": 1.70, "asof_purchase_view": 1.03,
+           "corpus_curation": 1.33, "graph_triangles": 1.22,
+           "tiny": 0.35}
+    assert flag_regressions(prev, now) == {}
+
+
+def test_real_regression_still_trips():
+    prev = {"q7_top_revenue": 1.0, "stable": 2.0}
+    now = {"q7_top_revenue": 2.4, "stable": 2.1}
+    got = flag_regressions(prev, now)
+    assert got == {"q7_top_revenue": [1.0, 2.4]}
+
+
+def test_fast_query_real_regression_trips_despite_small_committed_time():
+    # a committed 0.2 s query blowing up to 2 s is REAL (10x, +1.8 s) —
+    # the jitter guard must not swallow it
+    got = flag_regressions({"fast": 0.2}, {"fast": 2.0})
+    assert got == {"fast": [0.2, 2.0]}
+
+
+def test_zero_committed_and_unknown_names_are_skipped():
+    prev = {"trivial": 0.0}
+    now = {"trivial": 5.0, "brand_new_query": 9.9}
+    assert flag_regressions(prev, now) == {}
+
+
+def test_cap_keeps_worst_by_ratio():
+    prev = {f"q{i}": 1.0 for i in range(12)}
+    now = {f"q{i}": 2.0 + i for i in range(12)}
+    got = flag_regressions(prev, now, cap=8)
+    assert len(got) == 8
+    # the worst ratios (largest new times) survive the cap
+    assert "q11" in got and "q0" not in got

@@ -130,12 +130,13 @@ def test_cli_admit(tmp_path, spark):
 
 
 def test_cli_export_dedup_tiers(tmp_path, spark):
-    """--dedup {jaccard,winnow,exact}: each tier's exported survivor set
-    (train ∪ test doc_ids) must equal the set derived from the
-    REGISTERED queries — the quality gate of doc_stats minus that tier's
-    loser list (dedup_jaccard / winnow_dup_candidates doc_b's, or
-    everyone outside dedup_exact's keep_id set) — so the one-command
-    export and the piecewise query surface can never drift apart."""
+    """--dedup {jaccard,winnow,exact,semdedup}: each tier's exported
+    survivor set (train ∪ test doc_ids) must equal the set derived from
+    the REGISTERED queries — the quality gate of doc_stats minus that
+    tier's loser list (dedup_jaccard / winnow_dup_candidates doc_b's,
+    semantic_dedup dropped_ids, or everyone outside dedup_exact's
+    keep_id set) — so the one-command export and the piecewise query
+    surface can never drift apart."""
     sf = "/root/testdata/sf0.001"
 
     from bigdata2016w_spark.plans.pipeline import QUALITY_MIN
@@ -152,13 +153,16 @@ def test_cli_export_dedup_tiers(tmp_path, spark):
                   specs["winnow_dup_candidates"].fn(spark, sf).collect()}
     exact_keep = {r.keep_id for r in
                   specs["dedup_exact"].fn(spark, sf).collect()}
+    sem_losers = {r.dropped_id for r in
+                  specs["semantic_dedup"].fn(spark, sf).collect()}
     expected = {
         "jaccard": quality_ok - jac_losers,
         "winnow": quality_ok - win_losers,
         "exact": quality_ok & exact_keep,
+        "semdedup": quality_ok - sem_losers,
     }
 
-    for tier in ("jaccard", "winnow", "exact"):
+    for tier in ("jaccard", "winnow", "exact", "semdedup"):
         out = str(tmp_path / tier)
         p = _run("export", out, "--sf-dir", sf, "--dedup", tier)
         assert p.returncode == 0, (tier, p.stderr[-500:])

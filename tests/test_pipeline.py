@@ -813,6 +813,48 @@ def test_pq_length_guard_shared_by_all_entry_points(spark):
     assert got == {0: (4, 0), 1: (5, 0)}
 
 
+def test_lloyd_entry_points_share_embedding_dim_guard(spark):
+    """The Lloyd coarse-quantizer paths must raise in-plan on a
+    length-mismatched embedding exactly like the PQ tiers: without the
+    shared guard a short non-NULL vector silently skews the quantized
+    centroid means (its missing dimensions zip to NULL and drop out of
+    the per-dim sums), and an all-short cell only surfaces as a
+    driver-side KeyError after the fit. NULL embeddings stay silently
+    dropped (the documented oracle-parity convention)."""
+    import pytest
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivf_lloyd, lloyd_centroids,
+    )
+
+    base = [
+        [1.0, 0.0, 0.5, 0.25, -1.0, 2.0, 0.125, 0.5],
+        [0.0, 1.0, -0.5, 0.75, 1.0, -2.0, 0.25, 0.0],
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+        [-1.0, -1.0, 0.0, 0.0, 1.0, 1.0, 3.0, 3.0],
+    ]
+    clean = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base + base)],
+        "vec_id bigint, embedding array<float>",
+    )
+    dirty = clean.union(spark.createDataFrame(
+        [(8, [1.0, 2.0, 3.0]), (9, None)],
+        "vec_id bigint, embedding array<float>",
+    ))
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        knn_ivf_lloyd(dirty, [0, 1], k=1, n_cells=4, n_probe=2,
+                      n_iter=1, dim=8).collect()
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        lloyd_centroids(dirty, n_cells=4, n_iter=1, dim=8)
+    # NULL embedding alone: dropped, not raised; the fit still returns
+    # the full centroid table
+    with_null = clean.union(spark.createDataFrame(
+        [(9, None)], "vec_id bigint, embedding array<float>"))
+    cents = lloyd_centroids(with_null, n_cells=4, n_iter=1, dim=8)
+    assert len(cents) == 4
+    assert all(len(c) == 8 for _, c in cents)
+
+
 def test_ann_ivf_pq_rerank_oracle_and_recall_gain(spark, sf_dir, duck):
     """Two-stage ANN (ADC shortlist → exact cosine re-rank): bit-exact
     DuckDB parity of the composed pipeline, k rows per query in

@@ -887,3 +887,35 @@ def test_sketch_sink_quantile_sample_merges_to_batch_parity(spark, tmp_path):
     again = sorted((r.h, r.x) for r in read_merged_quantile_sample(
         spark, str(tmp_path / "sk")).collect())
     assert again == want
+
+
+def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
+    """A stream restarted WITH value_col after batches ran without it
+    leaves some batch=N dirs with no qsk partial; silently merging only
+    the batches that have one would pass off a partial-stream sample as
+    the whole stream's. The quantile reader must raise on that mixed
+    layout. All-missing stays an empty typed frame (the quantile sketch
+    was simply never enabled), and the cms/hll readers stay lenient (a
+    missing half there is an in-flight batch a replay overwrites)."""
+    import pytest as _pytest
+
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        read_merged_cms,
+        read_merged_quantile_sample,
+    )
+
+    target = tmp_path / "sk_mixed"
+    # batch 0: pre-value_col run — cms only, no qsk
+    spark.createDataFrame([(0, 1, 5)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target / "batch=0" / "cms"))
+    # no qsk anywhere yet: empty typed frame, not an error
+    assert read_merged_quantile_sample(spark, str(target)).collect() == []
+    # batch 1: restarted with value_col — cms + qsk
+    spark.createDataFrame([(9, 9, 9)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target / "batch=1" / "cms"))
+    spark.createDataFrame([(123, 4.5)], "h bigint, x double") \
+        .write.parquet(str(target / "batch=1" / "qsk"))
+    with _pytest.raises(ValueError, match="lack a 'qsk' partial"):
+        read_merged_quantile_sample(spark, str(target)).collect()
+    # the counter reader is unaffected by the qsk gap
+    assert read_merged_cms(spark, str(target)).count() == 2
