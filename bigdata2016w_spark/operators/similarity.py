@@ -1525,6 +1525,7 @@ def knn_ivfpq_from_index(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    include_streamed: bool = False,
 ) -> DataFrame:
     """ADC search against a PERSISTED residual IVF-PQ index
     (``sources.sinks.write_ivfpq_index``): centroids and codebook read
@@ -1537,7 +1538,13 @@ def knn_ivfpq_from_index(
     round-trip parquet exactly. Geometry (M, subdim) is derived from
     the stored codebook; every query row's embedding length is checked
     in-plan against it (shared `_guard_embedding_dim` raise_error —
-    NULL embeddings pass through and are dropped)."""
+    NULL embeddings pass through and are dropped).
+
+    ``include_streamed`` also searches the codes appended by the
+    streaming maintenance sink (``streaming.index_sink``), whose
+    batch-stamped dirs are likewise cell-partitioned; each side is
+    pruned to the probed cells BEFORE the union so the streamed tail
+    never widens the base scan."""
     cb = spark.read.parquet(f"{index_path}/codebook")
     meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
                   ).first()
@@ -1582,9 +1589,20 @@ def knn_ivfpq_from_index(
     )
     # prune on the partition column BEFORE unpacking, so dynamic
     # partition pruning skips unprobed cell directories at the scan
-    pruned = packed.join(
-        broadcast(probes.select("cell").distinct()), "cell"
-    )
+    probe_cells = broadcast(probes.select("cell").distinct())
+    pruned = packed.join(probe_cells, "cell")
+    if include_streamed:
+        from bigdata2016w_spark.streaming.index_sink import (
+            read_streamed_codes,
+        )
+
+        # prune the streamed scan separately (a join above a Union would
+        # not push the cell filter into both parquet scans), then union
+        pruned = pruned.unionByName(
+            read_streamed_codes(spark, index_path)
+            .join(probe_cells, "cell")
+            .select(*pruned.columns)
+        )
     codes = pruned.select(
         "vec_id", "cell", F.posexplode("codes").alias("m", "code")
     ).select("vec_id", "cell", "m",

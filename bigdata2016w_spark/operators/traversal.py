@@ -143,9 +143,11 @@ def lpa_communities(
     (partitioned by src, checkpointed); each round is ONE hash agg over
     (node, neighbor-label) — map-side combinable, ≤ 2|E| input rows —
     plus an argmax expressed as max(struct(count, −label)) so no window
-    function touches the per-node groups. The label table (≤ |V| rows)
-    is the only per-round state and is localCheckpoint'ed each round,
-    exactly like PageRank's rank table."""
+    function touches the per-node groups (struct buffers plan as a
+    partial+final SortAggregate pair — per-partition spillable sorts,
+    still map-side combinable; see _lpa_round). The label table
+    (≤ |V| rows) is the only per-round state and is localCheckpoint'ed
+    each round, exactly like PageRank's rank table."""
     spark = edges.sparkSession
     par = num_partitions or spark.sparkContext.defaultParallelism
     und = (
@@ -163,17 +165,30 @@ def lpa_communities(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        nb = und.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "label")
-        best = (
-            nb.groupBy("id", "label").agg(F.count("*").alias("c"))
-            .groupBy("id")
-            .agg(F.max(F.struct(
-                F.col("c"), (-F.col("label")).alias("nl")
-            )).alias("b"))
-        )
-        labels = best.select(
-            "id", (-F.col("b.nl")).alias("label")
-        ).localCheckpoint(eager=True)
+        labels = _lpa_round(und, labels).localCheckpoint(eager=True)
     return labels
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round, un-checkpointed: neighbor labels via
+    one join on the symmetrized edges, then the most-frequent-label
+    argmax as TWO partial+final agg pairs — a hash agg for the
+    (id, label) counts, then max(struct(count, −label)) per id, which
+    Spark plans as a SortAggregate pair (struct buffers aren't
+    hash-aggregable) whose sorts are per-partition and spillable, with
+    the partial max BEFORE the exchange. Deliberately NOT a window over
+    the per-node groups (a hub node's full neighbor list would
+    sort-buffer inside one task, and windows ship every row through the
+    exchange — no map-side combine); the plan shape is pinned in
+    tests/test_plan_properties.py."""
+    nb = und.join(
+        labels.withColumnRenamed("id", "dst"), "dst"
+    ).select(F.col("src").alias("id"), "label")
+    best = (
+        nb.groupBy("id", "label").agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max(F.struct(
+            F.col("c"), (-F.col("label")).alias("nl")
+        )).alias("b"))
+    )
+    return best.select("id", (-F.col("b.nl")).alias("label"))

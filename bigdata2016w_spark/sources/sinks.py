@@ -278,26 +278,13 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     )
 
 
-def ivfpq_index_append(spark, index_path: str,
-                       new_embeddings: DataFrame) -> None:
-    """Append new vectors to a persisted residual IVF-PQ index WITHOUT
-    re-training — the other half of ``write_ivfpq_index``'s train-once
-    claim, and where an admission sink's survivors flow: the centroids
-    and codebook are read back as the frozen model artifacts, the new
-    batch takes ONE map-side pass (cell assignment + residual encode),
-    and its packed codes land in the existing cell partitions with
-    ``mode('append')`` — no existing file is rewritten, searches see the
-    union immediately. The caller owns vec_id uniqueness across appends
-    (the same contract as every keyed sink here). Appending to an empty
-    index raises: there is no model to encode against."""
+def _ivfpq_frozen_models(spark, index_path: str):
+    """Read a persisted residual IVF-PQ index's model artifacts back as
+    frozen encode inputs: (cent_lit, cent DataFrame, codebook DataFrame,
+    n_subspaces, dim). Raises on an empty index — there is no model to
+    encode against. Shared by :func:`ivfpq_index_append` and the
+    streaming ``streaming.index_sink.ivfpq_append_sink``."""
     from pyspark.sql import functions as F
-
-    from bigdata2016w_spark.operators.similarity import (
-        _assign_to_literal_centroids,
-        _ivf_residual_frame,
-        pack_pq_codes,
-        pq_encode,
-    )
 
     cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
     if not cent_rows:
@@ -314,15 +301,55 @@ def ivfpq_index_append(spark, index_path: str,
     meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
                   ).first()
     n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
-    dim = n_subspaces * sd
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    return cent_lit, cent, cb, n_subspaces, n_subspaces * sd
+
+
+def ivfpq_encode_packed(new_embeddings: DataFrame, cent_lit, cent: DataFrame,
+                        cb: DataFrame, n_subspaces: int, dim: int
+                        ) -> DataFrame:
+    """(vec_id, codes, cell): one map-side pass — cell assignment +
+    residual encode + positional byte-packing — of new vectors against
+    FROZEN index models (no training shuffle, the append-path encode of
+    ``ivfpq_index_append`` and the streaming index sink)."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        _assign_to_literal_centroids,
+        _ivf_residual_frame,
+        pack_pq_codes,
+        pq_encode,
+    )
+
     e = new_embeddings.where(F.col("embedding").isNotNull())
     res = _ivf_residual_frame(
         _assign_to_literal_centroids(e, cent_lit), cent, dim
     )
     codes = pq_encode(res, cb, n_subspaces, dim, keep=("vec_id", "cell"))
+    return pack_pq_codes(codes, keep=("vec_id", "cell"))
+
+
+def ivfpq_index_append(spark, index_path: str,
+                       new_embeddings: DataFrame) -> None:
+    """Append new vectors to a persisted residual IVF-PQ index WITHOUT
+    re-training — the other half of ``write_ivfpq_index``'s train-once
+    claim, and where an admission sink's survivors flow: the centroids
+    and codebook are read back as the frozen model artifacts, the new
+    batch takes ONE map-side pass (cell assignment + residual encode),
+    and its packed codes land in the existing cell partitions with
+    ``mode('append')`` — no existing file is rewritten, searches see the
+    union immediately. The caller owns vec_id uniqueness across appends
+    (the same contract as every keyed sink here). Appending to an empty
+    index raises: there is no model to encode against. NOT replay-safe
+    by itself (a retried append doubles its rows) — a streaming caller
+    uses ``streaming.index_sink.ivfpq_append_sink``, whose batch-stamped
+    overwrite layout makes each micro-batch's append idempotent."""
+    cent_lit, cent, cb, n_subspaces, dim = _ivfpq_frozen_models(
+        spark, index_path
+    )
     (
-        pack_pq_codes(codes, keep=("vec_id", "cell"))
+        ivfpq_encode_packed(new_embeddings, cent_lit, cent, cb,
+                            n_subspaces, dim)
         .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")

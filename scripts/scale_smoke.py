@@ -257,6 +257,64 @@ def main() -> None:
     print(f"pq train+encode: {time.perf_counter() - t0:.1f}s, "
           f"{n_codes_rows} code rows ({n_codes_rows // PQ_SUBSPACES} vectors)")
 
+    # Residual IVF-PQ tier: with the models FROZEN (train-once), encode
+    # rows must track the corpus exactly (map-side linearity: rows/vec
+    # ratio 1.0 across a halving) while the re-rank stage's exact-
+    # distance work stays |Q|·k·factor rows — independent of corpus size
+    from bigdata2016w_spark.operators.similarity import (
+        _assign_to_literal_centroids,
+        _ivf_residual_frame,
+        knn_ivf_pq_residual,
+        lloyd_centroids,
+        residual_pq_codebook,
+    )
+
+    n_cells = 16
+    t0 = time.perf_counter()
+    cents = lloyd_centroids(emb, n_cells, n_iter=1, dim=dim)
+    rcb = residual_pq_codebook(emb, n_cells, dim=dim, n_iter=1,
+                               centroids=cents)
+    cent_df = spark.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    )
+    wall_train = time.perf_counter() - t0
+
+    def _res_encode_rows(e) -> int:
+        res = _ivf_residual_frame(
+            _assign_to_literal_centroids(e, cents), cent_df, dim
+        )
+        return pq_encode(res, rcb, PQ_SUBSPACES, dim).count()
+
+    t0 = time.perf_counter()
+    res_full = _res_encode_rows(emb)
+    wall_enc = time.perf_counter() - t0
+    half_emb = emb.where(F.col("vec_id") < n_vecs // 2)
+    res_half = _res_encode_rows(half_emb)
+    rv_f = res_full / PQ_SUBSPACES / n_vecs
+    rv_h = res_half / PQ_SUBSPACES / (n_vecs // 2)
+    print(f"residual encode: train {wall_train:.1f}s + encode "
+          f"{wall_enc:.1f}s, rows/vec {rv_h:.3f} @ {n_vecs // 2} -> "
+          f"{rv_f:.3f} @ {n_vecs} (ratio {rv_f / max(rv_h, 1e-9):.2f}x)")
+
+    # rerank shortlist (= the stage-2 exact-distance row count): the ADC
+    # stage returns k·factor rows per query at ANY corpus size, so the
+    # refinement cost is a constant, not a corpus function
+    qids = list(range(n_cells, n_cells + 5))
+    k, factor = 10, 3
+    t0 = time.perf_counter()
+    sl_full = knn_ivf_pq_residual(
+        emb, qids, k * factor, n_cells, dim=dim, codebook=rcb,
+        centroids=cents,
+    ).count()
+    wall_sl = time.perf_counter() - t0
+    sl_half = knn_ivf_pq_residual(
+        half_emb, qids, k * factor, n_cells, dim=dim, codebook=rcb,
+        centroids=cents,
+    ).count()
+    print(f"rerank shortlist rows: {wall_sl:.1f}s, {sl_half} @ "
+          f"{n_vecs // 2} -> {sl_full} @ {n_vecs} (|Q|·k·factor = "
+          f"{len(qids) * k * factor}; corpus-size-independent)")
+
     # --- round-3 operators at scale: rolling anomalies, packing, BPE ---
     import tempfile
 

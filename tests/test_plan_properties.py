@@ -557,3 +557,40 @@ def test_quantile_sketch_sample_takes_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_lpa_round_argmax_is_agg_pairs_never_window(spark):
+    """One LPA round must plan as the claimed shape (_lpa_round's doc):
+    a partial+final HashAggregate pair for the (id, label) counts and a
+    partial+final SortAggregate pair for the struct-max argmax (partial
+    BEFORE its exchange = map-side combinable) — NEVER a window over
+    the per-node neighbor groups (a hub node's full neighbor list would
+    sort-buffer inside one task and every row would cross the exchange
+    uncombined). The per-round state the loop checkpoints is this
+    frame."""
+    import re
+
+    from bigdata2016w_spark.operators.traversal import _lpa_round
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id bigint, label bigint"
+    )
+    plan = _formatted_plan(_lpa_round(und, labels))
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) == 2
+    # the argmax's PARTIAL half must sit below its exchange: in the
+    # formatted section printout partial_max carries the lower node id
+    sections = {
+        int(m.group(1)): sec
+        for sec in plan.split("\n\n")
+        if (m := re.match(r"\((\d+)\) SortAggregate", sec))
+    }
+    partial = [n for n, s in sections.items() if "partial_max" in s]
+    final = [n for n, s in sections.items()
+             if "Functions [1]: [max(" in s]
+    assert len(partial) == 1 and len(final) == 1
+    assert partial[0] < final[0]

@@ -889,6 +889,101 @@ def test_sketch_sink_quantile_sample_merges_to_batch_parity(spark, tmp_path):
     assert again == want
 
 
+def test_ivfpq_append_sink_bit_exact_and_replay_safe(spark, sf_dir, tmp_path):
+    """Streaming vector-index maintenance: an index grown by the
+    foreachBatch append sink (two micro-batches, batch-stamped overwrite
+    subdirs) must search BIT-IDENTICALLY to the same rows appended by
+    the batch ``ivfpq_index_append`` (same frozen models, same encode);
+    a restart with no new data changes nothing (replay-safe layout); a
+    fresh checkpoint against a populated codes_stream fails fast; and an
+    empty index refuses the sink up front (no model to encode against)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import (
+        ivfpq_index_append,
+        write_ivfpq_index,
+    )
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_append_sink,
+        read_streamed_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(emb.vec_id % 2 == 0)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    idx_stream = str(tmp_path / "idx_stream")
+    write_ivfpq_index(base, idx_stream)
+    idx_batch = str(tmp_path / "idx_batch")
+    shutil.copytree(idx_stream, idx_batch)
+    ivfpq_index_append(spark, idx_batch, tail)
+
+    # the tail arrives as two micro-batches (two files, one per trigger)
+    import os
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    halves = (tail.where(tail.vec_id % 4 == 1), tail.where(tail.vec_id % 4 == 3))
+    for i, half in enumerate(halves):
+        tmp = tmp_path / f"w{i}"
+        half.select("vec_id", "embedding").coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.rglob("part-*.parquet"))
+        dst = sdir / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    def start():
+        src = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(sdir))
+        )
+        return ivfpq_append_sink(src, idx_stream, str(tmp_path / "ckpt"))
+
+    q = start()
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+    got = knn_ivfpq_from_index(spark, idx_stream, queries, k=10, n_probe=4,
+                               include_streamed=True).collect()
+    want = knn_ivfpq_from_index(spark, idx_batch, queries, k=10,
+                                n_probe=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # restart under the same checkpoint, no new data: idempotent
+    before = sorted(
+        map(tuple, read_streamed_codes(spark, idx_stream).collect()))
+    assert before  # the streamed tail is really there
+    q2 = start()
+    q2.awaitTermination()
+    after = sorted(
+        map(tuple, read_streamed_codes(spark, idx_stream).collect()))
+    assert after == before
+
+    # fresh checkpoint + populated codes_stream: fail fast
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    with _pytest.raises(ValueError, match="streamed batch="):
+        ivfpq_append_sink(src, idx_stream, str(tmp_path / "fresh_ckpt"))
+
+    # empty index: no model to encode against, refuse at sink start
+    idx_empty = str(tmp_path / "idx_empty")
+    write_ivfpq_index(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        idx_empty,
+    )
+    with _pytest.raises(ValueError, match="no centroids"):
+        ivfpq_append_sink(src, idx_empty, str(tmp_path / "empty_ckpt"))
+
+
 def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
     """A stream restarted WITH value_col after batches ran without it
     leaves some batch=N dirs with no qsk partial; silently merging only
