@@ -16,11 +16,11 @@ overwrites its own subdir instead of doubling. Probes union the base
 the probed cells BEFORE the union, so the scan stays n_probe cell
 directories of M-byte rows on each side.
 
-At 100 TB the streamed tail stays tiny relative to the base index, and a
-periodic compaction folds ``codes_stream`` batches into the base
-``codes`` partitions (one ``ivfpq_index_append`` of the merged tail
-after quiescing the stream) to bound read-side fan-in — the same
-compaction story as the sketch partials.
+At 100 TB the streamed tail stays tiny relative to the base index, and
+:func:`ivfpq_index_compact` periodically folds ``codes_stream`` batches
+into the base ``codes`` partitions (quiesce the stream first) to bound
+read-side fan-in — the same compaction story as the sketch partials
+(``sketch_sink.compact_sketch_batches``).
 """
 
 from __future__ import annotations
@@ -45,6 +45,18 @@ def read_streamed_codes(spark: SparkSession, index_path: str) -> DataFrame:
     partial files must not leak in). No batches yet → empty typed frame.
     Each batch dir is itself hive-partitioned by cell, so a cell filter
     on this frame still prunes directories at the scan."""
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{_stream_dir(index_path)}/_COMPACTING"
+    )
+    if marker.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    ).exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — the surviving batch= "
+            "dirs were already folded into the base codes, so reading "
+            "them again would double-count; recover per "
+            "ivfpq_index_compact first."
+        )
     dirs = _batch_dirs(spark, _stream_dir(index_path))
     if not dirs:
         return spark.createDataFrame([], CODES_SCHEMA)
@@ -57,6 +69,53 @@ def read_streamed_codes(spark: SparkSession, index_path: str) -> DataFrame:
         .parquet(*dirs)
         .select("vec_id", "codes", "cell")
     )
+
+
+def ivfpq_index_compact(spark: SparkSession, index_path: str) -> int:
+    """Fold every streamed batch's codes into the base ``codes``
+    partitions and remove ``codes_stream`` — the periodic job that
+    bounds probe-side fan-in as the streamed tail grows. Returns the
+    number of code rows folded (0 = nothing to compact).
+
+    Run against a QUIESCED stream whose last batch committed, and keep
+    using the ORIGINAL checkpoint afterwards: a fresh checkpoint would
+    re-process every input file and re-encode vectors that now live in
+    the base partitions (the family's batch-id contract — the sink's
+    guard can no longer see the folded batches). Crash safety is a
+    marker file: it is created before the base append and removed after
+    the batch dirs are deleted, so a compaction that died in between
+    fails the NEXT compact/append loudly instead of silently
+    double-counting rows that were folded but not yet removed."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{_stream_dir(index_path)}/_COMPACTING"
+    )
+    fs = marker.getFileSystem(hconf)
+    if fs.exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — a previous compaction "
+            "died between the base append and the batch-dir cleanup, so "
+            "the folded rows may exist BOTH in codes and codes_stream. "
+            "Inspect and remove the surviving batch= dirs (their rows "
+            "were already appended) and the marker before retrying."
+        )
+    dirs = _batch_dirs(spark, _stream_dir(index_path))
+    if not dirs:
+        return 0
+    streamed = read_streamed_codes(spark, index_path)
+    n = streamed.count()
+    fs.create(marker, True).close()
+    (
+        streamed.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/codes")
+    )
+    for d in dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    fs.delete(marker, False)
+    return n
 
 
 def ivfpq_append_sink(
@@ -81,6 +140,16 @@ def ivfpq_append_sink(
     )
 
     spark = emb_stream.sparkSession
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{_stream_dir(index_path)}/_COMPACTING"
+    )
+    if marker.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    ).exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — finish the crashed "
+            "compaction (see ivfpq_index_compact) before appending."
+        )
     if not _checkpoint_started(spark, checkpoint_dir):
         existing = _batch_dirs(spark, _stream_dir(index_path))
         if existing:

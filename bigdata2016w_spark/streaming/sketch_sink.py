@@ -13,8 +13,8 @@ this layout keeps in the directory structure for free.
 
 At 100 TB the per-batch partial is STILL d·w / 2^p rows — the whole
 point of maintaining sketches instead of exact aggregates on a stream.
-A compaction job can periodically fold old batch dirs into one (the
-merge is associative), keeping the read-side fan-in bounded.
+:func:`compact_sketch_batches` periodically folds old batch dirs into
+one (the merge is associative), keeping the read-side fan-in bounded.
 """
 
 from __future__ import annotations
@@ -112,6 +112,13 @@ def _read_partials(
     replay will overwrite the whole ``batch=N`` dir.)"""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
+    marker = _compaction_marker(spark, target_dir)
+    if marker.getFileSystem(hconf).exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — a compaction died "
+            "mid-way, so merging now would double-count the folded "
+            "batches; recover per compact_sketch_batches first."
+        )
     batch_dirs = _batch_dirs(spark, target_dir)
     paths = []
     missing = []
@@ -135,6 +142,78 @@ def _read_partials(
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def compact_sketch_batches(spark: SparkSession, target_dir: str) -> int:
+    """Fold every batch's sketch partials into the LOWEST-id batch dir
+    and delete the rest — the periodic job the module docstring promises
+    to bound read-side fan-in (the merges are associative: counters add,
+    registers max, quantile samples keep the k smallest). Returns the
+    number of batch dirs removed (0 = nothing to fold).
+
+    Run against a QUIESCED stream whose last batch committed, and keep
+    the original checkpoint: folding into the lowest id means a replay
+    of the newest uncommitted batch can never overwrite the folded dir.
+    The merged partials are tiny (d·w + 2^p + k rows), so they are
+    collected and rewritten as literal frames — no self-read-overwrite
+    hazard. Mixed-mode quantile layouts fail fast via the strict read
+    BEFORE anything is rewritten."""
+    from pyspark.sql import functions as F
+
+    marker = _compaction_marker(spark, target_dir)
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — a previous compaction "
+            "died between the fold rewrite and the batch-dir cleanup, "
+            "so the lowest batch dir already holds the folded totals "
+            "while later dirs still hold their partials. Delete the "
+            "surviving later batch= dirs and the marker, then retry."
+        )
+    dirs = _batch_dirs(spark, target_dir)
+    if len(dirs) < 2:
+        return 0
+    # strict qsk read first: raise on mixed-mode BEFORE any rewrite
+    qsk = _read_partials(spark, target_dir, "qsk", QSK_SCHEMA, strict=True)
+    cms = (
+        _read_partials(spark, target_dir, "cms", CMS_SCHEMA)
+        .groupBy("j", "slot").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    hll = (
+        _read_partials(spark, target_dir, "hll", HLL_SCHEMA)
+        .groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
+    )
+    qsk_rows = qsk.orderBy("h", "x").limit(QSK_K).collect()
+    has_qsk = bool(qsk_rows)
+    low = min(dirs, key=lambda d: int(d.rsplit("batch=", 1)[1]))
+    fs.create(marker, True).close()
+    spark.createDataFrame(
+        [tuple(r) for r in cms] or [], CMS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{low}/cms")
+    spark.createDataFrame(
+        [tuple(r) for r in hll] or [], HLL_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{low}/hll")
+    if has_qsk:
+        spark.createDataFrame(
+            [tuple(r) for r in qsk_rows], QSK_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{low}/qsk")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for d in dirs:
+        if d == low:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(hconf).delete(p, True)
+        removed += 1
+    fs.delete(marker, False)
+    return removed
+
+
+def _compaction_marker(spark: SparkSession, target_dir: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(
+        f"{target_dir}/_COMPACTING"
+    )
 
 
 def read_merged_cms(spark: SparkSession, target_dir: str) -> DataFrame:

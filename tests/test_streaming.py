@@ -984,6 +984,132 @@ def test_ivfpq_append_sink_bit_exact_and_replay_safe(spark, sf_dir, tmp_path):
         ivfpq_append_sink(src, idx_empty, str(tmp_path / "empty_ckpt"))
 
 
+def test_ivfpq_index_compact_folds_stream_into_base(spark, sf_dir, tmp_path):
+    """Compaction must fold the streamed tail into the base cell
+    partitions EXACTLY (a base-only probe afterwards equals the batch-
+    append index), leave codes_stream empty, no-op on a second run, and
+    refuse everything — compact, append sink, streamed read — while a
+    crashed compaction's marker survives."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import (
+        ivfpq_index_append,
+        write_ivfpq_index,
+    )
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_append_sink,
+        ivfpq_index_compact,
+        read_streamed_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(emb.vec_id % 2 == 0)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    idx = str(tmp_path / "idx")
+    write_ivfpq_index(base, idx)
+    idx_ref = str(tmp_path / "idx_ref")
+    shutil.copytree(idx, idx_ref)
+    ivfpq_index_append(spark, idx_ref, tail)
+
+    tmpw = tmp_path / "w"
+    tail.select("vec_id", "embedding").coalesce(1).write.parquet(str(tmpw))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(next(tmpw.rglob("part-*.parquet")), sdir / "0.parquet")
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    q = ivfpq_append_sink(src, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    n_streamed = read_streamed_codes(spark, idx).count()
+    assert n_streamed > 0
+
+    assert ivfpq_index_compact(spark, idx) == n_streamed
+    assert read_streamed_codes(spark, idx).collect() == []
+    assert ivfpq_index_compact(spark, idx) == 0  # second run: no-op
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+    got = knn_ivfpq_from_index(spark, idx, queries, k=10, n_probe=4
+                               ).collect()  # base-only read, post-fold
+    want = knn_ivfpq_from_index(spark, idx_ref, queries, k=10, n_probe=4
+                                ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # a crashed compaction's marker blocks every entry point loudly
+    os.makedirs(f"{idx}/codes_stream", exist_ok=True)
+    open(f"{idx}/codes_stream/_COMPACTING", "w").close()
+    with _pytest.raises(ValueError, match="marker"):
+        ivfpq_index_compact(spark, idx)
+    with _pytest.raises(ValueError, match="marker"):
+        read_streamed_codes(spark, idx)
+    src2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    with _pytest.raises(ValueError, match="marker"):
+        ivfpq_append_sink(src2, idx, str(tmp_path / "ckpt2"))
+
+
+def test_compact_sketch_batches_preserves_all_merges(spark, tmp_path):
+    """Folding N batch dirs into one must leave every merged reader's
+    output IDENTICAL (the merges are associative), remove the later
+    dirs, no-op when only one dir remains, and fail fast everywhere
+    while a crashed compaction's marker survives."""
+    import pytest as _pytest
+
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        compact_sketch_batches,
+        read_merged_cms,
+        read_merged_hll,
+        read_merged_quantile_sample,
+    )
+
+    target = str(tmp_path / "sk")
+    for b in range(3):
+        spark.createDataFrame(
+            [(0, 1, 5 + b), (1, 2, 7 * (b + 1))],
+            "j int, slot int, cnt bigint",
+        ).write.parquet(f"{target}/batch={b}/cms")
+        spark.createDataFrame(
+            [(3, 4 + b), (b, 9)], "bucket int, rho int"
+        ).write.parquet(f"{target}/batch={b}/hll")
+        spark.createDataFrame(
+            [(100 * b + i, float(i)) for i in range(5)],
+            "h bigint, x double",
+        ).write.parquet(f"{target}/batch={b}/qsk")
+
+    want_cms = sorted(map(tuple, read_merged_cms(spark, target).collect()))
+    want_hll = sorted(map(tuple, read_merged_hll(spark, target).collect()))
+    want_qsk = sorted(map(tuple, read_merged_quantile_sample(
+        spark, target).collect()))
+
+    assert compact_sketch_batches(spark, target) == 2
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    dirs = _batch_dirs(spark, target)
+    assert len(dirs) == 1 and dirs[0].endswith("batch=0")
+    assert sorted(map(tuple, read_merged_cms(spark, target).collect())) \
+        == want_cms
+    assert sorted(map(tuple, read_merged_hll(spark, target).collect())) \
+        == want_hll
+    assert sorted(map(tuple, read_merged_quantile_sample(
+        spark, target).collect())) == want_qsk
+    assert compact_sketch_batches(spark, target) == 0  # single dir: no-op
+
+    open(f"{target}/_COMPACTING", "w").close()
+    with _pytest.raises(ValueError, match="marker"):
+        compact_sketch_batches(spark, target)
+    with _pytest.raises(ValueError, match="marker"):
+        read_merged_cms(spark, target).collect()
+
+
 def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
     """A stream restarted WITH value_col after batches ran without it
     leaves some batch=N dirs with no qsk partial; silently merging only
