@@ -191,11 +191,11 @@ def _curated(spark, sf_dir: str, tier: str):
     min_shared=1 variant that is LOSSLESS for ≥ k+w−1-token shared
     spans is the streaming admission gate, ingest.admit_winnow_batch),
     'exact' keeps only the min doc_id per distinct text
-    (operators/dedup.exact_dedup_groups' convention), 'semdedup' drops
-    the semantic_dedup registered query's embedding drop list (SemDeDup
-    chained-drop convention: removing every dropped_id leaves the lowest
-    id of each near-dup chain; doc_id == vec_id — the corpus convention
-    of plans/corpus_ext.hybrid_search_rrf). Each tier's survivor set is
+    (operators/dedup.exact_dedup_groups' convention), 'semdedup' IS the
+    registered corpus_curation_semdedup query (SemDeDup chained-drop
+    convention: removing every dropped_id leaves the lowest id of each
+    near-dup chain; doc_id == vec_id — the corpus convention of
+    plans/corpus_ext.hybrid_search_rrf). Each tier's survivor set is
     pinned equal to its registered-query derivation in the CLI tests."""
     from pyspark.sql import functions as F
 
@@ -217,12 +217,11 @@ def _curated(spark, sf_dir: str, tier: str):
         ).select("doc_id")
         stats = stats.join(keep, "doc_id", "left_semi")
     elif tier == "semdedup":
-        from bigdata2016w_spark.plans.pipeline import semantic_dedup
-
-        losers = semantic_dedup(spark, sf_dir).select(
-            F.col("dropped_id").alias("doc_id")
+        from bigdata2016w_spark.plans.pipeline import (
+            corpus_curation_semdedup,
         )
-        stats = stats.join(losers, "doc_id", "left_anti")
+
+        return corpus_curation_semdedup(spark, sf_dir)
     else:  # winnow
         from bigdata2016w_spark.operators.sketches import (
             winnow_dup_candidates,

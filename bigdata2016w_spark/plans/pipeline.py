@@ -1384,6 +1384,43 @@ register(QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_SQL,
                        "list; see operators/similarity.semdedup_drop_list."))
 
 
+def corpus_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the SEMANTIC near-dup tier: the shared quality gate
+    (:func:`quality_gated_stats`) minus every doc on the
+    :func:`semantic_dedup` embedding drop list (doc_id == vec_id, the
+    corpus convention) — the registered twin of the CLI's
+    ``--dedup semdedup`` export tier, so the one-command export and the
+    certified query surface derive survivors identically. Returns
+    (doc_id, n_tokens, quality), the corpus_curation shape."""
+    losers = semantic_dedup(spark, sf_dir).select(
+        F.col("dropped_id").alias("doc_id")
+    )
+    return (
+        quality_gated_stats(spark, sf_dir)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+# the drop list is the ENTIRE _SEMDEDUP_SQL statement, interpolated as a
+# CTE body so the two oracles can never drift (the quality_sql lesson)
+_CURATION_SEMDEDUP_SQL = f"""
+WITH drops AS ({_SEMDEDUP_SQL}),
+stats AS (
+  SELECT doc_id, len({_TOK}) AS n_tokens,
+         {quality_sql('text')} AS quality
+  FROM documents WHERE len({_TOK}) > 0
+)
+SELECT doc_id, n_tokens, quality FROM stats
+WHERE quality >= {QUALITY_MIN}
+  AND doc_id NOT IN (SELECT dropped_id FROM drops)
+"""
+
+register(QuerySpec("corpus_curation_semdedup", corpus_curation_semdedup,
+                   _CURATION_SEMDEDUP_SQL,
+                   doc=corpus_curation_semdedup.__doc__))
+
+
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import hard_negatives
 

@@ -101,8 +101,9 @@ _SPEC_MODULES = [
 # for the first time (latest-green distribution becomes 50 r9 / 46 r6 /
 # 50 r8).
 #
-# ROUND 10 TODO: rotate the 46 remaining r06-latest greens to the front;
-# fillers from the oldest r08 greens.
+# ROUND 10 TODO: lead with corpus_curation_semdedup (added in r9, no
+# driver verdict yet), then rotate the 46 remaining r06-latest greens;
+# fillers (3) from the oldest r08 greens.
 _WINDOW_FRONT = [
     # --- r7-new, oracle-backed, never driver-sampled (4) ---
     "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",

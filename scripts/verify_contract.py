@@ -31,7 +31,9 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              "dedup_clusters_star", "dedup_keep_best",
              "documents_rejection_audit",
              "embedding_near_dupes", "documents_incremental_dedup",
-             "documents_containment_dupes"}
+             "documents_containment_dupes",
+             # embeds _SEMDEDUP_SQL's O(in-cell pairs) drop list
+             "corpus_curation_semdedup"}
 
 
 def main() -> int:

@@ -813,6 +813,25 @@ def test_pq_length_guard_shared_by_all_entry_points(spark):
     assert got == {0: (4, 0), 1: (5, 0)}
 
 
+def test_corpus_curation_semdedup_oracle_and_derivation(spark, sf_dir, duck):
+    """The semantic curation tier must match its DuckDB oracle AND equal
+    the piecewise derivation (quality gate minus semantic_dedup
+    dropped_ids) — the registered twin the CLI's --dedup semdedup calls,
+    so the export command and the certified surface can never drift."""
+    spec = all_specs()["corpus_curation_semdedup"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+    from bigdata2016w_spark.plans.pipeline import quality_gated_stats
+
+    gated = {r.doc_id for r in
+             quality_gated_stats(spark, sf_dir).collect()}
+    dropped = {r.dropped_id for r in
+               all_specs()["semantic_dedup"].fn(spark, sf_dir).collect()}
+    got = {r.doc_id for r in spec.fn(spark, sf_dir).collect()}
+    assert got == gated - dropped
+    assert dropped & gated  # the tier actually removes something here
+
+
 def test_lloyd_entry_points_share_embedding_dim_guard(spark):
     """The Lloyd coarse-quantizer paths must raise in-plan on a
     length-mismatched embedding exactly like the PQ tiers: without the
