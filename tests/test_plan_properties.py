@@ -559,7 +559,50 @@ def test_quantile_sketch_sample_takes_ordered(spark, sf_dir):
     assert "Sort " not in plan
 
 
-def test_lpa_round_argmax_is_agg_pairs_never_window(spark):
+def test_ivfpq_streamed_probe_prunes_both_scan_sides(spark, sf_dir, tmp_path):
+    """include_streamed=True must keep BOTH code scans — the base cell
+    partitions and the streamed batch dirs — dynamically pruned to the
+    probed cells: the claim that the streamed tail never widens the base
+    scan holds only if the cell filter reaches each parquet scan
+    separately (a join above the Union would prune neither)."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import ivfpq_append_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    write_ivfpq_index(emb.where(emb.vec_id % 2 == 0), idx)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    w = tmp_path / "w"
+    tail.select("vec_id", "embedding").coalesce(1).write.parquet(str(w))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(next(w.rglob("part-*.parquet")), sdir / "0.parquet")
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    ivfpq_append_sink(src, idx, str(tmp_path / "ckpt")).awaitTermination()
+
+    queries = emb.where(emb.vec_id.isin([0, 1, 2])).select(
+        "vec_id", "embedding"
+    )
+    plan = _formatted_plan(
+        knn_ivfpq_from_index(spark, idx, queries, include_streamed=True)
+    )
+    pruned_scans = [
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg
+        and (f"{os.sep}codes" in seg)
+        and "dynamicpruningexpression(cell" in seg
+    ]
+    locations = " ".join(pruned_scans)
+    assert "idx/codes]" in locations            # base partitions pruned
+    assert "idx/codes_stream" in locations      # streamed batch pruned
     """One LPA round must plan as the claimed shape (_lpa_round's doc):
     a partial+final HashAggregate pair for the (id, label) counts and a
     partial+final SortAggregate pair for the struct-max argmax (partial
