@@ -201,11 +201,14 @@ def _curated(spark, sf_dir: str, tier: str):
 
     from bigdata2016w_spark.plans.pipeline import (
         corpus_curation,
+        corpus_curation_semdedup,
         quality_gated_stats,
     )
 
     if tier == "jaccard":
         return corpus_curation(spark, sf_dir)
+    if tier == "semdedup":
+        return corpus_curation_semdedup(spark, sf_dir)
 
     from bigdata2016w_spark.sources.catalog import load_table
 
@@ -216,12 +219,6 @@ def _curated(spark, sf_dir: str, tier: str):
             F.min("doc_id").alias("doc_id")
         ).select("doc_id")
         stats = stats.join(keep, "doc_id", "left_semi")
-    elif tier == "semdedup":
-        from bigdata2016w_spark.plans.pipeline import (
-            corpus_curation_semdedup,
-        )
-
-        return corpus_curation_semdedup(spark, sf_dir)
     else:  # winnow
         from bigdata2016w_spark.operators.sketches import (
             winnow_dup_candidates,

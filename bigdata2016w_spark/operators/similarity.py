@@ -1100,8 +1100,10 @@ def semdedup_drop_list(
     is a self-equi-join on cell, so candidate count is Σ|cell|² — at
     100 TB, n_cells scales with the corpus to hold |cell| roughly
     constant and the join keys stay well-distributed. The witness argmax
-    is a hash agg over struct ordering (map-side combinable), not a
-    window over an unbounded partition.
+    is max(struct(...)) — planned as a partial+final SortAggregate pair
+    (struct buffers aren't hash-aggregable; the sorts are per-partition
+    and spillable, and the partial max runs map-side before the
+    exchange) — not a window over an unbounded partition.
     """
     spark = embeddings.sparkSession
     embeddings = embeddings.where(F.col("embedding").isNotNull())

@@ -39,23 +39,33 @@ def _stream_dir(index_path: str) -> str:
     return f"{index_path}/codes_stream"
 
 
+def _fs_path(spark: SparkSession, path: str):
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _marker_path(spark: SparkSession, index_path: str):
+    return _fs_path(spark, f"{_stream_dir(index_path)}/_COMPACTING")
+
+
+def _tombstone_path(spark: SparkSession, index_path: str):
+    return _fs_path(spark, f"{_stream_dir(index_path)}/_COMPACTED")
+
+
 def read_streamed_codes(spark: SparkSession, index_path: str) -> DataFrame:
     """(vec_id, codes, cell): every committed micro-batch's packed codes,
     via the Hadoop batch-dir listing (never a glob — an in-flight batch's
     partial files must not leak in). No batches yet → empty typed frame.
     Each batch dir is itself hive-partitioned by cell, so a cell filter
     on this frame still prunes directories at the scan."""
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{_stream_dir(index_path)}/_COMPACTING"
-    )
-    if marker.getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    ).exists(marker):
+    marker, fs = _marker_path(spark, index_path)
+    if fs.exists(marker):
         raise ValueError(
-            f"compaction marker {marker} exists — the surviving batch= "
-            "dirs were already folded into the base codes, so reading "
-            "them again would double-count; recover per "
-            "ivfpq_index_compact first."
+            f"compaction marker {marker} exists — a compaction died "
+            "mid-way, so the surviving batch= dirs may or may not "
+            "already be folded into the base codes; run "
+            "ivfpq_index_compact(spark, index_path) to auto-recover, "
+            "then read again."
         )
     dirs = _batch_dirs(spark, _stream_dir(index_path))
     if not dirs:
@@ -73,49 +83,112 @@ def read_streamed_codes(spark: SparkSession, index_path: str) -> DataFrame:
 
 def ivfpq_index_compact(spark: SparkSession, index_path: str) -> int:
     """Fold every streamed batch's codes into the base ``codes``
-    partitions and remove ``codes_stream`` — the periodic job that
-    bounds probe-side fan-in as the streamed tail grows. Returns the
-    number of code rows folded (0 = nothing to compact).
+    partitions and remove ``codes_stream``'s batch dirs — the periodic
+    job that bounds probe-side fan-in as the streamed tail grows.
+    Returns the number of code rows folded (0 = nothing to compact).
 
     Run against a QUIESCED stream whose last batch committed, and keep
-    using the ORIGINAL checkpoint afterwards: a fresh checkpoint would
+    using the ORIGINAL checkpoint afterwards — a fresh checkpoint would
     re-process every input file and re-encode vectors that now live in
-    the base partitions (the family's batch-id contract — the sink's
-    guard can no longer see the folded batches). Crash safety is a
-    marker file: it is created before the base append and removed after
-    the batch dirs are deleted, so a compaction that died in between
-    fails the NEXT compact/append loudly instead of silently
-    double-counting rows that were folded but not yet removed."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{_stream_dir(index_path)}/_COMPACTING"
-    )
-    fs = marker.getFileSystem(hconf)
+    the base partitions. The sink enforces that even after the batch
+    dirs are gone: compaction leaves a permanent ``_COMPACTED``
+    tombstone that keeps the fresh-checkpoint guard armed.
+
+    Crash safety: before the base append, a marker records the base and
+    streamed row counts. The append itself only ever ADDS rows, so on
+    restart those two numbers classify the crash point exactly —
+    base unchanged → the append never landed (recovery clears the marker
+    and re-runs the fold); base grew by the full streamed count → the
+    append landed (recovery finishes the batch-dir cleanup); anything
+    else → a partially-committed append, reported with the exact counts
+    and never "fixed" by deleting data. Recovery is AUTOMATIC: calling
+    this function again performs it; nothing in the protocol asks an
+    operator to remove files by hand."""
+    import json
+
+    marker, fs = _marker_path(spark, index_path)
     if fs.exists(marker):
-        raise ValueError(
-            f"compaction marker {marker} exists — a previous compaction "
-            "died between the base append and the batch-dir cleanup, so "
-            "the folded rows may exist BOTH in codes and codes_stream. "
-            "Inspect and remove the surviving batch= dirs (their rows "
-            "were already appended) and the marker before retrying."
-        )
+        return _recover_crashed_compaction(spark, index_path)
     dirs = _batch_dirs(spark, _stream_dir(index_path))
     if not dirs:
         return 0
-    streamed = read_streamed_codes(spark, index_path)
+    # one materialization feeds the count AND the append (the tail the
+    # compactor exists to bound shouldn't be scanned twice)
+    streamed = read_streamed_codes(spark, index_path).localCheckpoint(
+        eager=True
+    )
     n = streamed.count()
-    fs.create(marker, True).close()
+    base_rows = spark.read.parquet(f"{index_path}/codes").count()
+    out = fs.create(marker, True)
+    out.write(bytearray(json.dumps(
+        {"base_rows": base_rows, "streamed_rows": n}
+    ).encode()))
+    out.close()
     (
         streamed.repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{index_path}/codes")
     )
+    _finish_compaction_cleanup(spark, index_path, dirs)
+    return n
+
+
+def _finish_compaction_cleanup(spark, index_path: str, dirs) -> None:
+    """Post-append tail of the compaction: drop the folded batch dirs,
+    leave the permanent tombstone (keeps the sink's fresh-checkpoint
+    guard armed forever — the checkpoint lives and dies with the index),
+    then clear the marker."""
+    jvm = spark._jvm
+    marker, fs = _marker_path(spark, index_path)
     for d in dirs:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    tomb, _ = _tombstone_path(spark, index_path)
+    if not fs.exists(tomb):
+        fs.create(tomb, True).close()
     fs.delete(marker, False)
-    return n
+
+
+def _recover_crashed_compaction(spark, index_path: str) -> int:
+    """Finish (or safely restart) a compaction whose marker survived a
+    crash, using the row counts the marker recorded — see
+    :func:`ivfpq_index_compact`'s crash-safety note."""
+    import json
+
+    marker, fs = _marker_path(spark, index_path)
+    stream = fs.open(marker)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    info = json.loads(raw or "{}")
+    if "base_rows" not in info:
+        # crash between marker creation and its single write: the append
+        # (which strictly follows the close) cannot have run
+        fs.delete(marker, False)
+        return ivfpq_index_compact(spark, index_path)
+    base, n = int(info["base_rows"]), int(info["streamed_rows"])
+    cur = spark.read.parquet(f"{index_path}/codes").count()
+    if cur == base:
+        # the append never landed: clear the marker and redo the fold
+        fs.delete(marker, False)
+        return ivfpq_index_compact(spark, index_path)
+    if cur == base + n:
+        # the append landed: only the cleanup remains
+        _finish_compaction_cleanup(
+            spark, index_path, _batch_dirs(spark, _stream_dir(index_path))
+        )
+        return n
+    raise ValueError(
+        f"base codes hold {cur} rows but the crashed compaction recorded "
+        f"{base} before appending {n} — the append committed partially "
+        f"(expected {base} or {base + n}). The streamed batch dirs still "
+        "hold every folded row; rebuild the base codes from a backup or "
+        "re-encode the corpus (write_ivfpq_index) rather than deleting "
+        "anything."
+    )
 
 
 def ivfpq_append_sink(
@@ -133,32 +206,34 @@ def ivfpq_append_sink(
     Raises up front when the index is empty (no model to encode against,
     the batch append's contract) and on the family's fresh-checkpoint-
     vs-populated-target mismatch: a fresh checkpoint restarts batch ids
-    at 0 and would overwrite existing streamed batches one by one."""
+    at 0 and would overwrite existing streamed batches — or, after a
+    compaction emptied codes_stream, silently re-encode every
+    already-folded input file (the ``_COMPACTED`` tombstone keeps this
+    guard armed once the batch dirs are gone)."""
     from bigdata2016w_spark.sources.sinks import (
         _ivfpq_frozen_models,
         ivfpq_encode_packed,
     )
 
     spark = emb_stream.sparkSession
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{_stream_dir(index_path)}/_COMPACTING"
-    )
-    if marker.getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    ).exists(marker):
+    marker, fs = _marker_path(spark, index_path)
+    if fs.exists(marker):
         raise ValueError(
-            f"compaction marker {marker} exists — finish the crashed "
-            "compaction (see ivfpq_index_compact) before appending."
+            f"compaction marker {marker} exists — run "
+            "ivfpq_index_compact(spark, index_path) to auto-recover the "
+            "crashed compaction before appending."
         )
     if not _checkpoint_started(spark, checkpoint_dir):
-        existing = _batch_dirs(spark, _stream_dir(index_path))
-        if existing:
+        tomb, _ = _tombstone_path(spark, index_path)
+        if _batch_dirs(spark, _stream_dir(index_path)) or fs.exists(tomb):
             raise ValueError(
-                f"index at {index_path!r} already holds streamed batch= "
-                f"subdirs but checkpoint_dir {checkpoint_dir!r} is fresh "
-                "— batch ids would restart at 0 and overwrite existing "
-                "appends. Reuse the original checkpoint, or compact "
-                "codes_stream into the base index first."
+                f"index at {index_path!r} already received streamed "
+                "appends (live batch= subdirs and/or a _COMPACTED "
+                f"tombstone) but checkpoint_dir {checkpoint_dir!r} is "
+                "fresh — batch ids would restart at 0 and re-encode "
+                "already-ingested input (duplicate code rows per "
+                "vec_id). Reuse the original checkpoint; it lives and "
+                "dies with the index."
             )
     # frozen at sink start: every batch encodes against the SAME models,
     # so a replay of batch N is bit-identical to its first run

@@ -60,6 +60,16 @@ def sketch_maintenance_sink(
     checks via a flat parquet read, which would silently pass on these
     ``batch=N/cms|hll`` subtrees."""
     spark = keys_stream.sparkSession
+    marker = _compaction_marker(spark, target_dir)
+    if marker.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    ).exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — batches written now "
+            "would be swept up by the crashed compaction's recovery; "
+            "run compact_sketch_batches(spark, target_dir) to "
+            "auto-recover before restarting the stream."
+        )
     if not _checkpoint_started(spark, checkpoint_dir):
         existing = _batch_dirs(spark, target_dir)
         if existing:
@@ -116,8 +126,9 @@ def _read_partials(
     if marker.getFileSystem(hconf).exists(marker):
         raise ValueError(
             f"compaction marker {marker} exists — a compaction died "
-            "mid-way, so merging now would double-count the folded "
-            "batches; recover per compact_sketch_batches first."
+            "mid-way, so merging now could double-count; run "
+            "compact_sketch_batches(spark, target_dir) to auto-recover, "
+            "then read again."
         )
     batch_dirs = _batch_dirs(spark, target_dir)
     paths = []
@@ -131,13 +142,27 @@ def _read_partials(
         else:
             missing.append(d)
     if strict and paths and missing:
+        newest = max(batch_dirs,
+                     key=lambda d: int(d.rsplit("batch=", 1)[1]))
+        if missing == [newest]:
+            # the sink writes this partial LAST, so a gap in only the
+            # newest batch is the signature of an in-flight/crashed
+            # write, not of mixed modes — a replay heals it
+            raise ValueError(
+                f"only the newest batch dir {newest!r} lacks a {sub!r} "
+                "partial — most likely the sink crashed mid-batch. "
+                "Restart the stream with the SAME checkpoint so the "
+                "batch replays and rewrites its partials, then read "
+                "again."
+            )
         raise ValueError(
             f"{len(missing)} of {len(batch_dirs)} batch dirs under "
             f"{target_dir!r} lack a {sub!r} partial (e.g. {missing[0]!r})"
-            " — the stream ran some batches without this sketch enabled;"
-            " merging only the batches that have it would silently "
+            " — the stream ran batches without this sketch enabled, and "
+            "those batches' samples are gone (they were never taken); "
+            "merging only the batches that have one would silently "
             "misrepresent the stream. Re-run from a fresh target with "
-            "the sketch enabled throughout, or compact the old batches."
+            "the sketch enabled throughout."
         )
     if not paths:
         return spark.createDataFrame([], schema)
@@ -145,31 +170,35 @@ def _read_partials(
 
 
 def compact_sketch_batches(spark: SparkSession, target_dir: str) -> int:
-    """Fold every batch's sketch partials into the LOWEST-id batch dir
-    and delete the rest — the periodic job the module docstring promises
-    to bound read-side fan-in (the merges are associative: counters add,
-    registers max, quantile samples keep the k smallest). Returns the
-    number of batch dirs removed (0 = nothing to fold).
+    """Fold every batch's sketch partials into ONE batch dir (the lowest
+    id) and delete the rest — the periodic job the module docstring
+    promises to bound read-side fan-in (the merges are associative:
+    counters add, registers max, quantile samples keep the k smallest).
+    Returns the number of batch dirs removed, net (0 = nothing to fold).
 
     Run against a QUIESCED stream whose last batch committed, and keep
     the original checkpoint: folding into the lowest id means a replay
     of the newest uncommitted batch can never overwrite the folded dir.
-    The merged partials are tiny (d·w + 2^p + k rows), so they are
-    collected and rewritten as literal frames — no self-read-overwrite
-    hazard. Mixed-mode quantile layouts fail fast via the strict read
-    BEFORE anything is rewritten."""
+
+    Crash safety — the fold NEVER overwrites live data in place: the
+    merged partials (tiny: d·w + 2^p + k rows) are first written to a
+    ``_fold`` staging dir; only then is a marker recording the target
+    batch id created, the original batch dirs deleted, and the staging
+    dir renamed into place. A crash before the marker leaves the
+    original dirs untouched (a stale ``_fold`` is simply overwritten
+    next time); a crash after it is finished AUTOMATICALLY by the next
+    call — the staging dir holds the complete fold, so recovery deletes
+    the remaining originals and renames, losing nothing. No step ever
+    asks an operator to remove data by hand. Mixed-mode quantile
+    layouts fail fast via the strict read BEFORE anything is written."""
+    import json
+
     from pyspark.sql import functions as F
 
     marker = _compaction_marker(spark, target_dir)
     fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(marker):
-        raise ValueError(
-            f"compaction marker {marker} exists — a previous compaction "
-            "died between the fold rewrite and the batch-dir cleanup, "
-            "so the lowest batch dir already holds the folded totals "
-            "while later dirs still hold their partials. Delete the "
-            "surviving later batch= dirs and the marker, then retry."
-        )
+        return _recover_sketch_compaction(spark, target_dir)
     dirs = _batch_dirs(spark, target_dir)
     if len(dirs) < 2:
         return 0
@@ -184,30 +213,80 @@ def compact_sketch_batches(spark: SparkSession, target_dir: str) -> int:
         .groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
     )
     qsk_rows = qsk.orderBy("h", "x").limit(QSK_K).collect()
-    has_qsk = bool(qsk_rows)
-    low = min(dirs, key=lambda d: int(d.rsplit("batch=", 1)[1]))
-    fs.create(marker, True).close()
+    low_id = min(int(d.rsplit("batch=", 1)[1]) for d in dirs)
+    fold = f"{target_dir}/_fold"
     spark.createDataFrame(
         [tuple(r) for r in cms] or [], CMS_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(f"{low}/cms")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{fold}/cms")
     spark.createDataFrame(
         [tuple(r) for r in hll] or [], HLL_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(f"{low}/hll")
-    if has_qsk:
+    ).coalesce(1).write.mode("overwrite").parquet(f"{fold}/hll")
+    if qsk_rows:
         spark.createDataFrame(
             [tuple(r) for r in qsk_rows], QSK_SCHEMA
-        ).coalesce(1).write.mode("overwrite").parquet(f"{low}/qsk")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{fold}/qsk")
+    out = fs.create(marker, True)
+    out.write(bytearray(json.dumps({"low_id": low_id}).encode()))
+    out.close()
+    _finish_sketch_fold(spark, target_dir, low_id, dirs)
+    return len(dirs) - 1
+
+
+def _finish_sketch_fold(spark, target_dir: str, low_id: int,
+                        dirs: list[str] | None = None) -> None:
+    """Post-staging tail of the fold: delete the original batch dirs
+    (exactly the set that was folded when the caller knows it; recovery
+    re-lists, safe because the marker blocks the sink from adding new
+    batches in between), rename ``_fold`` to ``batch=<low_id>``, clear
+    the marker. When the staging dir is already gone, the rename
+    happened before the crash — ``batch=<low_id>`` IS the folded result
+    and must survive; only stragglers with other ids (there should be
+    none) are dropped."""
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    removed = 0
-    for d in dirs:
-        if d == low:
+    marker = _compaction_marker(spark, target_dir)
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fold = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/_fold")
+    fold_pending = fs.exists(fold)
+    for d in (dirs if dirs is not None
+              else _batch_dirs(spark, target_dir)):
+        if not fold_pending and d.endswith(f"batch={low_id}"):
             continue
         p = jvm.org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(hconf).delete(p, True)
-        removed += 1
+        fs.delete(p, True)
+    if fold_pending:
+        fs.rename(fold, jvm.org.apache.hadoop.fs.Path(
+            f"{target_dir}/batch={low_id}"
+        ))
     fs.delete(marker, False)
-    return removed
+
+
+def _recover_sketch_compaction(spark, target_dir: str) -> int:
+    """Finish a fold whose marker survived a crash: the marker is only
+    created once the ``_fold`` staging dir holds the COMPLETE merge, so
+    recovery just replays the cleanup/rename tail (idempotent — a crash
+    after the rename but before the marker delete leaves no ``_fold``
+    and the rename is skipped)."""
+    import json
+
+    marker = _compaction_marker(spark, target_dir)
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(marker)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    info = json.loads(raw or "{}")
+    if "low_id" not in info:
+        # crash between marker creation and its single write: the
+        # cleanup (which strictly follows the close) cannot have run and
+        # the originals are intact — clear the marker and fold normally
+        fs.delete(marker, False)
+        return compact_sketch_batches(spark, target_dir)
+    removed = len(_batch_dirs(spark, target_dir))
+    _finish_sketch_fold(spark, target_dir, int(info["low_id"]))
+    return max(removed - 1, 0)
 
 
 def _compaction_marker(spark: SparkSession, target_dir: str):

@@ -603,6 +603,9 @@ def test_ivfpq_streamed_probe_prunes_both_scan_sides(spark, sf_dir, tmp_path):
     locations = " ".join(pruned_scans)
     assert "idx/codes]" in locations            # base partitions pruned
     assert "idx/codes_stream" in locations      # streamed batch pruned
+
+
+def test_lpa_round_argmax_is_agg_pairs_never_window(spark):
     """One LPA round must plan as the claimed shape (_lpa_round's doc):
     a partial+final HashAggregate pair for the (id, label) counts and a
     partial+final SortAggregate pair for the struct-max argmax (partial

@@ -971,7 +971,7 @@ def test_ivfpq_append_sink_bit_exact_and_replay_safe(spark, sf_dir, tmp_path):
         spark.readStream.schema("vec_id bigint, embedding array<float>")
         .parquet(str(sdir))
     )
-    with _pytest.raises(ValueError, match="streamed batch="):
+    with _pytest.raises(ValueError, match="streamed appends"):
         ivfpq_append_sink(src, idx_stream, str(tmp_path / "fresh_ckpt"))
 
     # empty index: no model to encode against, refuse at sink start
@@ -987,9 +987,11 @@ def test_ivfpq_append_sink_bit_exact_and_replay_safe(spark, sf_dir, tmp_path):
 def test_ivfpq_index_compact_folds_stream_into_base(spark, sf_dir, tmp_path):
     """Compaction must fold the streamed tail into the base cell
     partitions EXACTLY (a base-only probe afterwards equals the batch-
-    append index), leave codes_stream empty, no-op on a second run, and
-    refuse everything — compact, append sink, streamed read — while a
-    crashed compaction's marker survives."""
+    append index), leave codes_stream's batch dirs empty, no-op on a
+    second run, keep the fresh-checkpoint guard ARMED via the permanent
+    tombstone, and auto-recover from every crash point its marker
+    records — finishing, never destroying."""
+    import json
     import os
     import shutil
 
@@ -1029,8 +1031,14 @@ def test_ivfpq_index_compact_folds_stream_into_base(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n_streamed = read_streamed_codes(spark, idx).count()
     assert n_streamed > 0
+    base_rows = spark.read.parquet(f"{idx}/codes").count()
 
+    # CRASH 1: marker written (counts recorded), append never landed —
+    # recovery must re-run the full fold, not delete anything
+    with open(f"{idx}/codes_stream/_COMPACTING", "w") as fh:
+        json.dump({"base_rows": base_rows, "streamed_rows": n_streamed}, fh)
     assert ivfpq_index_compact(spark, idx) == n_streamed
+    assert not os.path.exists(f"{idx}/codes_stream/_COMPACTING")
     assert read_streamed_codes(spark, idx).collect() == []
     assert ivfpq_index_compact(spark, idx) == 0  # second run: no-op
 
@@ -1042,72 +1050,146 @@ def test_ivfpq_index_compact_folds_stream_into_base(spark, sf_dir, tmp_path):
                                 ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
-    # a crashed compaction's marker blocks every entry point loudly
-    os.makedirs(f"{idx}/codes_stream", exist_ok=True)
-    open(f"{idx}/codes_stream/_COMPACTING", "w").close()
-    with _pytest.raises(ValueError, match="marker"):
-        ivfpq_index_compact(spark, idx)
-    with _pytest.raises(ValueError, match="marker"):
-        read_streamed_codes(spark, idx)
+    # tombstone: the batch dirs are gone, but a FRESH checkpoint must
+    # still be refused — it would re-encode every already-folded file
     src2 = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
         .parquet(str(sdir))
     )
-    with _pytest.raises(ValueError, match="marker"):
-        ivfpq_append_sink(src2, idx, str(tmp_path / "ckpt2"))
+    assert os.path.exists(f"{idx}/codes_stream/_COMPACTED")
+    with _pytest.raises(ValueError, match="tombstone"):
+        ivfpq_append_sink(src2, idx, str(tmp_path / "fresh_ckpt"))
+
+    # CRASH 2: append landed, cleanup didn't — the marker's counts
+    # identify it; recovery finishes the cleanup without re-appending
+    idx2 = str(tmp_path / "idx2")
+    write_ivfpq_index(base, idx2)
+    src3 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    ivfpq_append_sink(src3, idx2, str(tmp_path / "ckpt2")
+                      ).awaitTermination()
+    b2 = spark.read.parquet(f"{idx2}/codes").count()
+    n2 = read_streamed_codes(spark, idx2).count()
+    read_streamed_codes(spark, idx2).repartition("cell").write.mode(
+        "append").partitionBy("cell").parquet(f"{idx2}/codes")
+    with open(f"{idx2}/codes_stream/_COMPACTING", "w") as fh:
+        json.dump({"base_rows": b2, "streamed_rows": n2}, fh)
+    # entry points refuse while the marker stands, pointing at recovery
+    with _pytest.raises(ValueError, match="auto-recover"):
+        read_streamed_codes(spark, idx2)
+    src4 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    with _pytest.raises(ValueError, match="auto-recover"):
+        ivfpq_append_sink(src4, idx2, str(tmp_path / "ckpt3"))
+    assert ivfpq_index_compact(spark, idx2) == n2
+    assert spark.read.parquet(f"{idx2}/codes").count() == b2 + n2
+    got2 = knn_ivfpq_from_index(spark, idx2, queries, k=10, n_probe=4
+                                ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
+
+    # CRASH 3: a partially-committed append (counts match neither state)
+    # must raise with the exact numbers and never advise deletion
+    idx3 = str(tmp_path / "idx3")
+    write_ivfpq_index(base, idx3)
+    os.makedirs(f"{idx3}/codes_stream/batch=0", exist_ok=True)
+    shutil.copytree(f"{idx2}/codes_stream", f"{idx3}/codes_stream",
+                    dirs_exist_ok=True)
+    with open(f"{idx3}/codes_stream/_COMPACTING", "w") as fh:
+        json.dump({"base_rows": 1, "streamed_rows": 1}, fh)
+    with _pytest.raises(ValueError, match="committed partially"):
+        ivfpq_index_compact(spark, idx3)
 
 
 def test_compact_sketch_batches_preserves_all_merges(spark, tmp_path):
     """Folding N batch dirs into one must leave every merged reader's
     output IDENTICAL (the merges are associative), remove the later
-    dirs, no-op when only one dir remains, and fail fast everywhere
-    while a crashed compaction's marker survives."""
+    dirs, and no-op when only one dir remains. A crashed compaction
+    blocks the readers and the sink until the next compact call
+    auto-recovers it — from both recorded crash points (staging written
+    but not renamed; renamed but marker not cleared) — without losing a
+    single partial."""
+    import json
+    import os
+    import shutil
+
     import pytest as _pytest
 
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
     from bigdata2016w_spark.streaming.sketch_sink import (
         compact_sketch_batches,
         read_merged_cms,
         read_merged_hll,
         read_merged_quantile_sample,
+        sketch_maintenance_sink,
     )
 
-    target = str(tmp_path / "sk")
-    for b in range(3):
-        spark.createDataFrame(
-            [(0, 1, 5 + b), (1, 2, 7 * (b + 1))],
-            "j int, slot int, cnt bigint",
-        ).write.parquet(f"{target}/batch={b}/cms")
-        spark.createDataFrame(
-            [(3, 4 + b), (b, 9)], "bucket int, rho int"
-        ).write.parquet(f"{target}/batch={b}/hll")
-        spark.createDataFrame(
-            [(100 * b + i, float(i)) for i in range(5)],
-            "h bigint, x double",
-        ).write.parquet(f"{target}/batch={b}/qsk")
+    def _plant(target):
+        for b in range(3):
+            spark.createDataFrame(
+                [(0, 1, 5 + b), (1, 2, 7 * (b + 1))],
+                "j int, slot int, cnt bigint",
+            ).write.parquet(f"{target}/batch={b}/cms")
+            spark.createDataFrame(
+                [(3, 4 + b), (b, 9)], "bucket int, rho int"
+            ).write.parquet(f"{target}/batch={b}/hll")
+            spark.createDataFrame(
+                [(100 * b + i, float(i)) for i in range(5)],
+                "h bigint, x double",
+            ).write.parquet(f"{target}/batch={b}/qsk")
 
-    want_cms = sorted(map(tuple, read_merged_cms(spark, target).collect()))
-    want_hll = sorted(map(tuple, read_merged_hll(spark, target).collect()))
-    want_qsk = sorted(map(tuple, read_merged_quantile_sample(
-        spark, target).collect()))
+    def _merged(target):
+        return (
+            sorted(map(tuple, read_merged_cms(spark, target).collect())),
+            sorted(map(tuple, read_merged_hll(spark, target).collect())),
+            sorted(map(tuple, read_merged_quantile_sample(
+                spark, target).collect())),
+        )
+
+    target = str(tmp_path / "sk")
+    _plant(target)
+    want = _merged(target)
 
     assert compact_sketch_batches(spark, target) == 2
-    from bigdata2016w_spark.streaming.ingest import _batch_dirs
-
     dirs = _batch_dirs(spark, target)
     assert len(dirs) == 1 and dirs[0].endswith("batch=0")
-    assert sorted(map(tuple, read_merged_cms(spark, target).collect())) \
-        == want_cms
-    assert sorted(map(tuple, read_merged_hll(spark, target).collect())) \
-        == want_hll
-    assert sorted(map(tuple, read_merged_quantile_sample(
-        spark, target).collect())) == want_qsk
+    assert _merged(target) == want
     assert compact_sketch_batches(spark, target) == 0  # single dir: no-op
 
-    open(f"{target}/_COMPACTING", "w").close()
-    with _pytest.raises(ValueError, match="marker"):
-        compact_sketch_batches(spark, target)
-    with _pytest.raises(ValueError, match="marker"):
-        read_merged_cms(spark, target).collect()
+    # CRASH A: staging fold complete, marker written, originals not yet
+    # deleted — readers and the sink refuse; the next compact finishes
+    target2 = str(tmp_path / "sk2")
+    _plant(target2)
+    shutil.copytree(f"{target}/batch=0", f"{target2}/_fold")
+    with open(f"{target2}/_COMPACTING", "w") as fh:
+        json.dump({"low_id": 0}, fh)
+    with _pytest.raises(ValueError, match="auto-recover"):
+        read_merged_cms(spark, target2).collect()
+    (tmp_path / "in_unread2").mkdir()
+    src = (
+        spark.readStream.schema("user_id long")
+        .parquet(str(tmp_path / "in_unread2"))
+    )
+    with _pytest.raises(ValueError, match="auto-recover"):
+        sketch_maintenance_sink(src, target2, str(tmp_path / "ck2"),
+                                "user_id")
+    assert compact_sketch_batches(spark, target2) == 2
+    assert not os.path.exists(f"{target2}/_fold")
+    assert not os.path.exists(f"{target2}/_COMPACTING")
+    assert _merged(target2) == want
+
+    # CRASH B: rename already happened, only the marker survives — the
+    # folded batch=0 must NOT be deleted by recovery
+    target3 = str(tmp_path / "sk3")
+    shutil.copytree(f"{target}/batch=0", f"{target3}/batch=0")
+    with open(f"{target3}/_COMPACTING", "w") as fh:
+        json.dump({"low_id": 0}, fh)
+    compact_sketch_batches(spark, target3)
+    assert not os.path.exists(f"{target3}/_COMPACTING")
+    assert _merged(target3) == want
 
 
 def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
@@ -1140,3 +1222,16 @@ def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
         read_merged_quantile_sample(spark, str(target)).collect()
     # the counter reader is unaffected by the qsk gap
     assert read_merged_cms(spark, str(target)).count() == 2
+
+    # a gap in ONLY the newest batch is the crashed-mid-batch signature
+    # (the sink writes qsk last): the error must say a replay heals it,
+    # not advise abandoning the target
+    target2 = tmp_path / "sk_inflight"
+    spark.createDataFrame([(0, 1, 5)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target2 / "batch=0" / "cms"))
+    spark.createDataFrame([(123, 4.5)], "h bigint, x double") \
+        .write.parquet(str(target2 / "batch=0" / "qsk"))
+    spark.createDataFrame([(9, 9, 9)], "j int, slot int, cnt bigint") \
+        .write.parquet(str(target2 / "batch=1" / "cms"))
+    with _pytest.raises(ValueError, match="SAME checkpoint"):
+        read_merged_quantile_sample(spark, str(target2)).collect()
