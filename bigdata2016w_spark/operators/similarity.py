@@ -1620,6 +1620,52 @@ def knn_ivfpq_from_index(
     ).select("query_id", "vec_id", "adc_d2")
 
 
+def knn_ivfpq_rerank_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 3,
+    n_probe: int = 4,
+    include_streamed: bool = False,
+) -> DataFrame:
+    """Two-stage ANN served from the PERSISTED index — the production
+    composition of :func:`knn_ivfpq_from_index` (stage 1: ADC shortlist
+    of k·``rerank_factor`` candidates from code bytes in the probed cell
+    directories, optionally including the streaming sink's appended
+    codes) and :func:`knn_ivf_pq_rerank`'s refinement (stage 2: exact
+    cosine over ONLY the shortlist rows, broadcast against the raw
+    ``embeddings`` table — |Q|·k·factor rows of float traffic at any
+    corpus size; a production deployment would point-look-up the
+    shortlist ids in a keyed store). Returns (query_id, vec_id, cosine),
+    k rows per query, ties → lowest vec_id — bit-identical to
+    :func:`knn_ivf_pq_rerank` under the same frozen models (pinned in
+    tests), because the persisted code bytes and LUT arithmetic
+    round-trip parquet exactly."""
+    short = knn_ivfpq_from_index(
+        spark, index_path, queries, k * rerank_factor, n_probe,
+        include_streamed=include_streamed,
+    ).select("query_id", "vec_id")
+    e = embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    )
+    q = queries.where(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    rer = (
+        e.join(broadcast(short), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        rer, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
+
+
 def embedding_cross_near_dupes(
     index: DataFrame,
     probe: DataFrame,

@@ -945,6 +945,69 @@ def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in buf.getvalue()
 
 
+def test_ivfpq_rerank_from_index_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted two-stage path (index ADC shortlist → exact cosine
+    re-rank) must reproduce knn_ivf_pq_rerank bit-exactly on the same
+    corpus — and stay bit-exact when half the corpus arrives through the
+    STREAMING append sink and the shortlist reads base + streamed codes
+    (include_streamed), versus the in-memory pipeline under the same
+    frozen half-trained models."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivf_pq_rerank,
+        knn_ivfpq_rerank_from_index,
+        lloyd_centroids,
+        residual_pq_codebook,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import ivfpq_append_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
+
+    # full-corpus index: same deterministic training as the in-memory op
+    path = str(tmp_path / "full_idx")
+    write_ivfpq_index(emb, path)
+    got = knn_ivfpq_rerank_from_index(
+        spark, path, queries, emb, k=10, n_probe=4
+    ).collect()
+    want = knn_ivf_pq_rerank(emb, qids, k=10, n_cells=16, n_probe=4
+                             ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # half-trained index + streamed other half == in-memory rerank over
+    # the full corpus under the frozen half-trained models
+    first = emb.where(emb.vec_id % 2 == 0)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    grow = str(tmp_path / "grow_idx")
+    write_ivfpq_index(first, grow)
+    w = tmp_path / "w"
+    tail.select("vec_id", "embedding").coalesce(1).write.parquet(str(w))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(next(w.rglob("part-*.parquet")), sdir / "0.parquet")
+    os.utime(sdir / "0.parquet")
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    ivfpq_append_sink(src, grow, str(tmp_path / "ckpt")).awaitTermination()
+    got2 = knn_ivfpq_rerank_from_index(
+        spark, grow, queries, emb, k=10, n_probe=4, include_streamed=True
+    ).collect()
+    cent = lloyd_centroids(first.where(first.embedding.isNotNull()))
+    cb = residual_pq_codebook(first, centroids=cent)
+    want2 = knn_ivf_pq_rerank(
+        emb, qids, k=10, n_cells=16, n_probe=4, codebook=cb,
+        centroids=cent,
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+
+
 def test_ivfpq_index_append_matches_full_inmemory(spark, sf_dir, tmp_path):
     """Train-once, append-forever: an index built on HALF the corpus
     then appended with the other half must search bit-identically to
