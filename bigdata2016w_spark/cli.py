@@ -83,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
              "the shipped text",
     )
 
+    cmpp = sub.add_parser(
+        "compact",
+        help="fold streamed maintenance output to bound read-side "
+             "fan-in: an IVF-PQ index's codes_stream batches into its "
+             "base cell partitions, or a sketch target's batch partials "
+             "into one dir. Also finishes a crashed compaction "
+             "(recovery is automatic and non-destructive).",
+    )
+    cmpp.add_argument("kind", choices=("index", "sketches"),
+                      help="'index': ivfpq_index_compact; "
+                           "'sketches': compact_sketch_batches")
+    cmpp.add_argument("target", help="index path / sketch target dir")
+
     admp = sub.add_parser(
         "admit",
         help="streaming dedup admission: replay a directory of document "
@@ -131,6 +144,27 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         return _export(args)
+
+    if args.cmd == "compact":
+        from bigdata2016w_spark import get_spark
+
+        spark = get_spark(app_name="cli-compact")
+        spark.sparkContext.setLogLevel("WARN")
+        if args.kind == "index":
+            from bigdata2016w_spark.streaming.index_sink import (
+                ivfpq_index_compact,
+            )
+
+            n = ivfpq_index_compact(spark, args.target)
+            print(f"folded {n} streamed code rows into {args.target}/codes")
+        else:
+            from bigdata2016w_spark.streaming.sketch_sink import (
+                compact_sketch_batches,
+            )
+
+            n = compact_sketch_batches(spark, args.target)
+            print(f"removed {n} batch dirs under {args.target}")
+        return 0
 
     if args.cmd == "admit":
         from bigdata2016w_spark import get_spark

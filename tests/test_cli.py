@@ -129,6 +129,67 @@ def test_cli_admit(tmp_path, spark):
     assert "accepted corpus: 3 docs" in p.stdout
 
 
+def test_cli_compact_sketches(tmp_path, spark):
+    """`compact sketches <dir>` must fold planted batch partials into
+    one dir through a real subprocess, preserving the merged counters."""
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.streaming.sketch_sink import read_merged_cms
+
+    target = str(tmp_path / "sk")
+    for b in range(2):
+        spark.createDataFrame(
+            [(0, 1, 5 + b)], "j int, slot int, cnt bigint"
+        ).write.parquet(f"{target}/batch={b}/cms")
+        spark.createDataFrame(
+            [(3, 4 + b)], "bucket int, rho int"
+        ).write.parquet(f"{target}/batch={b}/hll")
+    want = sorted(map(tuple, read_merged_cms(spark, target).collect()))
+    p = _run("compact", "sketches", target)
+    assert p.returncode == 0, p.stderr[-500:]
+    assert "removed 1 batch dirs" in p.stdout
+    assert len(_batch_dirs(spark, target)) == 1
+    assert sorted(map(tuple,
+                      read_merged_cms(spark, target).collect())) == want
+
+
+def test_cli_compact_index(tmp_path, spark):
+    """`compact index <path>` must fold a streamed batch into the base
+    codes through a real subprocess; the folded row count is printed and
+    the streamed read comes back empty."""
+    import shutil
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_append_sink,
+        read_streamed_codes,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    write_ivfpq_index(emb.where(emb.vec_id % 2 == 0), idx)
+    w = tmp_path / "w"
+    emb.where(emb.vec_id % 2 == 1).select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(str(w))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(next(w.rglob("part-*.parquet")), sdir / "0.parquet")
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    ivfpq_append_sink(src, idx, str(tmp_path / "ckpt")).awaitTermination()
+    n = read_streamed_codes(spark, idx).count()
+    assert n > 0
+    base_before = spark.read.parquet(f"{idx}/codes").count()
+
+    p = _run("compact", "index", idx)
+    assert p.returncode == 0, p.stderr[-500:]
+    assert f"folded {n} streamed code rows" in p.stdout
+    assert read_streamed_codes(spark, idx).collect() == []
+    assert spark.read.parquet(f"{idx}/codes").count() == base_before + n
+
+
 def test_cli_export_dedup_tiers(tmp_path, spark):
     """--dedup {jaccard,winnow,exact,semdedup}: each tier's exported
     survivor set (train ∪ test doc_ids) must equal the set derived from
