@@ -429,6 +429,29 @@ def _lloyd_centroid_literals(
     return cent_lit
 
 
+def validated_embeddings(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """The (vec_id, embedding) corpus projection, NULL-filtered and
+    length-GUARDED (``_guard_embedding_dim`` raise_error on any non-NULL
+    length mismatch), materialized ONCE via localCheckpoint.
+
+    This is the validate-once entry point the ANN tiers share (pass the
+    result with ``validated=True``): the guard is a when/raise_error
+    expression, and Catalyst's projection collapse happily inlines it
+    into each consumer — inside the centroid-argmax fold it would be
+    re-evaluated per centroid per row, and every tier re-paid it on its
+    own corpus scan. Materializing the guarded projection evaluates it
+    exactly once per run; downstream plans see a plain column (and read
+    the corpus from checkpointed blocks instead of re-scanning parquet —
+    at cluster scale this is "validate + cache the corpus once per
+    pipeline run", the shared_shingle_sets pattern). A short row still
+    fails loudly — at validation time, where the error belongs."""
+    return (
+        embeddings.where(F.col("embedding").isNotNull())
+        .select("vec_id", _guard_embedding_dim(dim).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def knn_ivf_lloyd(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -437,6 +460,7 @@ def knn_ivf_lloyd(
     n_probe: int = 4,
     n_iter: int = 2,
     dim: int = 64,
+    validated: bool = False,
 ) -> DataFrame:
     """IVF whose coarse quantizer is a distributed Lloyd (KMeans) fit in
     EXACT arithmetic — the DuckDB-oracle-verified twin of the MLlib-backed
@@ -459,10 +483,13 @@ def knn_ivf_lloyd(
     spark = embeddings.sparkSession
     # same in-plan length guard as the PQ tiers: a short non-NULL
     # embedding would otherwise skew the quantized centroid sums silently
-    # (zip over mismatched lengths NULL-pads) instead of failing loudly
-    embeddings = embeddings.where(F.col("embedding").isNotNull()).select(
-        "vec_id", _guard_embedding_dim(dim).alias("embedding")
-    )
+    # (zip over mismatched lengths NULL-pads) instead of failing loudly.
+    # ``validated`` callers pass the validate-once materialization of
+    # :func:`validated_embeddings` — guard and checkpoint already paid.
+    if not validated:
+        embeddings = embeddings.where(F.col("embedding").isNotNull()).select(
+            "vec_id", _guard_embedding_dim(dim).alias("embedding")
+        )
     cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
@@ -471,7 +498,9 @@ def knn_ivf_lloyd(
     # n_iter assignment jobs + the probe all re-read the corpus: pin it
     # once (at cluster scale: cache/shuffle-file reuse across iterations,
     # the same reason PageRank checkpoints its rank table)
-    emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=True)
+    emb = (embeddings if validated
+           else embeddings.select("vec_id", "embedding")
+           .localCheckpoint(eager=True))
     cent_lit = _lloyd_centroid_literals(emb, cent_lit, n_iter, dim)
     assigned = _assign_to_literal_centroids(emb, cent_lit)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
@@ -736,6 +765,7 @@ def pq_d2(a, b) -> Column:
 def _pq_subvectors(
     embeddings: DataFrame, n_subspaces: int, dim: int,
     keep: tuple[str, ...] = ("vec_id",),
+    validated: bool = False,
 ) -> DataFrame:
     """(*keep, m, sv): the M contiguous sub-vectors of each embedding —
     one explode per input row, so all M rows of a vector stay in the
@@ -753,7 +783,13 @@ def _pq_subvectors(
     surface as a fake nearest neighbor. The NULL case rides inside the
     ``when`` condition, not only the filter, because Catalyst may
     collapse this projection with a consumer and evaluate it on
-    pre-filter rows."""
+    pre-filter rows.
+
+    ``validated`` callers already guaranteed non-NULL dim-length rows —
+    either :func:`validated_embeddings`' validate-once materialization
+    or a residual frame whose zip_with output is structurally
+    centroid-length — so the when/raise_error wrapper (which projection
+    collapse would inline into all M slice expressions) is skipped."""
     if dim % n_subspaces:
         raise ValueError(
             f"dim={dim} not divisible by n_subspaces={n_subspaces} — "
@@ -761,24 +797,27 @@ def _pq_subvectors(
             "silently dropped from all PQ distances"
         )
     sd = dim // n_subspaces
-    checked = embeddings.where(F.col("embedding").isNotNull()).select(
-        *keep,
-        F.when(
-            F.col("embedding").isNull() | (F.size("embedding") == dim),
-            F.col("embedding"),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("embedding length "),
-                    F.size("embedding").cast("string"),
-                    F.lit(
-                        f" does not match the PQ geometry "
-                        f"({n_subspaces} subspaces x {sd} dims = {dim})"
-                    ),
+    if validated:
+        checked = embeddings.select(*keep, "embedding")
+    else:
+        checked = embeddings.where(F.col("embedding").isNotNull()).select(
+            *keep,
+            F.when(
+                F.col("embedding").isNull() | (F.size("embedding") == dim),
+                F.col("embedding"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("embedding length "),
+                        F.size("embedding").cast("string"),
+                        F.lit(
+                            f" does not match the PQ geometry "
+                            f"({n_subspaces} subspaces x {sd} dims = {dim})"
+                        ),
+                    )
                 )
-            )
-        ).alias("embedding"),
-    )
+            ).alias("embedding"),
+        )
     return checked.select(
         *keep,
         F.explode(
@@ -820,6 +859,7 @@ def pq_codebook(
     train_n: int = PQ_TRAIN_N,
     init_offset: int = 0,
     n_steps: int = 1,
+    validated: bool = False,
 ) -> DataFrame:
     """Per-subspace PQ codebook (m, code, cv array<double>).
 
@@ -856,7 +896,8 @@ def pq_codebook(
             f"the training sample vec_id < {train_n}"
         )
     sub = _pq_subvectors(
-        embeddings.where(F.col("vec_id") < train_n), n_subspaces, dim
+        embeddings.where(F.col("vec_id") < train_n), n_subspaces, dim,
+        validated=validated,
     )
     cur = sub.where(
         (F.col("vec_id") >= init_offset)
@@ -901,6 +942,7 @@ def pq_encode(
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
     keep: tuple[str, ...] = ("vec_id",),
+    validated: bool = False,
 ) -> DataFrame:
     """(*keep, m, code): each vector's per-subspace nearest-codeword id —
     broadcast codebook, map-side argmin, zero corpus shuffle. This is the
@@ -910,7 +952,8 @@ def pq_encode(
     cbg = codebook.groupBy("m").agg(
         F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
     )
-    sub = _pq_subvectors(embeddings, n_subspaces, dim, keep)
+    sub = _pq_subvectors(embeddings, n_subspaces, dim, keep,
+                         validated=validated)
     return sub.join(broadcast(cbg), "m").select(
         *keep, "m", _argmin_code(F.col("cws"), F.col("sv")).alias("code")
     )
@@ -924,6 +967,7 @@ def knn_pq_adc(
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
     codebook: DataFrame | None = None,
+    validated: bool = False,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: (query_id, vec_id,
     adc_d2), k rows per query, smallest reconstructed squared-L2 first,
@@ -944,18 +988,19 @@ def knn_pq_adc(
     re-execute the codebook build once per broadcast consumer.
     """
     cb = codebook if codebook is not None else _pq_codebook_literal(
-        embeddings, n_codes, n_subspaces, dim
+        embeddings, n_codes, n_subspaces, dim, validated=validated
     )
-    codes = pq_encode(embeddings, cb, n_subspaces, dim)
+    codes = pq_encode(embeddings, cb, n_subspaces, dim, validated=validated)
     qsub = _pq_subvectors(
-        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
+        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim,
+        validated=validated,
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
     return _pq_adc_search(codes, cb, qsub, k)
 
 
 def _pq_codebook_literal(
     embeddings: DataFrame, n_codes: int, n_subspaces: int, dim: int,
-    init_offset: int = 0, n_steps: int = 1,
+    init_offset: int = 0, n_steps: int = 1, validated: bool = False,
 ) -> DataFrame:
     """Train the codebook and re-ship it as a literal DataFrame: M·K rows
     fetched to the driver once (a model fetch, like the IVF centroid
@@ -963,7 +1008,7 @@ def _pq_codebook_literal(
     re-execute it once per broadcast consumer."""
     cb_rows = pq_codebook(
         embeddings, n_codes, n_subspaces, dim, init_offset=init_offset,
-        n_steps=n_steps,
+        n_steps=n_steps, validated=validated,
     ).collect()
     return embeddings.sparkSession.createDataFrame(
         [(int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
@@ -1169,6 +1214,7 @@ def knn_ivf_pq(
     n_subspaces: int = PQ_SUBSPACES,
     dim: int = 64,
     codebook: DataFrame | None = None,
+    validated: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production ANN shape — a coarse inverted file bounds
     the scan FRACTION (n_probe/n_cells of cells touched) while product
@@ -1188,7 +1234,8 @@ def knn_ivf_pq(
     map-side, so the only shuffle is |Q|·(probed candidates) skinny
     partial rows plus the two-stage top-k."""
     spark = embeddings.sparkSession
-    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    if not validated:
+        embeddings = embeddings.where(F.col("embedding").isNotNull())
     cent_lit = _seed_centroid_literals(embeddings, n_cells)
     if not cent_lit:
         return spark.createDataFrame(
@@ -1201,10 +1248,10 @@ def knn_ivf_pq(
     # through its subvector explode, so assignment and encoding share a
     # single corpus scan
     cb = codebook if codebook is not None else _pq_codebook_literal(
-        embeddings, n_codes, n_subspaces, dim
+        embeddings, n_codes, n_subspaces, dim, validated=validated
     )
     codes = pq_encode(assigned, cb, n_subspaces, dim,
-                      keep=("vec_id", "cell"))
+                      keep=("vec_id", "cell"), validated=validated)
 
     q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1224,7 +1271,8 @@ def knn_ivf_pq(
         .select("query_id", "cell")
     )
     qsub = _pq_subvectors(
-        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim
+        embeddings.where(F.col("vec_id").isin(*query_ids)), n_subspaces, dim,
+        validated=validated,
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
     lut = qsub.join(broadcast(cb), "m").select(
         "query_id", "m", "code", pq_d2(F.col("qsv"), F.col("cv")).alias("lut_d2")
@@ -1242,7 +1290,8 @@ def knn_ivf_pq(
 
 
 def _ivf_residual_frame(
-    assigned: DataFrame, cent: DataFrame, dim: int
+    assigned: DataFrame, cent: DataFrame, dim: int,
+    validated: bool = False,
 ) -> DataFrame:
     """(vec_id, cell, embedding): each vector replaced by its residual
     against its assigned cell's centroid — the IVFPQ decomposition
@@ -1256,11 +1305,17 @@ def _ivf_residual_frame(
     so the residual of a short vector is full-length and would sail
     through _pq_subvectors' shared guard, NULL out its pq_d2 terms, and
     encode to the lowest codeword (the exact fake-neighbor failure the
-    guard exists to stop)."""
+    guard exists to stop). ``validated`` callers already paid the guard
+    once (:func:`validated_embeddings`), so the zip reads a plain
+    column — keeping the raise_error expression out of the encode
+    argmin, where projection collapse would re-evaluate it per
+    codeword."""
+    emb_col = (F.col("embedding") if validated
+               else _guard_embedding_dim(dim))
     return assigned.join(broadcast(cent), "cell").select(
         "vec_id", "cell",
         F.zip_with(
-            _guard_embedding_dim(dim), F.col("centroid"),
+            emb_col, F.col("centroid"),
             lambda x, c: x.cast("double") - c,
         ).alias("embedding"),
     )
@@ -1291,6 +1346,7 @@ def lloyd_centroids(
     n_cells: int = 16,
     n_iter: int = 2,
     dim: int = 64,
+    validated: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Seed centroids Lloyd-refined over the (NULL-filtered) corpus —
     the exact-arithmetic coarse quantizer of :func:`knn_ivf_lloyd`,
@@ -1310,14 +1366,20 @@ def lloyd_centroids(
     of re-fitting per query."""
     # shared PQ length guard, applied BEFORE the fit: a short non-NULL
     # embedding silently skews the quantized centroid means (and an
-    # all-short cell only surfaces as a later driver-side KeyError)
-    e = embeddings.where(F.col("embedding").isNotNull()).select(
-        "vec_id", _guard_embedding_dim(dim).alias("embedding")
-    )
+    # all-short cell only surfaces as a later driver-side KeyError).
+    # ``validated`` callers pass :func:`validated_embeddings`' output —
+    # guard and checkpoint already paid once for the whole run.
+    if validated:
+        e = emb = embeddings
+    else:
+        e = embeddings.where(F.col("embedding").isNotNull()).select(
+            "vec_id", _guard_embedding_dim(dim).alias("embedding")
+        )
     seed = _seed_centroid_literals(e, n_cells)
     if not seed:
         return []
-    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if not validated:
+        emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
     return _lloyd_centroid_literals(emb, seed, n_iter, dim)
 
 
@@ -1334,6 +1396,7 @@ def residual_pq_codebook(
     n_iter: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
     n_steps: int = PQ_RES_STEPS,
+    validated: bool = False,
 ) -> DataFrame | None:
     """Train the residual PQ codebook (the knn_ivf_pq_residual model) as
     a literal DataFrame, or None on an empty corpus. The codebook
@@ -1350,9 +1413,11 @@ def residual_pq_codebook(
     degenerate (n_iter=0) quantizer — whose seed-centroid residuals are
     all-zero vectors — can never seed every codeword identically (see
     pq_codebook's init_offset note)."""
-    e = embeddings.where(F.col("embedding").isNotNull())
+    e = (embeddings if validated
+         else embeddings.where(F.col("embedding").isNotNull()))
     cent_lit = (centroids if centroids is not None
-                else lloyd_centroids(e, n_cells, n_iter, dim))
+                else lloyd_centroids(e, n_cells, n_iter, dim,
+                                     validated=validated))
     if not cent_lit:
         return None
     cent = e.sparkSession.createDataFrame(
@@ -1360,11 +1425,13 @@ def residual_pq_codebook(
     )
     bounded = e.where(F.col("vec_id") < train_n)
     res = _ivf_residual_frame(
-        _assign_to_literal_centroids(bounded, cent_lit), cent, dim
+        _assign_to_literal_centroids(bounded, cent_lit), cent, dim,
+        validated=validated,
     )
+    # res rows are structurally dim-length (guard ran before the zip)
     return _pq_codebook_literal(
         res, n_codes, n_subspaces, dim, init_offset=n_cells,
-        n_steps=n_steps,
+        n_steps=n_steps, validated=True,
     )
 
 
@@ -1380,6 +1447,7 @@ def knn_ivf_pq_residual(
     codebook: DataFrame | None = None,
     n_iter: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
+    validated: bool = False,
 ) -> DataFrame:
     """Residual-aware IVF-PQ — the standard IVFPQ formulation (Jégou et
     al., TPAMI'11 §III): the coarse quantizer is the exact-arithmetic
@@ -1404,9 +1472,11 @@ def knn_ivf_pq_residual(
     stays closed-form and oracle-replayable (the oracle unrolls both the
     Lloyd rounds and the codebook steps as CTEs, the PageRank trick)."""
     spark = embeddings.sparkSession
-    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    if not validated:
+        embeddings = embeddings.where(F.col("embedding").isNotNull())
     cent_lit = (centroids if centroids is not None
-                else lloyd_centroids(embeddings, n_cells, n_iter, dim))
+                else lloyd_centroids(embeddings, n_cells, n_iter, dim,
+                                     validated=validated))
     if not cent_lit:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_d2 long"
@@ -1415,13 +1485,15 @@ def knn_ivf_pq_residual(
     if codebook is None:
         codebook = residual_pq_codebook(
             embeddings, n_cells, n_codes, n_subspaces, dim, n_iter=n_iter,
-            centroids=cent_lit,
+            centroids=cent_lit, validated=validated,
         )
     res = _ivf_residual_frame(
-        _assign_to_literal_centroids(embeddings, cent_lit), cent, dim
+        _assign_to_literal_centroids(embeddings, cent_lit), cent, dim,
+        validated=validated,
     )
+    # res rows are structurally dim-length (guard ran before the zip)
     codes = pq_encode(res, codebook, n_subspaces, dim,
-                      keep=("vec_id", "cell"))
+                      keep=("vec_id", "cell"), validated=True)
 
     q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1451,8 +1523,9 @@ def knn_ivf_pq_residual(
             lambda x, c: x.cast("double") - c,
         ).alias("embedding"),
     )
+    # qres rows are structurally dim-length (q_emb guard ran pre-zip)
     qsub = _pq_subvectors(qres, n_subspaces, dim,
-                          keep=("query_id", "cell"))
+                          keep=("query_id", "cell"), validated=True)
     lut = qsub.join(broadcast(codebook), "m").select(
         "query_id", "cell", "m", "code",
         pq_d2(F.col("sv"), F.col("cv")).alias("lut_d2"),
@@ -1481,6 +1554,7 @@ def knn_ivf_pq_rerank(
     codebook: DataFrame | None = None,
     n_iter: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
+    validated: bool = False,
 ) -> DataFrame:
     """Two-stage ANN — the standard production refinement (Jégou et al.
     §V-C): :func:`knn_ivf_pq_residual` produces a k·``rerank_factor``
@@ -1501,10 +1575,11 @@ def knn_ivf_pq_rerank(
     short = knn_ivf_pq_residual(
         embeddings, query_ids, k * rerank_factor, n_cells, n_probe,
         n_codes, n_subspaces, dim, codebook, n_iter, centroids,
+        validated=validated,
     ).select("query_id", "vec_id")
-    e = embeddings.where(F.col("embedding").isNotNull()).select(
-        "vec_id", "embedding"
-    )
+    e = (embeddings if validated
+         else embeddings.where(F.col("embedding").isNotNull())
+         ).select("vec_id", "embedding")
     q = e.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1583,8 +1658,9 @@ def knn_ivfpq_from_index(
             lambda x, c: x.cast("double") - c,
         ).alias("embedding"),
     )
+    # qres rows are structurally dim-length (q_emb guard ran pre-zip)
     qsub = _pq_subvectors(qres, n_subspaces, dim,
-                          keep=("query_id", "cell"))
+                          keep=("query_id", "cell"), validated=True)
     lut = qsub.join(broadcast(cb), "m").select(
         "query_id", "cell", "m", "code",
         pq_d2(F.col("sv"), F.col("cv")).alias("lut_d2"),

@@ -826,8 +826,9 @@ def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_lloyd
 
     return knn_ivf_lloyd(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        _shared_valid_embeddings(spark, sf_dir), KNN_QUERY_IDS, KNN_K,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, n_iter=_LLOYD_ITERS,
+        validated=True,
     )
 
 
@@ -944,7 +945,8 @@ def _shared_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _PQ_CB_CACHE.get(key)
     if cb is None:
         cb = _pq_codebook_literal(
-            load_table(spark, sf_dir, "embeddings"), PQ_CODES, PQ_SUBSPACES, 64
+            _shared_valid_embeddings(spark, sf_dir), PQ_CODES, PQ_SUBSPACES,
+            64, validated=True,
         )
         _PQ_CB_CACHE[key] = cb
     return cb
@@ -954,8 +956,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_pq_adc
 
     return knn_pq_adc(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
-        codebook=_shared_pq_codebook(spark, sf_dir),
+        _shared_valid_embeddings(spark, sf_dir), KNN_QUERY_IDS, KNN_K,
+        codebook=_shared_pq_codebook(spark, sf_dir), validated=True,
     )
 
 
@@ -1072,9 +1074,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_pq
 
     return knn_ivf_pq(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        _shared_valid_embeddings(spark, sf_dir), KNN_QUERY_IDS, KNN_K,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        codebook=_shared_pq_codebook(spark, sf_dir),
+        codebook=_shared_pq_codebook(spark, sf_dir), validated=True,
     )
 
 
@@ -1145,6 +1147,25 @@ register(QuerySpec("ann_ivf_pq", ann_ivf_pq, _ANN_IVF_PQ_SQL,
 # encoder and the probe all consume the same literals.
 _LLOYD_CENT_CACHE: dict[tuple[str, str], list] = {}
 _PQ_RES_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
+_VALID_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validate-once corpus projection the ANN tiers share
+    (operators/similarity.validated_embeddings): the length guard is a
+    raise_error expression that projection collapse would otherwise
+    inline into each tier's centroid/codeword folds and re-evaluate per
+    row per fold arm, and every tier would re-scan parquet to pay it.
+    One materialization per (session, sf_dir) — the
+    shared_shingle_sets pattern applied to the embedding corpus."""
+    from bigdata2016w_spark.operators.similarity import validated_embeddings
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    emb = _VALID_EMB_CACHE.get(key)
+    if emb is None:
+        emb = validated_embeddings(load_table(spark, sf_dir, "embeddings"))
+        _VALID_EMB_CACHE[key] = emb
+    return emb
 
 
 def _shared_lloyd_centroids(spark: SparkSession, sf_dir: str) -> list:
@@ -1154,8 +1175,8 @@ def _shared_lloyd_centroids(spark: SparkSession, sf_dir: str) -> list:
     cent = _LLOYD_CENT_CACHE.get(key)
     if cent is None:
         cent = lloyd_centroids(
-            load_table(spark, sf_dir, "embeddings"),
-            n_cells=_IVF_CELLS, n_iter=_LLOYD_ITERS,
+            _shared_valid_embeddings(spark, sf_dir),
+            n_cells=_IVF_CELLS, n_iter=_LLOYD_ITERS, validated=True,
         )
         _LLOYD_CENT_CACHE[key] = cent
     return cent
@@ -1168,9 +1189,10 @@ def _shared_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _PQ_RES_CB_CACHE.get(key)
     if cb is None:
         cb = residual_pq_codebook(
-            load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS,
+            _shared_valid_embeddings(spark, sf_dir), n_cells=_IVF_CELLS,
             n_iter=_LLOYD_ITERS,
             centroids=_shared_lloyd_centroids(spark, sf_dir),
+            validated=True,
         )
         _PQ_RES_CB_CACHE[key] = cb
     return cb
@@ -1180,11 +1202,12 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_pq_residual
 
     return knn_ivf_pq_residual(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        _shared_valid_embeddings(spark, sf_dir), KNN_QUERY_IDS, KNN_K,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         codebook=_shared_residual_pq_codebook(spark, sf_dir),
         n_iter=_LLOYD_ITERS,
         centroids=_shared_lloyd_centroids(spark, sf_dir),
+        validated=True,
     )
 
 
@@ -1295,12 +1318,13 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_pq_rerank
 
     return knn_ivf_pq_rerank(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        _shared_valid_embeddings(spark, sf_dir), KNN_QUERY_IDS, KNN_K,
         rerank_factor=RERANK_FACTOR,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         codebook=_shared_residual_pq_codebook(spark, sf_dir),
         n_iter=_LLOYD_ITERS,
         centroids=_shared_lloyd_centroids(spark, sf_dir),
+        validated=True,
     )
 
 

@@ -343,7 +343,24 @@ def ivfpq_index_append(spark, index_path: str,
     index raises: there is no model to encode against. NOT replay-safe
     by itself (a retried append doubles its rows) — a streaming caller
     uses ``streaming.index_sink.ivfpq_append_sink``, whose batch-stamped
-    overwrite layout makes each micro-batch's append idempotent."""
+    overwrite layout makes each micro-batch's append idempotent.
+
+    Refuses while a crashed compaction's ``_COMPACTING`` marker stands
+    (same guard as the streaming sink): an append into ``codes`` would
+    shift the base row count the marker recorded, so recovery could no
+    longer classify the crash point — at worst (batch size exactly equal
+    to the unfolded streamed rows) it would mis-read the fold as landed
+    and delete unfolded batch dirs. Run ``ivfpq_index_compact`` to
+    auto-recover first."""
+    from bigdata2016w_spark.streaming.index_sink import _marker_path
+
+    marker, fs = _marker_path(spark, index_path)
+    if fs.exists(marker):
+        raise ValueError(
+            f"compaction marker {marker} exists — run "
+            "ivfpq_index_compact(spark, index_path) to auto-recover the "
+            "crashed compaction before appending."
+        )
     cent_lit, cent, cb, n_subspaces, dim = _ivfpq_frozen_models(
         spark, index_path
     )

@@ -87,8 +87,12 @@ def ivfpq_index_compact(spark: SparkSession, index_path: str) -> int:
     job that bounds probe-side fan-in as the streamed tail grows.
     Returns the number of code rows folded (0 = nothing to compact).
 
-    Run against a QUIESCED stream whose last batch committed, and keep
-    using the ORIGINAL checkpoint afterwards — a fresh checkpoint would
+    Run against a QUIESCED stream whose last batch committed — and with
+    no concurrent BATCH appends either (``sources.sinks
+    .ivfpq_index_append`` refuses while the marker stands, but an append
+    that starts before the marker lands would shift the recorded base
+    row count mid-fold) — and keep using the ORIGINAL checkpoint
+    afterwards — a fresh checkpoint would
     re-process every input file and re-encode vectors that now live in
     the base partitions. The sink enforces that even after the batch
     dirs are gone: compaction leaves a permanent ``_COMPACTED``
@@ -163,7 +167,15 @@ def _recover_crashed_compaction(spark, index_path: str) -> int:
         )
     finally:
         stream.close()
-    info = json.loads(raw or "{}")
+    try:
+        info = json.loads(raw or "{}")
+    except json.JSONDecodeError:
+        # torn marker write (crash mid-write left partial JSON): same
+        # classification as the missing-key case below — close() never
+        # completed, so the append that strictly follows it cannot have
+        # run; recovery is clear-and-refold, never an unhandled parse
+        # error (the 'recovery is automatic' contract)
+        info = {}
     if "base_rows" not in info:
         # crash between marker creation and its single write: the append
         # (which strictly follows the close) cannot have run

@@ -213,6 +213,19 @@ def compact_sketch_batches(spark: SparkSession, target_dir: str) -> int:
         .groupBy("bucket").agg(F.max("rho").alias("rho")).collect()
     )
     qsk_rows = qsk.orderBy("h", "x").limit(QSK_K).collect()
+    # the fold must mirror the stream's MODE, not this window's data: a
+    # value_col stream whose batches all carried zero rows still has qsk
+    # dirs everywhere, and omitting the folded one would make a later
+    # strict read see batch=<low_id> as mode-less next to newer batches
+    # and raise the mixed-mode error on a stream that never mixed modes
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    had_qsk = any(
+        (lambda p: p.getFileSystem(hconf).exists(p))(
+            jvm.org.apache.hadoop.fs.Path(f"{d}/qsk")
+        )
+        for d in dirs
+    )
     low_id = min(int(d.rsplit("batch=", 1)[1]) for d in dirs)
     fold = f"{target_dir}/_fold"
     spark.createDataFrame(
@@ -221,9 +234,9 @@ def compact_sketch_batches(spark: SparkSession, target_dir: str) -> int:
     spark.createDataFrame(
         [tuple(r) for r in hll] or [], HLL_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{fold}/hll")
-    if qsk_rows:
+    if had_qsk:
         spark.createDataFrame(
-            [tuple(r) for r in qsk_rows], QSK_SCHEMA
+            [tuple(r) for r in qsk_rows] or [], QSK_SCHEMA
         ).coalesce(1).write.mode("overwrite").parquet(f"{fold}/qsk")
     out = fs.create(marker, True)
     out.write(bytearray(json.dumps({"low_id": low_id}).encode()))
@@ -277,7 +290,13 @@ def _recover_sketch_compaction(spark, target_dir: str) -> int:
         )
     finally:
         stream.close()
-    info = json.loads(raw or "{}")
+    try:
+        info = json.loads(raw or "{}")
+    except json.JSONDecodeError:
+        # torn marker write (partial JSON): close() never completed, so
+        # the cleanup that strictly follows it cannot have run — same
+        # recovery as the missing-key case, not an unhandled parse error
+        info = {}
     if "low_id" not in info:
         # crash between marker creation and its single write: the
         # cleanup (which strictly follows the close) cannot have run and

@@ -1206,3 +1206,70 @@ def test_ann_ivf_pq_residual_oracle_and_recall_vs_global(spark, sf_dir, duck):
     glob_recall = _mean_recall_vs_bruteforce(spark, sf_dir, "ann_ivf_pq")
     assert res_recall >= glob_recall, (res_recall, glob_recall)
     assert res_recall >= 0.25
+
+
+def test_validated_embeddings_validate_once_path(spark):
+    """The validate-once materialization (validated_embeddings →
+    validated=True tiers) must (a) RAISE at validation time on a
+    length-mismatched row — the guard moves, it never disappears —
+    (b) silently drop NULL embeddings (the oracle-parity convention),
+    and (c) leave every tier's results bit-identical to the in-plan
+    guarded default path, since it carries the same rows with the same
+    values and only relocates where the raise_error is evaluated."""
+    import pytest
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivf_lloyd,
+        knn_ivf_pq,
+        knn_ivf_pq_rerank,
+        knn_pq_adc,
+        lloyd_centroids,
+        validated_embeddings,
+    )
+
+    base = [
+        [1.0, 0.0, 0.5, 0.25, -1.0, 2.0, 0.125, 0.5],
+        [0.0, 1.0, -0.5, 0.75, 1.0, -2.0, 0.25, 0.0],
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+        [-1.0, -1.0, 0.0, 0.0, 1.0, 1.0, 3.0, 3.0],
+    ]
+    clean = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base + base)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # (a) short row: the eager materialization IS the validation point
+    dirty = clean.union(spark.createDataFrame(
+        [(8, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<float>"))
+    with pytest.raises(Exception, match="does not match the PQ geometry"):
+        validated_embeddings(dirty, dim=8)
+    # (b) NULL row: dropped at validation, not raised
+    with_null = clean.union(spark.createDataFrame(
+        [(9, None)], "vec_id bigint, embedding array<float>"))
+    valid = validated_embeddings(with_null, dim=8)
+    assert valid.count() == 8
+
+    # (c) bit-identical results through every validated-aware tier
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert lloyd_centroids(valid, n_cells=4, n_iter=1, dim=8,
+                           validated=True) == \
+        lloyd_centroids(with_null, n_cells=4, n_iter=1, dim=8)
+    assert rows(knn_ivf_lloyd(valid, [0, 1], k=2, n_cells=4, n_probe=2,
+                              n_iter=1, dim=8, validated=True)) == \
+        rows(knn_ivf_lloyd(with_null, [0, 1], k=2, n_cells=4, n_probe=2,
+                           n_iter=1, dim=8))
+    assert rows(knn_pq_adc(valid, [0, 1], k=2, n_codes=4, n_subspaces=4,
+                           dim=8, validated=True)) == \
+        rows(knn_pq_adc(with_null, [0, 1], k=2, n_codes=4, n_subspaces=4,
+                        dim=8))
+    assert rows(knn_ivf_pq(valid, [0, 1], k=2, n_cells=4, n_probe=2,
+                           n_codes=4, n_subspaces=4, dim=8,
+                           validated=True)) == \
+        rows(knn_ivf_pq(with_null, [0, 1], k=2, n_cells=4, n_probe=2,
+                        n_codes=4, n_subspaces=4, dim=8))
+    assert rows(knn_ivf_pq_rerank(valid, [0, 1], k=2, n_cells=4, n_probe=2,
+                                  n_codes=4, n_subspaces=4, dim=8,
+                                  validated=True)) == \
+        rows(knn_ivf_pq_rerank(with_null, [0, 1], k=2, n_cells=4,
+                               n_probe=2, n_codes=4, n_subspaces=4, dim=8))

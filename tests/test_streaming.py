@@ -1235,3 +1235,146 @@ def test_quantile_reader_fails_fast_on_mixed_mode_batches(spark, tmp_path):
         .write.parquet(str(target2 / "batch=1" / "cms"))
     with _pytest.raises(ValueError, match="SAME checkpoint"):
         read_merged_quantile_sample(spark, str(target2)).collect()
+
+
+def test_batch_append_refuses_while_compaction_marker_stands(
+    spark, sf_dir, tmp_path
+):
+    """The BATCH append API must honor the _COMPACTING marker exactly
+    like the streaming sink and the readers: an append into codes while
+    a crashed compaction is pending shifts the base row count the marker
+    recorded, so recovery could misclassify the crash point — at worst
+    (a batch that happens to add exactly streamed_rows rows) deleting
+    unfolded batch dirs. Refuse up front, recover, then append."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import (
+        ivfpq_index_append,
+        write_ivfpq_index,
+    )
+    from bigdata2016w_spark.streaming.index_sink import ivfpq_index_compact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    write_ivfpq_index(emb.where(emb.vec_id % 2 == 0), idx)
+    base_rows = spark.read.parquet(f"{idx}/codes").count()
+    os.makedirs(f"{idx}/codes_stream", exist_ok=True)
+    with open(f"{idx}/codes_stream/_COMPACTING", "w") as fh:
+        json.dump({"base_rows": base_rows, "streamed_rows": 0}, fh)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    with _pytest.raises(ValueError, match="auto-recover"):
+        ivfpq_index_append(spark, idx, tail)
+    # base untouched by the refused append
+    assert spark.read.parquet(f"{idx}/codes").count() == base_rows
+    ivfpq_index_compact(spark, idx)  # auto-recovery clears the marker
+    ivfpq_index_append(spark, idx, tail)
+    assert spark.read.parquet(f"{idx}/codes").count() > base_rows
+
+
+def test_torn_compaction_marker_recovers_automatically(
+    spark, sf_dir, tmp_path
+):
+    """A crash MID-marker-write leaves partial JSON. Both compaction
+    protocols classify that like the missing-key case — close() never
+    completed, so the step that strictly follows it cannot have run —
+    and recovery proceeds instead of surfacing a JSONDecodeError (the
+    'recovery is automatic' contract)."""
+    import os
+    import shutil
+
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_index_compact,
+        read_streamed_codes,
+    )
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        compact_sketch_batches,
+        read_merged_cms,
+    )
+
+    # index side: a real streamed batch dir + a torn marker
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    write_ivfpq_index(emb.where(emb.vec_id % 2 == 0), idx)
+    tail = emb.where(emb.vec_id % 2 == 1)
+    tmpw = tmp_path / "w"
+    tail.select("vec_id", "embedding").coalesce(1).write.parquet(str(tmpw))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    shutil.copy(next(tmpw.rglob("part-*.parquet")), sdir / "0.parquet")
+    from bigdata2016w_spark.streaming.index_sink import ivfpq_append_sink
+
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .parquet(str(sdir))
+    )
+    ivfpq_append_sink(src, idx, str(tmp_path / "ckpt")).awaitTermination()
+    n = read_streamed_codes(spark, idx).count()
+    with open(f"{idx}/codes_stream/_COMPACTING", "w") as fh:
+        fh.write('{"base_ro')  # torn mid-write
+    assert ivfpq_index_compact(spark, idx) == n
+    assert not os.path.exists(f"{idx}/codes_stream/_COMPACTING")
+
+    # sketch side: two plain batch dirs + a torn marker
+    target = str(tmp_path / "sk")
+    for b in range(2):
+        spark.createDataFrame(
+            [(0, 1, 5 + b)], "j int, slot int, cnt bigint"
+        ).write.parquet(f"{target}/batch={b}/cms")
+        spark.createDataFrame(
+            [(3, 4 + b)], "bucket int, rho int"
+        ).write.parquet(f"{target}/batch={b}/hll")
+    with open(f"{target}/_COMPACTING", "w") as fh:
+        fh.write('{"low_i')  # torn mid-write
+    assert compact_sketch_batches(spark, target) == 1
+    assert not os.path.exists(f"{target}/_COMPACTING")
+    assert sorted(map(tuple, read_merged_cms(spark, target).collect())) \
+        == [(0, 1, 11)]
+
+
+def test_sketch_fold_keeps_qsk_mode_when_sample_is_empty(spark, tmp_path):
+    """A value_col stream whose batches carried zero rows still writes a
+    (possibly empty) qsk dir per batch. Folding must preserve that MODE:
+    the folded batch dir needs a qsk subdir even when the merged sample
+    is empty, or a later strict read sees the fold as mode-less next to
+    newer post-fold batches and raises the mixed-mode error on a stream
+    that never mixed modes."""
+    import os
+
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        QSK_SCHEMA,
+        compact_sketch_batches,
+        read_merged_quantile_sample,
+    )
+
+    target = str(tmp_path / "sk")
+    for b in range(2):
+        spark.createDataFrame(
+            [(0, 1, 5 + b)], "j int, slot int, cnt bigint"
+        ).write.parquet(f"{target}/batch={b}/cms")
+        spark.createDataFrame(
+            [(3, 4 + b)], "bucket int, rho int"
+        ).write.parquet(f"{target}/batch={b}/hll")
+        # value_col mode, but the batch carried no rows: empty qsk
+        spark.createDataFrame([], QSK_SCHEMA).write.parquet(
+            f"{target}/batch={b}/qsk"
+        )
+    assert compact_sketch_batches(spark, target) == 1
+    assert os.path.exists(f"{target}/batch=0/qsk")
+    # a later batch written in the same mode must still merge strictly
+    spark.createDataFrame(
+        [(9, 9, 9)], "j int, slot int, cnt bigint"
+    ).write.parquet(f"{target}/batch=5/cms")
+    spark.createDataFrame([(3, 9)], "bucket int, rho int").write.parquet(
+        f"{target}/batch=5/hll"
+    )
+    spark.createDataFrame([(7, 1.5)], "h bigint, x double").write.parquet(
+        f"{target}/batch=5/qsk"
+    )
+    got = read_merged_quantile_sample(spark, target).collect()
+    assert [tuple(r) for r in got] == [(7, 1.5)]
