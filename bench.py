@@ -23,6 +23,30 @@ from bigdata2016w_spark import get_spark  # noqa: E402
 from bigdata2016w_spark.registry import all_specs  # noqa: E402
 
 
+def roll_baseline(
+    prev: dict, timings: dict[str, float], rebaseline: str = ""
+) -> dict[str, float]:
+    """The PINNED per-query baseline the tripwire diffs against. Unlike
+    the rolling ``queries`` map (which re-baselines every run, so a slow
+    regression landing in two ≤1.5x steps is never flagged), this
+    carries the previous artifact's baseline forward unchanged; only
+    queries with no baseline yet (new this run) are seeded at their
+    current time. ``rebaseline`` (the $SPARK_GRAFT_REBASELINE env var)
+    deliberately resets: 'all' re-seeds everything, a comma-list
+    re-seeds those names. Queries dropped from the suite fall out."""
+    base = dict(prev.get("baseline_queries")
+                or prev.get("queries") or {})
+    names = ({n.strip() for n in rebaseline.split(",") if n.strip()}
+             if rebaseline and rebaseline != "all" else None)
+    return {
+        name: round(float(t), 3)
+        if (name not in base or rebaseline == "all"
+            or (names and name in names))
+        else base[name]
+        for name, t in timings.items()
+    }
+
+
 def flag_regressions(
     prev_q: dict, timings: dict[str, float], cap: int = 8
 ) -> dict[str, list[float]]:
@@ -31,7 +55,9 @@ def flag_regressions(
     >0.5 s absolutely slower (and the new time clears the 0.3 s codegen
     floor). Committed 0.0 entries (round(best,3) of a trivial query) are
     excluded: no meaningful ratio exists for them. Returns the ``cap``
-    worst by ratio, as {name: [committed, new]}."""
+    worst by ratio, as {name: [committed, new]}. ``prev_q`` should be
+    the PINNED ``baseline_queries`` map (see :func:`roll_baseline`), so
+    a 1.4x·1.4x two-run creep still trips on the second run."""
     flagged = [
         (name, prev_q[name], t)
         for name, t in timings.items()
@@ -138,7 +164,17 @@ def main() -> None:
                  # committed baseline with zero code change — an isolated
                  # number makes interleave noise attributable; rerank is
                  # the other slowest-5 line without one
-                 "ann_ivf_pq_rerank", "winnow_cross_candidates"):
+                 "ann_ivf_pq_rerank", "winnow_cross_candidates",
+                 # the r9 driver flagged corpus_curation (0.94→1.68 s in
+                 # suite mode) with no code change on its path — it shares
+                 # the shingle cache with the r9-new semdedup tier, so
+                 # without isolated numbers interference wasn't separable
+                 # from regression (it was interference: 0.875 s isolated)
+                 "corpus_curation", "corpus_curation_semdedup",
+                 # r10's streamed-index probe builds a temp index on first
+                 # run (cached per session) — the isolated number shows
+                 # the steady-state probe cost, not the build
+                 "ann_ivfpq_streamed_probe"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
@@ -166,11 +202,15 @@ def main() -> None:
     # while a real 0.2 s → 2 s regression still trips. Capped at the 8
     # worst.
     regressions: dict[str, list[float]] = {}
+    baseline = dict(timings)
     prev_path = Path(__file__).with_name("BENCH_LOCAL.json")
     try:
         prev = json.loads(prev_path.read_text())
         if prev.get("sf") == sf:
-            regressions = flag_regressions(prev.get("queries", {}), timings)
+            baseline = roll_baseline(
+                prev, timings, os.environ.get("SPARK_GRAFT_REBASELINE", "")
+            )
+            regressions = flag_regressions(baseline, timings)
     except (FileNotFoundError, json.JSONDecodeError, TypeError):
         pass
 
@@ -179,6 +219,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline_queries": baseline,
         "isolated": isolated,
         "regressions": regressions,
         "ppjoin": ppjoin_metrics,

@@ -835,20 +835,22 @@ def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLOYD_ITERS = 2
 
 
-def _lloyd_round_sql(i: int) -> str:
-    """One unrolled Lloyd round over the full NULL-filtered corpus: assign
+def _lloyd_round_sql(i: int, src: str = "e0") -> str:
+    """One unrolled Lloyd round over the NULL-filtered fit corpus
+    (``src`` — the full corpus by default; the streamed-index replay
+    fits on the base sub-corpus only): assign
     every vector to its max-cosine centroid (ties → lowest cell, matching
     Spark's array_max struct order), then recompute each surviving cell's
     centroid as the 2^24-quantized-int64 mean rounded to 6 decimals — the
     exact formula of operators/similarity.label_centroids, so both
     engines produce bit-identical doubles regardless of summation order.
-    Shared by the ann_ivf_lloyd oracle and the residual-PQ oracle (whose
-    Spark twin, lloyd_centroids, fits over the same full corpus)."""
+    Shared by the ann_ivf_lloyd oracle and the residual-PQ oracles (whose
+    Spark twin, lloyd_centroids, fits over the same corpus)."""
     return f"""
 a{i} AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
-  FROM e0 e CROSS JOIN cent{i - 1} c
+  FROM {src} e CROSS JOIN cent{i - 1} c
 ),
 as{i} AS (
   SELECT vec_id, embedding, cell FROM (
@@ -986,9 +988,14 @@ def _pq_d2_rows_sql(x: str, c: str) -> str:
 # residuals).
 
 
-def _pq_train_chain_sql(src: str, init_lo: int = 0, steps: int = 1) -> str:
+def _pq_train_chain_sql(src: str, init_lo: int = 0, steps: int = 1,
+                        train_src: str | None = None) -> str:
+    """``src`` is encoded by the final ``codes`` CTE; ``train_src``
+    (defaults to ``src``) is what the codebook TRAINS on — the
+    streamed-index replay trains on the base sub-corpus's residuals but
+    encodes every vector against the frozen result."""
     ctes = [f"""train AS (
-  SELECT * FROM {src} WHERE vec_id < {_PQ_TRAIN_N}
+  SELECT * FROM {train_src or src} WHERE vec_id < {_PQ_TRAIN_N}
 ),
 cb0 AS (
   SELECT vec_id - {init_lo} AS code, m, d, x AS c FROM train
@@ -1215,17 +1222,35 @@ _PQ_RES_STEPS = 2  # codebook Lloyd steps (operators/similarity.PQ_RES_STEPS)
 
 # ONE copy of the residual IVF-PQ replay chain (coarse Lloyd fit →
 # residual decomposition → residual codebook → per-probed-cell LUT →
-# ADC), shared by the plain top-k query and the exact-rerank variant so
-# the two oracles can never drift apart (the quality_sql lesson again).
-_IVF_PQ_RES_CTES = f"""e0 AS (
+# ADC), shared by the plain top-k query, the exact-rerank variant AND
+# the streamed-index replay so the oracles can never drift apart (the
+# quality_sql lesson again). ``fit_cond`` restricts the MODEL FIT
+# (seed centroids, Lloyd rounds, codebook training) to a sub-corpus
+# while every vector is still encoded and searched — exactly the
+# streamed-index story, where write_ivfpq_index froze models trained on
+# the base sub-corpus and the streaming sink encoded the rest against
+# them. fit_cond=None produces the original full-corpus text unchanged.
+def _ivf_pq_res_ctes(fit_cond: str | None = None) -> str:
+    fit_src = "e0" if fit_cond is None else "ef"
+    ef_cte = "" if fit_cond is None else f"""ef AS (
+  SELECT * FROM e0 WHERE {fit_cond}
+),
+"""
+    train_src = None if fit_cond is None else "rsubf"
+    rsubf_cte = "" if fit_cond is None else f"""rsubf AS (
+  SELECT * FROM rsub WHERE {fit_cond}
+),
+"""
+    return f"""e0 AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
-cent0 AS (
+{ef_cte}cent0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cell,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM e0 WHERE vec_id < {_IVF_CELLS}
+  FROM {fit_src} WHERE vec_id < {_IVF_CELLS}
 ),
-{','.join(_lloyd_round_sql(i) for i in range(1, _LLOYD_ITERS + 1))},
+{','.join(_lloyd_round_sql(i, fit_src)
+          for i in range(1, _LLOYD_ITERS + 1))},
 cent AS (
   SELECT cell, centroid FROM cent{_LLOYD_ITERS}
 ),
@@ -1256,7 +1281,8 @@ rsub AS (
   JOIN assigned av ON av.vec_id = s.vec_id
   JOIN centsub cs ON cs.cell = av.cell AND cs.m = s.m AND cs.d = s.d
 ),
-{_pq_train_chain_sql('rsub', _IVF_CELLS, _PQ_RES_STEPS)},
+{rsubf_cte}{_pq_train_chain_sql('rsub', _IVF_CELLS, _PQ_RES_STEPS,
+                                       train_src=train_src)},
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM e0
   WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
@@ -1294,6 +1320,9 @@ adc AS (
   GROUP BY l.query_id, c.vec_id
 )"""
 
+
+_IVF_PQ_RES_CTES = _ivf_pq_res_ctes()
+
 _ANN_IVF_PQ_RES_SQL = f"""
 WITH {_IVF_PQ_RES_CTES}
 SELECT query_id, vec_id, adc_d2 FROM (
@@ -1309,6 +1338,95 @@ register(QuerySpec(
         "x − centroid(cell), the LUT is per-(query, probed cell); higher "
         "recall than the global-codebook ann_ivf_pq at the same scan "
         "fraction/footprint; see operators/similarity.knn_ivf_pq_residual."))
+
+
+# --- streamed-index probe: base codes + streaming-sink appends -------------
+#
+# The one r9 capability whose correctness rested on pytest alone: search a
+# PERSISTED index whose base holds half the corpus and whose codes_stream
+# holds the other half, appended by the streaming maintenance sink in TWO
+# micro-batches. The oracle replays the whole thing statically — models fit
+# on the base sub-corpus only (write_ivfpq_index froze them before the
+# appends), every vector encoded against those frozen models (base codes at
+# write time, streamed codes by ivfpq_append_sink), probes searching the
+# union. Temp index dirs are built once per (session, sf_dir).
+_STREAMED_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import ivfpq_append_sink
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _STREAMED_IDX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    root = tempfile.mkdtemp(prefix="bigdata2016w_ivfpq_stream_")
+    idx = f"{root}/idx"
+    emb = _shared_valid_embeddings(spark, sf_dir)
+    write_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), idx)
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # two single-file inputs + maxFilesPerTrigger=1 → exactly two
+    # micro-batches under the availableNow trigger
+    for j, m in ((1, 1), (2, 3)):
+        w = f"{root}/w{j}"
+        emb.where(F.col("vec_id") % 4 == m).coalesce(1).write.parquet(w)
+        shutil.copy(next(Path(w).glob("part-*.parquet")),
+                    f"{src_dir}/{j}.parquet")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ivfpq_append_sink(stream, idx, f"{root}/ckpt").awaitTermination()
+    n_batches = len(_batch_dirs(spark, f"{idx}/codes_stream"))
+    if n_batches != 2:
+        raise AssertionError(
+            f"expected 2 streamed batches, got {n_batches}"
+        )
+    _STREAMED_IDX_CACHE[key] = idx
+    return idx
+
+
+def ann_ivfpq_streamed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+
+    idx = _streamed_ivfpq_index(spark, sf_dir)
+    queries = _shared_valid_embeddings(spark, sf_dir).where(
+        F.col("vec_id").isin(*KNN_QUERY_IDS)
+    )
+    return knn_ivfpq_from_index(
+        spark, idx, queries, k=KNN_K, n_probe=_IVF_PROBE,
+        include_streamed=True,
+    )
+
+
+_ANN_IVFPQ_STREAMED_SQL = f"""
+WITH {_ivf_pq_res_ctes('vec_id % 2 = 0')}
+SELECT query_id, vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "ann_ivfpq_streamed_probe", ann_ivfpq_streamed_probe,
+    _ANN_IVFPQ_STREAMED_SQL,
+    doc="ADC search over a persisted residual IVF-PQ index (base = even "
+        "half) UNIONED with the streaming maintenance sink's two-batch "
+        "appended codes (odd half), both sides pruned to the probed "
+        "cells; the oracle replays the fit on the base sub-corpus and "
+        "the frozen-model encode of every vector statically; see "
+        "operators/similarity.knn_ivfpq_from_index and "
+        "streaming/index_sink.ivfpq_append_sink."))
 
 
 RERANK_FACTOR = 3

@@ -61,75 +61,46 @@ _SPEC_MODULES = [
 # ORDER MATTERS for external verification: the round driver samples the
 # FIRST 50 names returned by all_specs() for its DuckDB-oracle correctness
 # file. _WINDOW_FRONT pins that window explicitly (finer-grained than
-# module import order — e.g. relational mixes long-green q1–q9 with the
-# never-checked q10–q22).
+# module import order). Rotation history for rounds 6-9 lives in
+# docs/window_history.md; the comments here describe only the LIVE window.
 #
-# ROUND 6 window (26 front + 24 fillers = 50): first the 8 queries with
-# NO driver verdict in r01–r05 plus bpe_apply_closed_form (new in r6),
-# then the 17 queries whose only green rows are r02 — including the three
-# events-window queries whose SQL changed in r4 AFTER their last green
-# (plans/events.py NULL-ts filter), so their certificates are void.
-# Fillers: the 24 oldest r03-only greens in registration order. The 5
-# rows-only no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble,
-# sgd_auc, bpe_merge_table) sit BEHIND the window — an oracle slot spent
-# on a rows-only check is wasted.
+# ROUND 10 window (1 + 1 + 46 + 2 = 50): lead with the two queries that
+# have NO driver verdict yet — corpus_curation_semdedup (added r9) and
+# ann_ivfpq_streamed_probe (added r10, the streamed-index probe path) —
+# then the 46 queries whose latest green is r06 (four rounds stale:
+# q1–q7, pmi_*, bigram_relfreq_*, retrieval_*, events_sessions, …), then
+# 2 fillers from the oldest r08 greens in sample order. A green r10
+# leaves every oracle-backed query driver-certified with no certificate
+# older than r08 (distribution 50 r10 / 48 r8 / 50 r9 + the r10-new
+# query). The 5 rows-only no-oracle queries (ann_ivf, sgd_scores,
+# sgd_ensemble, sgd_auc, bpe_merge_table) stay BEHIND the window — an
+# oracle slot spent on a rows-only check is wasted.
 #
-# ROUND 7 window (21 + 2 + 26 + 1 filler = 50), executing the plan the
-# r6 verdict signed off on: first the 21 oracle-backed queries added in
-# r6 with NO driver verdict yet (registration order), then the 2 queries
-# whose oracle SQL text changed AFTER their last green (corpus_curation:
-# quality_sql interpolation refactor; ann_ivf_flat: e0 NULL-embedding
-# filter — both value-equivalent, locally re-verified at sf0.01), then
-# the 26 remaining r03-only greens in registration order (this set
-# includes corpus_datacard, the third stale-SQL certificate), and one
-# filler from the oldest r05 greens (ann_bruteforce). After a green r7
-# every oracle-backed query EXCEPT the queries added in r7 itself
-# (ann_ivf_pq_residual, graph_lpa_communities,
-# orders_price_quantile_sketch, ann_ivf_pq_rerank — local gate green,
-# no driver slot left) is
-# driver-certified on SQL text no older than the certificate. The 5
-# rows-only no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble,
-# sgd_auc, bpe_merge_table) stay BEHIND the window — an oracle slot
-# spent on a rows-only check is wasted.
-#
-# ROUND 8 window was never rotated (no-op round; CORRECTNESS_r08 re-ran
-# the r7 window). ROUND 9 window below executes the deferred plan: lead
-# with the 4 r7-new oracle-backed queries that have NO driver verdict in
-# r01–r08, then the 42 queries whose latest green is r05 (three rounds
-# stale), then 4 fillers from the oldest r06 greens in registration
-# order. A green r9 makes all 146 oracle-backed queries driver-certified
-# for the first time (latest-green distribution becomes 50 r9 / 46 r6 /
-# 50 r8).
-#
-# ROUND 10 TODO: lead with corpus_curation_semdedup (added in r9, no
-# driver verdict yet), then rotate the 46 remaining r06-latest greens;
-# fillers (3) from the oldest r08 greens.
+# ROUND 11 TODO: rotate the 48 remaining r08-latest greens to the front
+# (they will then be three rounds stale), fillers from the oldest r09
+# greens in sample order.
 _WINDOW_FRONT = [
-    # --- r7-new, oracle-backed, never driver-sampled (4) ---
-    "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",
-    "orders_price_quantile_sketch",
-    # --- r05-latest greens, three rounds stale (42) ---
-    "ann_lsh", "doc_stats", "doc_lang_id", "dedup_clusters",
-    "dedup_clusters_star", "embedding_label_centroids",
-    "embedding_nearest_centroid", "embedding_hard_negatives",
-    "q4_priority_late_exists", "q21_waiting_supplier",
-    "q10_returned_revenue", "q12_priority_shipping", "q14_promo_revenue",
-    "q16_supplier_count", "q19_disjunctive_revenue",
-    "q22_sales_opportunity", "q11_important_stock", "q15_top_supplier",
-    "q20_surplus_suppliers", "q13_customer_distribution",
-    "q18_large_volume_customers", "retrieval_phrase",
-    "sgd_score_closed_form", "sgd_ensemble_closed_form", "auc_rank_check",
-    "events_funnel", "user_retention_cohorts", "events_hourly_gapfill",
-    "graph_sssp_hops", "orders_column_stats",
-    "documents_reservoir_by_source", "events_user_value_anomalies",
-    "doc_bigram_surprisal", "documents_pack_sequences",
-    "media_audio_features", "embedding_covariance_stats",
-    "hybrid_search_rrf", "skipgram_training_pairs",
-    "orders_incremental_daily_agg", "events_trending_keys",
-    "documents_chunk_for_rag", "events_hourly_unique_users",
-    # --- fillers: oldest r06 greens, registration order (4) ---
-    "view_purchase_attribution", "asof_purchase_view",
-    "events_close_pairs", "word_count",
+    # --- oracle-backed, never driver-sampled (2) ---
+    "corpus_curation_semdedup", "ann_ivfpq_streamed_probe",
+    # --- r06-latest greens, four rounds stale (46) ---
+    "q1_count_shipped", "q2_order_status", "q3_part_supplier",
+    "q4_nation_counts", "q5_monthly_nation", "q6_lineitem_agg",
+    "q7_top_revenue", "prefix_count", "bigram_relfreq_pairs",
+    "bigram_relfreq_stripes", "pmi_pairs", "index_stats", "term_postings",
+    "retrieval_and", "retrieval_or_and", "retrieval_bm25", "orders_rollup",
+    "orders_cube", "customer_rank_window", "nation_distinct_counts",
+    "totalprice_histogram", "customer_acctbal_quartiles", "pmi_stripes",
+    "customers_semi_join", "customers_anti_join", "segment_set_ops",
+    "events_json_agg", "events_tumbling_hour", "events_sliding",
+    "events_sessions", "orders_daily_moving_avg", "orders_grouping_sets",
+    "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
+    "daily_orders_events_reconcile", "orders_pivot", "lineitem_unpivot",
+    "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
+    "events_nation_hourly", "documents_token_budget_mix",
+    "documents_pii_scrub", "documents_incremental_dedup",
+    "documents_containment_dupes", "bpe_apply_closed_form",
+    # --- fillers: oldest r08 greens, sample order (2) ---
+    "documents_scrub_dup_spans", "documents_rejection_audit",
 ]
 
 

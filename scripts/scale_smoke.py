@@ -386,6 +386,101 @@ def main() -> None:
         print(f"pca covariance stats: {time.perf_counter() - t0:.1f}s, "
               f"{n_cov} dimension pairs over {n_vecs} vectors "
               f"(per-batch NumPy Gram)")
+
+    # --- compaction protocols at scale: read-side fan-in bounded by the
+    # compactor, results bit-stable across the fold. Two sizes prove the
+    # fan-in is a function of BATCH COUNT, not corpus size. ---
+    import os
+    import shutil
+    from pathlib import Path
+
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_append_sink,
+        ivfpq_index_compact,
+    )
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        compact_sketch_batches,
+        read_merged_cms,
+        read_merged_hll,
+        read_merged_quantile_sample,
+    )
+
+    def _index_compact_smoke(e, n: int, tmp: str):
+        idx = f"{tmp}/idx{n}"
+        write_ivfpq_index(e.where(F.col("vec_id") % 2 == 0), idx, n_iter=1)
+        src = f"{tmp}/in{n}"
+        os.makedirs(src)
+        # four single-file micro-batches of the odd half
+        for j, m in enumerate((1, 3, 5, 7)):
+            w = f"{tmp}/w{n}_{j}"
+            e.where(F.col("vec_id") % 8 == m).coalesce(1).write.parquet(w)
+            shutil.copy(next(Path(w).glob("part-*.parquet")),
+                        f"{src}/{j}.parquet")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        ivfpq_append_sink(stream, idx, f"{tmp}/ck{n}").awaitTermination()
+        queries = e.where(F.col("vec_id").isin(list(range(16, 21))))
+        pre_fan = len(_batch_dirs(spark, f"{idx}/codes_stream"))
+        pre = sorted(map(tuple, knn_ivfpq_from_index(
+            spark, idx, queries, include_streamed=True).collect()))
+        t0 = time.perf_counter()
+        folded = ivfpq_index_compact(spark, idx)
+        wall = time.perf_counter() - t0
+        post_fan = len(_batch_dirs(spark, f"{idx}/codes_stream"))
+        post = sorted(map(tuple, knn_ivfpq_from_index(
+            spark, idx, queries, include_streamed=True).collect()))
+        assert pre == post, "index compaction changed probe results"
+        assert post_fan == 0 and folded > 0
+        return pre_fan, post_fan, folded, wall
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for e, n in ((half_emb, n_vecs // 2), (emb, n_vecs)):
+            pre_fan, post_fan, folded, wall = _index_compact_smoke(e, n, tmp)
+            print(f"index compaction @ {n} vecs: {wall:.1f}s, "
+                  f"stream fan-in {pre_fan} dirs -> {post_fan}, "
+                  f"{folded} code rows folded, probe results bit-stable")
+
+        def _plant_sketches(target: str, nb: int):
+            for b in range(nb):
+                spark.createDataFrame(
+                    [(j, sl, 3 * b + j + sl) for j in range(2)
+                     for sl in range(4)],
+                    "j int, slot int, cnt bigint",
+                ).write.parquet(f"{target}/batch={b}/cms")
+                spark.createDataFrame(
+                    [(b % 5, 4 + b), (7, 9)], "bucket int, rho int"
+                ).write.parquet(f"{target}/batch={b}/hll")
+                spark.createDataFrame(
+                    [(1000 * b + i, float(i)) for i in range(32)],
+                    "h bigint, x double",
+                ).write.parquet(f"{target}/batch={b}/qsk")
+
+        def _merged(target: str):
+            return (
+                sorted(map(tuple, read_merged_cms(spark, target).collect())),
+                sorted(map(tuple, read_merged_hll(spark, target).collect())),
+                sorted(map(tuple, read_merged_quantile_sample(
+                    spark, target).collect())),
+            )
+
+        for nb in (4, 12):
+            target = f"{tmp}/sk{nb}"
+            _plant_sketches(target, nb)
+            pre = _merged(target)
+            t0 = time.perf_counter()
+            removed = compact_sketch_batches(spark, target)
+            wall = time.perf_counter() - t0
+            post_fan = len(_batch_dirs(spark, target))
+            assert _merged(target) == pre, "sketch fold changed estimates"
+            assert post_fan == 1 and removed == nb - 1
+            print(f"sketch compaction @ {nb} batches: {wall:.1f}s, "
+                  f"fan-in {nb} dirs -> {post_fan}, merges bit-stable "
+                  f"(cms sum / hll max / qsk k-smallest)")
     spark.stop()
 
 

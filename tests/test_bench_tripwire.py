@@ -50,3 +50,43 @@ def test_cap_keeps_worst_by_ratio():
     assert len(got) == 8
     # the worst ratios (largest new times) survive the cap
     assert "q11" in got and "q0" not in got
+
+
+def test_pinned_baseline_catches_two_step_creep():
+    """The rolling ``queries`` map re-baselines every run, so a slow
+    regression landing in two ≤1.5x steps is never flagged; the pinned
+    ``baseline_queries`` map carries forward unchanged, so the second
+    1.4x step trips (1.96x cumulative, +0.96 s)."""
+    from bench import roll_baseline
+
+    # run 0: committed artifact (baseline == timings, steady state)
+    prev = {"sf": 0.1, "queries": {"q": 1.0},
+            "baseline_queries": {"q": 1.0}}
+    # run 1: 1.4x — below the tripwire, baseline must NOT move
+    t1 = {"q": 1.4}
+    b1 = roll_baseline(prev, t1)
+    assert b1 == {"q": 1.0}
+    assert flag_regressions(b1, t1) == {}
+    # run 2: another 1.4x on top — the rolling map would see 1.4/1.4
+    # and stay silent; the pinned baseline sees 1.96/1.0 and trips
+    prev2 = {"sf": 0.1, "queries": t1, "baseline_queries": b1}
+    t2 = {"q": 1.96}
+    b2 = roll_baseline(prev2, t2)
+    assert b2 == {"q": 1.0}
+    assert flag_regressions(b2, t2) == {"q": [1.0, 1.96]}
+
+
+def test_roll_baseline_seeds_new_and_honors_rebaseline():
+    from bench import roll_baseline
+
+    prev = {"baseline_queries": {"old": 1.0, "gone": 3.0}}
+    t = {"old": 2.0, "new": 0.7}
+    # carry-forward for known, seed for new, drop for removed
+    assert roll_baseline(prev, t) == {"old": 1.0, "new": 0.7}
+    # deliberate full reset
+    assert roll_baseline(prev, t, "all") == {"old": 2.0, "new": 0.7}
+    # deliberate per-name reset
+    assert roll_baseline(prev, t, "old") == {"old": 2.0, "new": 0.7}
+    # legacy artifact without baseline_queries: fall back to queries
+    legacy = {"queries": {"old": 1.5}}
+    assert roll_baseline(legacy, t) == {"old": 1.5, "new": 0.7}
