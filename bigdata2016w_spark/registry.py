@@ -55,6 +55,7 @@ _SPEC_MODULES = [
     "bigdata2016w_spark.plans.maintenance",
     "bigdata2016w_spark.plans.corpus_ext",
     "bigdata2016w_spark.plans.sketches",
+    "bigdata2016w_spark.plans.layout",
 ]
 
 
@@ -76,9 +77,10 @@ _SPEC_MODULES = [
 # sgd_ensemble, sgd_auc, bpe_merge_table) stay BEHIND the window — an
 # oracle slot spent on a rows-only check is wasted.
 #
-# ROUND 11 TODO: rotate the 48 remaining r08-latest greens to the front
-# (they will then be three rounds stale), fillers from the oldest r09
-# greens in sample order.
+# ROUND 11 TODO: lead with any never-driver-sampled oracle-backed
+# queries added in r10 (lineitem_zorder_skipping, ...), then rotate the
+# 48 remaining r08-latest greens to the front (they will then be three
+# rounds stale), fillers from the oldest r09 greens in sample order.
 _WINDOW_FRONT = [
     # --- oracle-backed, never driver-sampled (2) ---
     "corpus_curation_semdedup", "ann_ivfpq_streamed_probe",
