@@ -96,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
                            "'sketches': compact_sketch_batches")
     cmpp.add_argument("target", help="index path / sketch target dir")
 
+    zop = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table Z-order-clustered on two or more "
+             "columns (sources/sinks.write_zordered): range-partition + "
+             "sort by the Morton key so parquet footer min/max stats "
+             "prune scans on EVERY clustered column, not just a single "
+             "sort column",
+    )
+    zop.add_argument("input", help="source parquet path")
+    zop.add_argument("output", help="clustered parquet destination")
+    zop.add_argument("--cols", required=True,
+                     help="comma-separated numeric columns to interleave, "
+                          "e.g. l_partkey,l_suppkey")
+    zop.add_argument("--files", type=int, default=16,
+                     help="target output file count (range partitions)")
+
     admp = sub.add_parser(
         "admit",
         help="streaming dedup admission: replay a directory of document "
@@ -164,6 +180,27 @@ def main(argv: list[str] | None = None) -> int:
 
             n = compact_sketch_batches(spark, args.target)
             print(f"removed {n} batch dirs under {args.target}")
+        return 0
+
+    if args.cmd == "zorder":
+        from bigdata2016w_spark import get_spark
+        from bigdata2016w_spark.sources.sinks import write_zordered
+
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        if len(cols) < 2:
+            print("--cols needs at least two columns to interleave",
+                  file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="cli-zorder")
+        spark.sparkContext.setLogLevel("WARN")
+        df = spark.read.parquet(args.input)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            print(f"columns not in {args.input}: {missing}", file=sys.stderr)
+            return 2
+        write_zordered(df, args.output, cols, num_files=args.files)
+        print(f"z-ordered {args.input} -> {args.output} "
+              f"on {','.join(cols)} ({args.files} files)")
         return 0
 
     if args.cmd == "admit":

