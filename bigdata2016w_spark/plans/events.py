@@ -496,3 +496,53 @@ GROUP BY user_id
 
 register(QuerySpec("events_user_value_ema", events_user_value_ema, _EMA_SQL,
                    doc=events_user_value_ema.__doc__))
+
+
+def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats computed through the SALTED two-phase
+    aggregation path (operators/skew.salted_aggregate): a random salt
+    spreads each user's rows over 16 partial groups, a second hash agg
+    merges the partials. The oracle is the PLAIN ``GROUP BY user_id`` —
+    result equality is the external proof that salting is semantically
+    transparent, which is the whole contract that lets an operator
+    deploy it against a hot key at 100 TB without re-validating results.
+    The value sum is 2^24-int64-quantized so the partial merge is
+    associative and engine-portable (the repo's standard exact-sum
+    trick); count merges by sum, max by max. No reference analog — the
+    reference's skew answer was hand-tuned reducer counts and memory
+    bumps (JAVA/assignment1/PairsPMI.java:284-288)."""
+    from bigdata2016w_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    q = F.round(F.col("value") * 16777216).cast("bigint")
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "value_q24": (F.sum(q), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "user_id", "n_events", "value_q24", "max_value"
+    )
+
+
+_SALTED_STATS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 16777216) AS BIGINT)) AS BIGINT)
+         AS value_q24,
+       max(value) AS max_value
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+register(QuerySpec(
+    "events_user_stats_salted", events_user_stats_salted,
+    _SALTED_STATS_SQL, doc=events_user_stats_salted.__doc__,
+))

@@ -78,7 +78,8 @@ _SPEC_MODULES = [
 # oracle slot spent on a rows-only check is wasted.
 #
 # ROUND 11 TODO: lead with any never-driver-sampled oracle-backed
-# queries added in r10 (lineitem_zorder_skipping, ...), then rotate the
+# queries added in r10 (lineitem_zorder_skipping,
+# events_user_stats_salted, ...), then rotate the
 # 48 remaining r08-latest greens to the front (they will then be three
 # rounds stale), fillers from the oldest r09 greens in sample order.
 _WINDOW_FRONT = [

@@ -8,7 +8,8 @@ from tests.oracle import compare_spark_duckdb
 NAMES = ["events_json_agg", "events_tumbling_hour", "events_sliding",
          "events_sessions", "events_funnel", "user_retention_cohorts",
          "events_hourly_gapfill", "orders_daily_moving_avg",
-         "events_transition_matrix", "events_user_value_ema"]
+         "events_transition_matrix", "events_user_value_ema",
+         "events_user_stats_salted"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -84,3 +85,19 @@ def test_user_value_ema_hand_computed(spark, tmp_path):
     assert len(out) == 1
     # seed 4.0 -> 0.25*0.0 + 0.75*4.0 = 3.0 -> 0.25*8.0 + 0.75*3.0 = 4.25
     assert out[0].n_events == 3 and out[0].ema == 4.25
+
+
+def test_salted_stats_plan_has_two_agg_stages(spark, sf_dir):
+    """The salted path must actually BE two-phase: four HashAggregate
+    nodes (partial+final per phase) and no Python eval. Result parity
+    with the plain-GROUP-BY oracle is the transparency proof in
+    test_events_matches_oracle; this pins that the transparent result
+    really came through the salt."""
+    import re
+
+    spec = all_specs()["events_user_stats_salted"]
+    plan = (spec.fn(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
+    assert "__salt" in plan
+    assert "EvalPython" not in plan
