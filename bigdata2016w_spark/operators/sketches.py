@@ -203,6 +203,35 @@ def kmv_distinct(
 
 
 # ------------------------------------------------------------------ HLL
+def hll_registers_by(
+    values: DataFrame, keys: list[str], col: str = "s", seed: str = "HLL"
+) -> DataFrame:
+    """(*keys, bucket, rho): one 2^p max-rank register table PER key
+    group, built in one hash-partial-agg pass. Mergeable across any
+    coarser grain by ``groupBy(coarser_keys, bucket).max(rho)`` — max
+    is associative, so hourly partials fold losslessly into daily/
+    weekly registers without revisiting the raw data. This is the
+    re-aggregable-cube path at 100 TB: store fine-grain partials
+    (keys × 256 rows), answer every coarser distinct-count by merging
+    metadata-sized register tables."""
+    h = values.select(
+        *keys, portable_hash60(F.col(col), seed).alias("h")
+    ).where(F.col("h").isNotNull())
+    buckets = h.select(
+        *keys,
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
+        F.shiftright("h", HLL_P).alias("rest"),
+    ).select(
+        *keys,
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest")))
+        .cast("int")
+        .alias("rho"),
+    )
+    return buckets.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
 def hll_registers(
     values: DataFrame, col: str = "s", seed: str = "HLL"
 ) -> DataFrame:
@@ -211,28 +240,15 @@ def hll_registers(
     ``groupBy(bucket).max(rho)``: per-partition partials, per-batch
     streaming partials, and cross-corpus combines are all the same
     max-merge (used by ``streaming.sketch_sink``)."""
-    h = values.select(
-        portable_hash60(F.col(col), seed).alias("h")
-    ).where(F.col("h").isNotNull())
-    buckets = h.select(
-        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("bucket"),
-        F.shiftright("h", HLL_P).alias("rest"),
-    ).select(
-        "bucket",
-        F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
-        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest")))
-        .cast("int")
-        .alias("rho"),
-    )
-    return buckets.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    return hll_registers_by(values, [], col, seed)
 
 
-def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
-    """One row (m_filled, isum, est_distinct) from a register table —
-    the read-side half of the sketch, shared by :func:`hll_distinct`
-    and the streaming merge reader. Same exact-int64 harmonic sum and
-    single-division estimate as documented on hll_distinct."""
-    agg = regs.agg(
+def hll_estimate_by(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """(*keys, m_filled, isum, est_distinct): per-group estimates from
+    a keyed register table. Same exact-int64 harmonic sum and
+    single-division estimate as documented on hll_distinct, evaluated
+    once per key group."""
+    agg = regs.groupBy(*keys).agg(
         F.count("*").cast("int").alias("m_filled"),
         (
             # empty register table: sum is NULL — coalesce to 0 so the
@@ -253,8 +269,15 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        "m_filled", "isum", F.round(est, 4).alias("est_distinct")
+        *keys, "m_filled", "isum", F.round(est, 4).alias("est_distinct")
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One row (m_filled, isum, est_distinct) from a register table —
+    the read-side half of the sketch, shared by :func:`hll_distinct`
+    and the streaming merge reader."""
+    return hll_estimate_by(regs, [])
 
 
 def hll_distinct(

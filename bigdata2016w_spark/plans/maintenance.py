@@ -7,7 +7,7 @@ correctness window is not displaced — see registry._SPEC_MODULES.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata2016w_spark.registry import QuerySpec, register
@@ -48,3 +48,282 @@ FROM orders"""
 
 register(QuerySpec("orders_column_stats", orders_column_stats, _STATS_SQL,
                    doc=orders_column_stats.__doc__))
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style constraint audit
+# ---------------------------------------------------------------------------
+
+# (constraint name, violation predicate over the orders scan). Everything
+# below is evaluated in ONE aggregate pass — a violation count per rule —
+# so adding a rule never adds a scan. The price-cap rule is a deliberately
+# tight business threshold (25% of the generator's price domain) so the
+# audit demonstrably reports non-zero violations and a failing verdict;
+# the structural rules all pass on the clean synthetic tables.
+_SCAN_RULES = [
+    ("not_null:o_custkey", "o_custkey IS NULL"),
+    ("not_null:o_orderdate", "o_orderdate IS NULL"),
+    ("domain:o_orderstatus", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("range:o_totalprice_positive", "o_totalprice <= 0"),
+    ("rule:o_totalprice_cap_125k", "o_totalprice > 125000"),
+]
+
+
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (Deequ/Great-Expectations style):
+    per-rule violation counts + pass verdicts as ONE small DataFrame.
+
+    Three physical shapes, each the cheapest that can prove its rule at
+    100 TB: (1) row-level rules fold into a single aggregate over one
+    scan of ``orders`` (a violation is `sum(predicate)` — adding rules
+    is free); (2) key uniqueness is `count(*) - count(distinct key)`
+    in the same pass; (3) referential integrity is a LEFT ANTI join
+    against the referenced key set (shuffle- or broadcast-hash per
+    Catalyst/AQE; never a driver-side lookup). The three 1-row frames
+    cross-join (broadcast, 1x1 rows) and an in-plan ``stack`` pivots to
+    one row per rule. No reference analog — the reference never audits
+    its inputs; extends SURVEY §2.13 infrastructure the way a
+    production ingest gate would."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    aggs = [F.count("*").alias("n_rows"),
+            (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+            .alias("v_unique")]
+    for i, (_, pred) in enumerate(_SCAN_RULES):
+        aggs.append(
+            F.sum(F.expr(pred).cast("long")).alias(f"v_{i}")
+        )
+    scan_stats = orders.agg(*aggs)
+    fk_stats = (
+        orders.join(customer,
+                    orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v_fk"))
+    )
+    stack = ", ".join(
+        ["'unique:o_orderkey', v_unique",
+         "'fk:o_custkey->customer', v_fk"]
+        + [f"'{name}', v_{i}" for i, (name, _) in enumerate(_SCAN_RULES)]
+    )
+    n_rules = 2 + len(_SCAN_RULES)
+    return (
+        scan_stats.crossJoin(F.broadcast(fk_stats))
+        .selectExpr(
+            f"stack({n_rules}, {stack}) AS (rule, n_violations)",
+            "n_rows",
+        )
+        .select(
+            "rule", "n_rows", "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )
+
+
+_AUDIT_SQL = f"""
+WITH scan AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(DISTINCT o_orderkey) AS v_unique,
+         {', '.join(
+             f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS v_{i}" for i, (_, pred) in enumerate(_SCAN_RULES))}
+  FROM orders
+), fk AS (
+  SELECT count(*) AS v_fk
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+), rules AS (
+  SELECT 'unique:o_orderkey' AS rule, v_unique AS n_violations,
+         n_rows FROM scan
+  UNION ALL
+  SELECT 'fk:o_custkey->customer', v_fk, n_rows FROM scan CROSS JOIN fk
+  {''.join(
+      f"UNION ALL SELECT '{name}', v_{i}, n_rows FROM scan "
+      for i, (name, _) in enumerate(_SCAN_RULES))}
+)
+SELECT rule, n_rows, n_violations,
+       n_violations = 0 AS passed
+FROM rules ORDER BY rule
+"""
+
+register(QuerySpec("orders_constraint_audit", orders_constraint_audit,
+                   _AUDIT_SQL, doc=orders_constraint_audit.__doc__))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+# deterministic 15% "new arrivals" slice — the delta batch an ingest
+# cycle would append; pure key arithmetic so the Spark plan and the
+# DuckDB oracle split identically
+_DELTA_PRED = "o_orderkey % 20 IN (7, 11, 19)"
+
+
+def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view: revenue and
+    order count per customer nation, maintained as V_base ⊕ ΔV rather
+    than recomputed.
+
+    The view is ``customer ⋈ orders → groupBy(c_nationkey)``; orders
+    split into a base load and a 15% delta batch (`o_orderkey`
+    arithmetic — deterministic at every SF). Delta algebra for a
+    static dimension: ΔV = customer ⋈ Δorders aggregated, then merged
+    into V_base with a full-outer coalesce-sum on the group key. At
+    100 TB the delta batch is orders of magnitude smaller than the
+    base, so ΔV is a broadcast-joined agg over just the new rows and
+    the merge shuffles only |distinct keys| rows — the whole point vs
+    a from-scratch rebuild that re-shuffles the full fact table. Money
+    math in DECIMAL(18,2): exact, order-independent, so the
+    incrementally-maintained view must equal the oracle's from-scratch
+    recompute bit-for-bit — which is exactly what the oracle checks.
+    No reference analog; extends SURVEY §2.5 aggregation toward the
+    incremental pipelines a daily 100-TB ingest needs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    is_delta = F.expr(_DELTA_PRED)
+
+    def view_over(part: DataFrame, bcast_dim: bool) -> DataFrame:
+        dim = F.broadcast(customer) if bcast_dim else customer
+        return (
+            part.join(dim, part.o_custkey == customer.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.sum("price").alias("revenue"),
+                 F.count("*").alias("n_orders"))
+        )
+
+    v_base = view_over(orders.where(~is_delta), bcast_dim=False)
+    dv = view_over(orders.where(is_delta), bcast_dim=True)
+    b, d = v_base.alias("b"), dv.alias("d")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        b.join(d, F.col("b.c_nationkey") == F.col("d.c_nationkey"),
+               "full_outer")
+        .select(
+            F.coalesce(F.col("b.c_nationkey"), F.col("d.c_nationkey"))
+            .alias("c_nationkey"),
+            (F.coalesce(F.col("b.revenue"), zero)
+             + F.coalesce(F.col("d.revenue"), zero))
+            .cast("decimal(18,2)").alias("revenue"),
+            (F.coalesce(F.col("b.n_orders"), F.lit(0))
+             + F.coalesce(F.col("d.n_orders"), F.lit(0)))
+            .alias("n_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# the oracle recomputes the view FROM SCRATCH over all orders — equality
+# proves the delta-merge algebra, not just the arithmetic
+_IVM_SQL = """
+SELECT c_nationkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+register(QuerySpec("orders_ivm_nation_revenue", orders_ivm_nation_revenue,
+                   _IVM_SQL, doc=orders_ivm_nation_revenue.__doc__))
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+# target bin capacity = ceil(total_rows / TARGET_BINS): scale-relative so
+# the plan is meaningful at every SF (fixed row literals would put the
+# whole table in one bin at sf0.001 and one file per bin at sf10)
+_TARGET_BINS = 16
+
+
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style small-file compaction planner over the
+    ``events`` table's (event_type, hour) partition grain.
+
+    Stage 1 collapses the data to file-level metadata — one row per
+    (event_type, hour) "file" with its row count — which is the only
+    part that touches the 100-TB table (a single hash agg; in a real
+    lakehouse this comes free from the manifest/footers). Stage 2 is
+    pure metadata planning: order files largest-first with a
+    deterministic tiebreak, take a running sum, and cut next-fit bins
+    at capacity ceil(total/16) — a cumulative-sum window over
+    thousands of metadata rows, trivially single-partition. Returns
+    one row per planned bin (file count, row total, fill ratio in
+    basis points) — the rewrite job this plan feeds would read exactly
+    the multi-file bins. Same maintenance family as
+    ivfpq_index_compact / compact_sketch_batches (bounding read-side
+    fan-in), lifted to table partitions; no reference analog."""
+    events = load_table(spark, sf_dir, "events")
+    files = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count("*").alias("file_rows"))
+    )
+    w = (
+        Window.orderBy(F.desc("file_rows"), F.asc("event_type"),
+                       F.asc("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total_w = Window.partitionBy()
+    # all planning arithmetic is exact integer (ceil-div and floor-div
+    # spelled with DIV) so the DuckDB oracle — same expressions with
+    # `//` — is bit-identical; no float rounding to diverge on
+    binned = files.select(
+        "file_rows",
+        F.sum("file_rows").over(w).alias("cum_rows"),
+        F.sum("file_rows").over(total_w).alias("total_rows"),
+    ).selectExpr(
+        "file_rows",
+        f"(total_rows + {_TARGET_BINS - 1}) DIV {_TARGET_BINS} AS cap",
+        f"(cum_rows - 1) DIV ((total_rows + {_TARGET_BINS - 1})"
+        f" DIV {_TARGET_BINS}) AS bin",
+    )
+    return (
+        binned.groupBy("bin", "cap")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("file_rows").alias("bin_rows"),
+            F.max("file_rows").alias("largest_file_rows"),
+        )
+        .selectExpr(
+            "bin", "n_files", "bin_rows", "largest_file_rows",
+            "(bin_rows * 10000) DIV cap AS fill_bp",
+        )
+        .orderBy("bin")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*) AS file_rows
+  FROM events GROUP BY 1, 2
+), planned AS (
+  SELECT file_rows,
+         sum(file_rows) OVER (
+           ORDER BY file_rows DESC, event_type ASC, hr ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_rows,
+         (sum(file_rows) OVER () + {_TARGET_BINS - 1}) // {_TARGET_BINS}
+           AS cap
+  FROM files
+)
+SELECT CAST((cum_rows - 1) // cap AS BIGINT) AS bin,
+       count(*) AS n_files,
+       CAST(sum(file_rows) AS BIGINT) AS bin_rows,
+       max(file_rows) AS largest_file_rows,
+       CAST((sum(file_rows) * 10000) // cap AS BIGINT) AS fill_bp
+FROM planned
+GROUP BY bin, cap ORDER BY bin
+"""
+
+register(QuerySpec("events_compaction_plan", events_compaction_plan,
+                   _COMPACTION_SQL, doc=events_compaction_plan.__doc__))

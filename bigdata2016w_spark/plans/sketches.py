@@ -34,6 +34,8 @@ from bigdata2016w_spark.operators.sketches import (
     WINNOW_W,
     cms_heavy_keys,
     hll_distinct,
+    hll_estimate_by,
+    hll_registers_by,
     kmv_distinct,
     winnow_dup_candidates,
     winnow_fingerprints,
@@ -531,3 +533,111 @@ FROM a CROSS JOIN n CROSS JOIN qs
 register(QuerySpec("orders_price_quantile_sketch",
                    orders_price_quantile_sketch, _QSK_SQL,
                    doc=orders_price_quantile_sketch.__doc__))
+
+
+# ------------------------------------------------------------ HLL rollup
+
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable distinct-count cube: per-(event_type, day) unique
+    users estimated by MERGING hourly HLL register partials — the plan
+    never recomputes registers from raw events at the coarser grain.
+
+    Stage 1 builds (event_type, day, hour) register partials (one hash
+    partial-agg pass over the fact table — the only stage that touches
+    raw data). Stage 2 folds hour→day with ``groupBy(..., bucket)
+    .max(rho)`` over keys×256 metadata-sized rows, then estimates per
+    group. Because max-merge is associative and lossless, the rolled-up
+    registers are IDENTICAL to registers built directly at day grain —
+    which is exactly what the oracle computes (single-level, from raw),
+    so a MATCH certifies the re-aggregation property externally, not
+    just in pytest. At 100 TB this is the distinct-count cube strategy:
+    persist fine-grain partials once, answer every coarser grain from
+    register tables thousands of times smaller than the data; the same
+    max-merge serves streaming partials (streaming/sketch_sink.py).
+    Exact per-group counts ride along for error visibility. Portable
+    md5 hash family (operators/dedup.portable_hash60) so DuckDB replays
+    bit-identically; xxhash64 stays the production default."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    hourly = hll_registers_by(
+        keyed, ["event_type", "day", "hr"], col="u", seed="HLLU"
+    )
+    daily = hourly.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    est = hll_estimate_by(daily, ["event_type", "day"])
+    exact = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        est.join(exact, ["event_type", "day"])
+        .select("event_type", "day", "m_filled", "isum",
+                "est_distinct", "exact_distinct")
+        .orderBy("event_type", "day")
+    )
+
+
+# the oracle computes day-grain registers DIRECTLY from raw events (no
+# hourly level): equality proves the hour->day max-merge is lossless
+_HLL_ROLLUP_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         {_phash_sql('HLLU', 'CAST(user_id AS VARCHAR)')} AS h
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), b AS (
+  SELECT event_type, day,
+         CAST(h & {HLL_M - 1} AS INTEGER) AS bucket,
+         h >> {HLL_P} AS rest
+  FROM h
+), r AS (
+  SELECT event_type, day, bucket,
+         CAST(CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(printf('%b', rest)) END
+              AS INTEGER) AS rho
+  FROM b
+), regs AS (
+  SELECT event_type, day, bucket, max(rho) AS rho
+  FROM r GROUP BY 1, 2, 3
+), a AS (
+  SELECT event_type, day,
+         CAST(count(*) AS INTEGER) AS m_filled,
+         CAST(coalesce(sum(1::BIGINT << ({_HLL_RHO_MAX} - rho)), 0)
+              + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
+              AS BIGINT) AS isum
+  FROM regs GROUP BY 1, 2
+), e AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT a.event_type, a.day, m_filled, isum,
+       round(CASE WHEN {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+                       <= {2.5 * HLL_M!r}
+                   AND {HLL_M} - m_filled > 0
+                  THEN {float(HLL_M)!r}
+                       * ln({float(HLL_M)!r}
+                            / CAST({HLL_M} - m_filled AS DOUBLE))
+                  ELSE {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+             END, 4) AS est_distinct,
+       exact_distinct
+FROM a JOIN e ON a.event_type = e.event_type AND a.day = e.day
+ORDER BY a.event_type, a.day
+"""
+
+register(QuerySpec("events_hll_daily_rollup", events_hll_daily_rollup,
+                   _HLL_ROLLUP_SQL,
+                   doc=events_hll_daily_rollup.__doc__))

@@ -77,9 +77,11 @@ _SPEC_MODULES = [
 # sgd_ensemble, sgd_auc, bpe_merge_table) stay BEHIND the window — an
 # oracle slot spent on a rows-only check is wasted.
 #
-# ROUND 11 TODO: lead with any never-driver-sampled oracle-backed
+# ROUND 11 TODO: lead with the never-driver-sampled oracle-backed
 # queries added in r10 (lineitem_zorder_skipping,
-# events_user_stats_salted, ...), then rotate the
+# events_user_stats_salted, orders_constraint_audit,
+# orders_ivm_nation_revenue, events_compaction_plan,
+# events_hll_daily_rollup), then rotate the
 # 48 remaining r08-latest greens to the front (they will then be three
 # rounds stale), fillers from the oldest r09 greens in sample order.
 _WINDOW_FRONT = [

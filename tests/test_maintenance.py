@@ -1,0 +1,114 @@
+"""Table-maintenance tier: constraint audit, incremental view
+maintenance, compaction planning (plans/maintenance.py).
+
+Each query gets (1) the full typed oracle parity check the driver gate
+replays and (2) a semantic assertion the oracle alone can't make — the
+audit's verdict split, the IVM merge equalling an in-engine from-scratch
+rebuild, the compaction plan's conservation/shape invariants.
+"""
+
+from pyspark.sql import functions as F
+
+from bigdata2016w_spark.plans.maintenance import (
+    _DELTA_PRED,
+    _TARGET_BINS,
+    events_compaction_plan,
+    orders_constraint_audit,
+    orders_ivm_nation_revenue,
+)
+from bigdata2016w_spark.registry import all_specs
+from bigdata2016w_spark.sources.catalog import load_table
+from tests.oracle import compare_spark_duckdb
+
+
+def _spec(name):
+    return all_specs()[name]
+
+
+# ---------------------------------------------------------------- audit
+
+def test_constraint_audit_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_constraint_audit")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_constraint_audit_verdicts(spark, sf_dir):
+    rows = {r["rule"]: r for r in
+            orders_constraint_audit(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    # structural rules hold on the clean generator
+    for rule in ("unique:o_orderkey", "fk:o_custkey->customer",
+                 "not_null:o_custkey", "domain:o_orderstatus",
+                 "range:o_totalprice_positive"):
+        assert rows[rule]["passed"] and rows[rule]["n_violations"] == 0
+    # the deliberately tight business rule reports real violations
+    cap = rows["rule:o_totalprice_cap_125k"]
+    assert not cap["passed"] and cap["n_violations"] > 0
+    # every rule reports against the same full-table row count
+    n = load_table(spark, sf_dir, "orders").count()
+    assert {r["n_rows"] for r in rows.values()} == {n}
+
+
+# ------------------------------------------------------------------ ivm
+
+def test_ivm_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_ivm_nation_revenue")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivm_equals_from_scratch_rebuild(spark, sf_dir):
+    """The merged base⊕delta view must equal a from-scratch rebuild
+    computed inside Spark too (the oracle proves it against DuckDB;
+    this pins it engine-internally, so a delta-predicate drift can't
+    hide behind a matching oracle edit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    scratch = (
+        orders.select("o_custkey",
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                      .alias("price"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("price").cast("decimal(18,2)").alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    got = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+           for r in orders_ivm_nation_revenue(spark, sf_dir).collect()}
+    want = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+            for r in scratch.collect()}
+    assert got == want
+    # the split is real: both sides non-empty, delta ≈ 15%
+    n = orders.count()
+    nd = orders.where(F.expr(_DELTA_PRED)).count()
+    assert 0 < nd < n and 0.10 < nd / n < 0.20
+
+
+# ----------------------------------------------------------- compaction
+
+def test_compaction_plan_matches_oracle(spark, duck, sf_dir):
+    s = _spec("events_compaction_plan")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    plan = events_compaction_plan(spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events")
+    files = events.groupBy("event_type",
+                           F.date_trunc("hour", F.col("ts"))).count()
+    total = events.count()
+    n_files = files.count()
+    # conservation: every file lands in exactly one bin
+    assert sum(r["bin_rows"] for r in plan) == total
+    assert sum(r["n_files"] for r in plan) == n_files
+    # bins are contiguous 0..n-1 and bounded by the target
+    assert [r["bin"] for r in plan] == list(range(len(plan)))
+    assert len(plan) <= _TARGET_BINS
+    cap = -(-total // _TARGET_BINS)
+    # next-fit bound: a bin overshoots capacity by less than one file
+    for r in plan:
+        assert r["bin_rows"] < cap + r["largest_file_rows"]
+        assert 0 < r["fill_bp"] <= (10000 * (cap + r["largest_file_rows"])) // cap
+    # all bins except the last run essentially full (≥ 80% here —
+    # largest-first next-fit leaves at most one fragmented tail bin)
+    for r in plan[:-1]:
+        assert r["fill_bp"] >= 8000

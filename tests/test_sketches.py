@@ -394,3 +394,57 @@ def test_quantile_sketch_empty_input(spark):
     assert len(rows) == 5
     assert all(r.est is None and r.k_used == 0 and r.n_rows == 0
                for r in rows)
+
+
+def test_hll_daily_rollup_oracle(spark, duck, sf_dir):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    s = all_specs()["events_hll_daily_rollup"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_hll_rollup_merge_equals_direct_day_grain(spark, sf_dir):
+    """The re-aggregation property in-engine: hourly register partials
+    max-merged to day grain are IDENTICAL to registers built directly
+    at day grain (associativity of max) — the invariant that lets a
+    100-TB cube persist fine partials once and serve every coarser
+    grain from metadata."""
+    from bigdata2016w_spark.operators.sketches import hll_registers_by
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    rolled = (
+        hll_registers_by(keyed, ["event_type", "day", "hr"], "u", "HLLU")
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    direct = hll_registers_by(keyed, ["event_type", "day"], "u", "HLLU")
+    assert sorted(map(tuple, rolled.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_hll_rollup_estimates_within_error_bound(spark, sf_dir):
+    """Every per-group estimate lands within 15% of the exact count —
+    ~2.3 standard errors at p=8 (1.04/sqrt(256) ~ 6.5%), and the
+    linear-counting branch is far tighter at these cardinalities."""
+    from bigdata2016w_spark.registry import all_specs
+
+    rows = all_specs()["events_hll_daily_rollup"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.15, (r["event_type"], r["day"], rel)
