@@ -218,3 +218,54 @@ def phrase_query(docs: DataFrame, phrase: list[str]) -> DataFrame:
         "docid",
         F.size("starts").cast("long").alias("n_matches"),
     )
+
+
+def proximity_query(
+    docs: DataFrame, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """Proximity retrieval: documents where ``term_a`` and ``term_b``
+    co-occur within ``window`` token positions (unordered), with the
+    qualifying pair count and the minimum observed distance per doc —
+    the ranked-proximity primitive (``"a NEAR/w b"``) classic IR engines
+    layer over positional postings.
+
+    Plan: the two terms' positional postings equi-join on docid (cost
+    bounded by the rarer term's posting list, like :func:`phrase_query`),
+    then the pair predicate runs as JVM-side higher-order array
+    functions over the two position arrays — ``aggregate`` +
+    ``filter``/``array_min`` — so positions are never exploded into
+    rows and nothing leaves the JVM. Per-doc work is |A|·|B| over
+    in-memory ints, bounded by document length, independent of corpus
+    size."""
+    pos = postings_positional(docs)
+    a = pos.where(F.col("term") == term_a).select(
+        "docid", F.col("positions").alias("pa")
+    )
+    b = pos.where(F.col("term") == term_b).select(
+        "docid", F.col("positions").alias("pb")
+    )
+    w = F.lit(window)
+    n_pairs = F.aggregate(
+        F.col("pa"),
+        F.lit(0),
+        lambda acc, x: acc + F.size(
+            F.filter(F.col("pb"), lambda y: F.abs(y - x) <= w)
+        ),
+    )
+    min_dist = F.aggregate(
+        F.col("pa"),
+        F.lit(None).cast("int"),
+        lambda acc, x: F.least(
+            acc, F.array_min(F.transform(F.col("pb"),
+                                         lambda y: F.abs(y - x)))
+        ),
+    )
+    return (
+        a.join(b, "docid")
+        .select(
+            "docid",
+            n_pairs.cast("long").alias("n_pairs"),
+            min_dist.alias("min_dist"),
+        )
+        .where(F.col("n_pairs") > 0)
+    )

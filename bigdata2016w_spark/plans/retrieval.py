@@ -174,3 +174,46 @@ ORDER BY a.docid
 
 register(QuerySpec("retrieval_phrase", retrieval_phrase, _PHRASE_SQL,
                    doc=retrieval_phrase.__doc__))
+
+
+PROX_A, PROX_B, PROX_W = "merge", "sort", 3
+
+
+def retrieval_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/w proximity retrieval (extension past the reference's
+    boolean-only surface): docs where two terms co-occur within 3
+    positions, with pair count and minimum distance."""
+    from bigdata2016w_spark.operators.retrieval import proximity_query
+
+    return proximity_query(
+        load_table(spark, sf_dir, "documents"), PROX_A, PROX_B, PROX_W
+    ).orderBy("docid")
+
+
+_PROXIMITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS docid, {tokenize_sql('text')} AS w FROM documents
+),
+pos AS (
+  SELECT docid, unnest(w) AS term,
+         unnest(range(len(w))) AS p
+  FROM t
+),
+a AS (SELECT docid, p FROM pos WHERE term = '{PROX_A}'),
+b AS (SELECT docid, p FROM pos WHERE term = '{PROX_B}'),
+pairs AS (
+  SELECT a.docid, abs(a.p - b.p) AS d
+  FROM a JOIN b ON a.docid = b.docid
+)
+SELECT docid,
+       CAST(sum(CASE WHEN d <= {PROX_W} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(min(d) AS INTEGER) AS min_dist
+FROM pairs
+GROUP BY docid
+HAVING sum(CASE WHEN d <= {PROX_W} THEN 1 ELSE 0 END) > 0
+ORDER BY docid
+"""
+
+register(QuerySpec("retrieval_proximity", retrieval_proximity,
+                   _PROXIMITY_SQL, doc=retrieval_proximity.__doc__))

@@ -96,3 +96,33 @@ def test_phrase_query_known_corpus(spark):
     got3 = {r.docid: r.n_matches
             for r in phrase_query(docs, ["big", "data", "big"]).collect()}
     assert got3 == {3: 2}
+
+
+def test_proximity_query_oracle(spark, sf_dir, duck):
+    s = all_specs()["retrieval_proximity"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_proximity_query_known_corpus(spark):
+    from bigdata2016w_spark.operators.retrieval import proximity_query
+
+    docs = spark.createDataFrame(
+        [
+            # positions: merge@0, sort@2 -> d=2 (one pair in w=2)
+            (1, "merge data sort"),
+            # merge@0, sort@4 -> d=4, outside w=2
+            (2, "merge a b c sort"),
+            # merge@{0,3}, sort@{1,5}: pairs d=1,5,2,2 -> three <= 2
+            (3, "merge sort x merge a sort"),
+            (4, "no terms here"),
+            (5, "merge merge only"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.docid: (r.n_pairs, r.min_dist)
+           for r in proximity_query(docs, "merge", "sort", 2).collect()}
+    assert got == {1: (1, 2), 3: (3, 1)}
+    # unordered: swapping the terms yields identical results
+    swapped = {r.docid: (r.n_pairs, r.min_dist)
+               for r in proximity_query(docs, "sort", "merge", 2).collect()}
+    assert swapped == got
