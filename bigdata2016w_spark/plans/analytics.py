@@ -303,3 +303,99 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
 register(QuerySpec("supplier_fuzzy_name_pairs", supplier_fuzzy_name_pairs,
                    _FUZZY_SQL, doc=supplier_fuzzy_name_pairs.__doc__))
+
+
+# ------------------------------------------------- half-sample bootstrap
+
+R_BOOT = 32
+# 1-based index of the q-quantile in the sorted 32 replicate means,
+# ceil(q·R) — the hash_sample_quantiles convention
+_BQ = {q: -(-int(q * 100) * R_BOOT // 100) for q in (0.05, 0.50, 0.95)}
+
+
+def orders_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence interval for mean(o_totalprice) from
+    32 deterministic half-sample replicates — the error bar a 100-TB
+    metric pipeline attaches to every estimate, without resampling
+    passes or RNG state.
+
+    Replicate r includes a row iff bit r of the row's 60-bit portable
+    hash is 0 (independent fair coin flips per replicate from ONE hash
+    evaluation per row — not 32 hash passes). The plan is a single
+    scan + a 32× integer bit-test expand + one partial-agg shuffle of
+    (replicate → cents-sum, count): replicate means are single IEEE
+    divisions of exact int64 sums, the quantile picks index into the
+    sorted 32-value array — everything deterministic and bit-identical
+    in the oracle, which replays the same bits from the same md5
+    family. Half-sampling (the random-group method; cf. Poisson
+    bootstrap at scale) estimates the sampling spread at n/2, a
+    conservative (≈√2-wide) CI — documented, deterministic, mergeable."""
+    from bigdata2016w_spark.operators.dedup import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        portable_hash60(F.col("o_orderkey").cast("string"), "BOOT")
+        .alias("h"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = (
+        orders.select(
+            "h", "cents", F.explode(F.sequence(F.lit(0), F.lit(R_BOOT - 1)))
+            .alias("r")
+        )
+        .where(F.expr("(shiftright(h, r) & 1) = 0"))
+        .groupBy("r")
+        .agg(F.sum("cents").alias("sc"), F.count("*").alias("nc"))
+        .select(
+            (F.col("sc").cast("double")
+             / (F.col("nc") * 100).cast("double")).alias("mu")
+        )
+        .agg(F.sort_array(F.collect_list("mu")).alias("xs"),
+             F.count("*").alias("n_replicates"))
+    )
+    full = orders.agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("sc_full")
+    )
+    return reps.crossJoin(F.broadcast(full)).select(
+        "n_rows",
+        "n_replicates",
+        F.round(F.col("sc_full").cast("double")
+                / (F.col("n_rows") * 100).cast("double"), 6)
+        .alias("mean_totalprice"),
+        F.round(F.element_at("xs", _BQ[0.05]), 6).alias("boot_p05"),
+        F.round(F.element_at("xs", _BQ[0.50]), 6).alias("boot_p50"),
+        F.round(F.element_at("xs", _BQ[0.95]), 6).alias("boot_p95"),
+    )
+
+
+_BOOT_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('BOOT:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT r.r, cents
+  FROM h CROSS JOIN (SELECT unnest(range({R_BOOT})) AS r) r
+  WHERE ((h >> r.r) & 1) = 0
+), m AS (
+  SELECT r, CAST(sum(cents) AS BIGINT) AS sc, count(*) AS nc
+  FROM reps GROUP BY r
+), means AS (
+  SELECT CAST(sc AS DOUBLE) / CAST(nc * 100 AS DOUBLE) AS mu FROM m
+), arr AS (
+  SELECT list_sort(list(mu)) AS xs, CAST(count(*) AS BIGINT) AS n_replicates
+  FROM means
+), f AS (
+  SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sc_full FROM h
+)
+SELECT n_rows, n_replicates,
+       round(CAST(sc_full AS DOUBLE) / CAST(n_rows * 100 AS DOUBLE), 6)
+         AS mean_totalprice,
+       round(xs[{_BQ[0.05]}], 6) AS boot_p05,
+       round(xs[{_BQ[0.50]}], 6) AS boot_p50,
+       round(xs[{_BQ[0.95]}], 6) AS boot_p95
+FROM arr CROSS JOIN f
+"""
+
+register(QuerySpec("orders_halfsample_ci", orders_halfsample_ci,
+                   _BOOT_SQL, doc=orders_halfsample_ci.__doc__))

@@ -546,3 +546,121 @@ register(QuerySpec(
     "events_user_stats_salted", events_user_stats_salted,
     _SALTED_STATS_SQL, doc=events_user_stats_salted.__doc__,
 ))
+
+
+# ------------------------------------------------------------- OLS trend
+
+def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend (closed-form OLS of value on the
+    hour index): slope, intercept, and r² from the five sufficient
+    statistics (n, Σx, Σx², Σy, Σxy, Σy²) — regression at 100 TB is
+    ONE hash aggregate, never an iterative fit.
+
+    Determinism discipline: x is the hour offset from the global min
+    hour (exact integer), y is the value in integer CENTS (the 2-
+    decimal domain recovered exactly by round(value·100)), so every
+    aggregate is an order-independent BIGINT sum; the slope/intercept/
+    r² then evaluate as a FIXED scalar IEEE expression tree over
+    exact-integer doubles (all sums < 2^53), which both engines
+    compute bit-identically — aggregation order never touches a
+    float. Σxy at petabyte row counts would outgrow int64; the same
+    statistics then accumulate in DECIMAL(38,0) — the shape (one
+    partial-agg pass) is unchanged."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hsec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lo = ev.agg(F.min("hsec").alias("lo"))
+    xy = ev.crossJoin(F.broadcast(lo)).select(
+        "event_type",
+        ((F.col("hsec") - F.col("lo")) / 3600).cast("long").alias("x"),
+        "cents",
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+    )
+    # fixed IEEE expression tree over exact-integer doubles; /100.0
+    # converts cents back to value units at the result edge
+    return s.selectExpr(
+        "event_type",
+        "n",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)"
+        " AS slope_per_hour",
+        "round((CAST(sy AS DOUBLE)"
+        "  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+        "    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6)"
+        " AS intercept",
+        "round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2",
+    ).orderBy("event_type")
+
+
+_OLS_EDGE = """
+round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+ / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+ AS slope_per_hour,
+round((CAST(sy AS DOUBLE)
+  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6)
+ AS intercept,
+round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+ / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+"""
+
+_OLS_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         epoch(date_trunc('hour', ts))::BIGINT AS hsec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), lo AS (SELECT min(hsec) AS lo FROM ev),
+xy AS (
+  SELECT event_type, (hsec - lo) // 3600 AS x, cents
+  FROM ev CROSS JOIN lo
+), s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * cents) AS BIGINT) AS sxy,
+         CAST(sum(cents * cents) AS BIGINT) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n, {_OLS_EDGE}
+FROM s ORDER BY event_type
+"""
+
+register(QuerySpec("events_hourly_trend_ols", events_hourly_trend_ols,
+                   _OLS_SQL, doc=events_hourly_trend_ols.__doc__))

@@ -42,3 +42,24 @@ def test_column_stats_single_scan(spark, sf_dir, duck):
     # one scan NODE (multi-distinct runs via Expand over a single pass);
     # the node name appears once in the tree and once in the detail list
     assert len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue())) == 1
+
+
+def test_halfsample_ci_oracle(spark, duck, sf_dir):
+    s = all_specs()["orders_halfsample_ci"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_halfsample_ci_brackets_the_mean(spark, sf_dir):
+    from bigdata2016w_spark.plans.analytics import (
+        R_BOOT,
+        orders_halfsample_ci,
+    )
+
+    r = orders_halfsample_ci(spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == R_BOOT
+    assert r["boot_p05"] <= r["boot_p50"] <= r["boot_p95"]
+    # 32 half-sample means straddle the full-data mean
+    assert r["boot_p05"] < r["mean_totalprice"] < r["boot_p95"]
+    # and the spread is a sane few-percent band, not degenerate
+    rel = (r["boot_p95"] - r["boot_p05"]) / r["mean_totalprice"]
+    assert 0 < rel < 0.2

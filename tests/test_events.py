@@ -101,3 +101,34 @@ def test_salted_stats_plan_has_two_agg_stages(spark, sf_dir):
     assert len(re.findall(r"HashAggregate", plan)) >= 4
     assert "__salt" in plan
     assert "EvalPython" not in plan
+
+
+def test_hourly_trend_ols_oracle(spark, duck, sf_dir):
+    s = all_specs()["events_hourly_trend_ols"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_hourly_trend_ols_recovers_planted_line(spark, tmp_path):
+    """A perfectly linear hourly series (2-decimal values) must come
+    back with the exact planted slope/intercept and r² = 1 — the
+    closed-form sufficient-statistics path, not an approximation."""
+    from datetime import datetime, timedelta
+
+    from bigdata2016w_spark.plans.events import events_hourly_trend_ols
+
+    t0 = datetime(2024, 3, 1, 0, 30)
+    rows = [
+        (i, t0 + timedelta(hours=i), 7, "lin", 1.00 + 0.25 * i, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = events_hourly_trend_ols(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n"], r["slope_per_hour"], r["intercept"], r["r2"]) == (
+        10, 0.25, 1.0, 1.0,
+    )
