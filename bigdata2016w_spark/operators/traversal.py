@@ -192,3 +192,56 @@ def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
         )).alias("b"))
     )
     return best.select("id", (-F.col("b.nl")).alias("label"))
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 8,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """→ (id, dist) minimum WEIGHTED distance from ``source`` using at
+    most ``rounds`` edges per path — bounded-round Bellman-Ford, the
+    weighted sibling of :func:`bfs_hops`.
+
+    Same Pregel min-combine shape: each round relaxes every edge out of
+    the current frontier (dist + w) and folds with a bare groupBy min
+    (map-side partial combine; the explicit co-partition alternative
+    was A/B-measured slower — see bfs_hops). All arithmetic is exact
+    integer, so the unrolled-CTE oracle replays every round with no
+    float caveat; ``rounds`` bounds path length exactly as the driver
+    loop does, making the oracle equality total, not asymptotic.
+    ``edges`` must carry an integer ``w`` column."""
+    spark = edges.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    edges = edges.repartition(par, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(par, "id")
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.select(
+        "id",
+        F.when(F.col("id") == F.lit(source), F.lit(0).cast("long"))
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+
+    for it in range(rounds):
+        relaxed = (
+            edges.join(dist, edges.src == dist.id)
+            .where(F.col("dist").isNotNull())
+            .select(F.col("dst").alias("id"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == rounds - 1:
+            dist = dist.localCheckpoint(eager=True)
+
+    return dist.where(F.col("dist").isNotNull()).select("id", "dist")

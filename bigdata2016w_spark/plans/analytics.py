@@ -399,3 +399,74 @@ FROM arr CROSS JOIN f
 
 register(QuerySpec("orders_halfsample_ci", orders_halfsample_ci,
                    _BOOT_SQL, doc=orders_halfsample_ci.__doc__))
+
+
+# --------------------------------------------------- basket co-occurrence
+
+PAIR_MIN_SUPPORT = 2
+PAIR_TOP_K = 20
+
+
+def parts_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs co-purchased in
+    the most orders (support ≥ 2), via the A-Priori contract — a pair
+    can only be frequent if both items are, so the per-basket self-join
+    runs AFTER infrequent parts are semi-join-pruned (lossless, and at
+    100 TB it is the difference between joining every basket and
+    joining only the frequent-item skeleton). Basket width bounds the
+    per-order pair fanout (TPC-H baskets are ≤ 7 lines), so candidate
+    generation is linear in orders, never corpus-quadratic; the final
+    top-k is a TakeOrderedAndProject over the pair-support agg with a
+    deterministic (count, p1, p2) tiebreak."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("item_sup"))
+        .where(F.col("item_sup") >= PAIR_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    pruned = li.join(freq, "l_partkey", "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"),
+        F.col("b.l_partkey").alias("p2"),
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(PAIR_TOP_K)
+    )
+
+
+_PAIRS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey FROM li GROUP BY l_partkey
+  HAVING count(*) >= {PAIR_MIN_SUPPORT}
+), pruned AS (
+  SELECT li.l_orderkey, li.l_partkey FROM li
+  WHERE li.l_partkey IN (SELECT l_partkey FROM freq)
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+FROM pruned a JOIN pruned b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {PAIR_MIN_SUPPORT}
+ORDER BY n_orders DESC, p1, p2
+LIMIT {PAIR_TOP_K}
+"""
+
+register(QuerySpec("parts_cooccurrence_topk", parts_cooccurrence_topk,
+                   _PAIRS_SQL, doc=parts_cooccurrence_topk.__doc__))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata2016w_spark.operators.dedup import portable_hash60
 from bigdata2016w_spark.registry import QuerySpec, register
 from bigdata2016w_spark.sources.catalog import load_table
 
@@ -327,3 +328,103 @@ GROUP BY bin, cap ORDER BY bin
 
 register(QuerySpec("events_compaction_plan", events_compaction_plan,
                    _COMPACTION_SQL, doc=events_compaction_plan.__doc__))
+
+
+# ---------------------------------------------------------------------------
+# Replica reconciliation via partition digests
+# ---------------------------------------------------------------------------
+
+# the simulated replica silently lost a scattered ~0.1% of rows — the
+# drift class (partial ingest, bad segment) digest exchange must catch
+_TAMPER_PRED = "o_orderkey % 1000 = 42"
+
+
+def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: per-month row counts and
+    order-independent content digests for a primary and a (simulated)
+    replica of ``orders``, full-outer merged so divergent partitions
+    surface with their row deltas.
+
+    Each row canonicalizes to a '|'-joined string of exact fields
+    (keys as decimal strings, money as integer cents, timestamps
+    formatted — never raw float repr), hashes through the portable
+    60-bit family, and the partition digest is the SUM of row hashes
+    in DECIMAL(38,0) — commutative, so the digest is partition-order-
+    and merge-order-independent, and two replicas can compute it with
+    different partitioning/cluster layouts and still agree. At 100 TB
+    the exchange is the digest table (one row per partition, KB not
+    TB); only months with digests_match = false need block-level
+    resync. The oracle replays both sides' digests from the same md5
+    arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def digests(side: DataFrame) -> DataFrame:
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+        return (
+            side.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                portable_hash60(canon, "DIG").cast("decimal(38,0)")
+                .alias("h"),
+            )
+            .groupBy("month")
+            .agg(F.count("*").alias("n"), F.sum("h").alias("digest"))
+        )
+
+    a = digests(orders).alias("a")
+    b = digests(orders.where(~F.expr(_TAMPER_PRED))).alias("b")
+    return (
+        a.join(b, F.col("a.month") == F.col("b.month"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.month"), F.col("b.month")).alias("month"),
+            F.coalesce(F.col("a.n"), F.lit(0)).alias("n_primary"),
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_replica"),
+            (F.col("a.digest").eqNullSafe(F.col("b.digest")))
+            .alias("digests_match"),
+            (F.coalesce(F.col("a.n"), F.lit(0))
+             - F.coalesce(F.col("b.n"), F.lit(0))).alias("rows_missing"),
+        )
+        .orderBy("month")
+    )
+
+
+_CANON_SQL = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+    " || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"
+    " || '|' || o_orderpriority"
+)
+
+_RECONCILE_SQL = f"""
+WITH a AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n,
+         CAST(sum(CAST(('0x' || substr(md5('DIG:' || {_CANON_SQL}), 1, 15))::BIGINT
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n,
+         CAST(sum(CAST(('0x' || substr(md5('DIG:' || {_CANON_SQL}), 1, 15))::BIGINT
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+  FROM orders WHERE NOT ({_TAMPER_PRED}) GROUP BY 1
+)
+SELECT coalesce(a.month, b.month) AS month,
+       coalesce(a.n, 0) AS n_primary,
+       coalesce(b.n, 0) AS n_replica,
+       (a.digest IS NOT DISTINCT FROM b.digest) AS digests_match,
+       coalesce(a.n, 0) - coalesce(b.n, 0) AS rows_missing
+FROM a FULL OUTER JOIN b ON a.month = b.month
+ORDER BY month
+"""
+
+register(QuerySpec("orders_replica_reconcile", orders_replica_reconcile,
+                   _RECONCILE_SQL, doc=orders_replica_reconcile.__doc__))

@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdata2016w_spark.operators.traversal import bfs_hops, kcore_peel
+from bigdata2016w_spark.operators.traversal import (
+    bfs_hops,
+    kcore_peel,
+    sssp_weighted,
+)
 from bigdata2016w_spark.plans.graph import PR_MOD, order_graph_edges
 from bigdata2016w_spark.registry import QuerySpec, register
 
@@ -163,3 +167,54 @@ l{t} AS MATERIALIZED (
 register(QuerySpec("graph_lpa_communities", graph_lpa_communities,
                    _lpa_sql(LPA_ROUNDS),
                    doc=graph_lpa_communities.__doc__))
+
+
+# deterministic integer edge weights 1..9 from the endpoint ids — the
+# same expression text evaluates in both engines
+_W_EXPR = "1 + (src * 7 + dst * 13) % 9"
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford over the orders-derived graph with
+    deterministic integer weights: minimum weighted distance from node
+    0 using ≤ 8 edges (operators/traversal.sssp_weighted). Extends
+    graph_sssp_hops to the weighted case the reference never had."""
+    edges = order_graph_edges(spark, sf_dir).selectExpr(
+        "src", "dst", f"{_W_EXPR} AS w"
+    )
+    return sssp_weighted(edges, SSSP_SOURCE, SSSP_HOPS, num_partitions=4)
+
+
+def _sssp_weighted_sql(source: int, rounds: int) -> str:
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT src, dst, {_W_EXPR} AS w FROM (
+    SELECT DISTINCT o_custkey % {PR_MOD} AS src, o_orderkey % {PR_MOD} AS dst
+    FROM orders WHERE o_custkey % {PR_MOD} <> o_orderkey % {PR_MOD}
+  )
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) END AS dist
+  FROM nodes
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + e.w AS dist
+    FROM e JOIN d{t - 1} p ON e.src = p.id
+    WHERE p.dist IS NOT NULL
+  ) u GROUP BY id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT id, dist FROM d{rounds} WHERE dist IS NOT NULL"
+    )
+
+
+register(QuerySpec("graph_sssp_weighted", graph_sssp_weighted,
+                   _sssp_weighted_sql(SSSP_SOURCE, SSSP_HOPS),
+                   doc=graph_sssp_weighted.__doc__))

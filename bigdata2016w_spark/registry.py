@@ -82,7 +82,8 @@ _SPEC_MODULES = [
 # events_user_stats_salted, orders_constraint_audit,
 # orders_ivm_nation_revenue, events_compaction_plan,
 # events_hll_daily_rollup, retrieval_proximity,
-# events_hourly_trend_ols, orders_halfsample_ci), then rotate the
+# events_hourly_trend_ols, orders_halfsample_ci, graph_sssp_weighted,
+# orders_replica_reconcile, parts_cooccurrence_topk), then rotate the
 # 48 remaining r08-latest greens to the front (they will then be three
 # rounds stale), fillers from the oldest r09 greens in sample order.
 _WINDOW_FRONT = [

@@ -1,6 +1,7 @@
 """Oracle-parity for the standard-SQL analytics surface + stripes PMI."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
@@ -63,3 +64,39 @@ def test_halfsample_ci_brackets_the_mean(spark, sf_dir):
     # and the spread is a sane few-percent band, not degenerate
     rel = (r["boot_p95"] - r["boot_p05"]) / r["mean_totalprice"]
     assert 0 < rel < 0.2
+
+
+def test_parts_cooccurrence_oracle(spark, duck, sf_dir):
+    s = all_specs()["parts_cooccurrence_topk"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_parts_cooccurrence_apriori_pruning_is_lossless(spark, sf_dir):
+    """The frequent-item semi-join prunes work, never answers: the
+    top-k from the pruned plan equals the naive unpruned pair count."""
+    from bigdata2016w_spark.plans.analytics import (
+        PAIR_MIN_SUPPORT,
+        PAIR_TOP_K,
+        parts_cooccurrence_topk,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    naive = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("p1"),
+                 F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= PAIR_MIN_SUPPORT)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(PAIR_TOP_K)
+    )
+    got = [tuple(r) for r in parts_cooccurrence_topk(spark, sf_dir).collect()]
+    want = [tuple(r) for r in naive.collect()]
+    assert got == want

@@ -112,3 +112,38 @@ def test_compaction_plan_invariants(spark, sf_dir):
     # largest-first next-fit leaves at most one fragmented tail bin)
     for r in plan[:-1]:
         assert r["fill_bp"] >= 8000
+
+
+# ----------------------------------------------------------- reconcile
+
+def test_replica_reconcile_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_replica_reconcile")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_replica_reconcile_flags_exactly_the_tampered_months(spark, sf_dir):
+    from bigdata2016w_spark.plans.maintenance import (
+        _TAMPER_PRED,
+        orders_replica_reconcile,
+    )
+
+    rows = orders_replica_reconcile(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    tampered = (
+        orders.where(F.expr(_TAMPER_PRED))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .count()
+    )
+    lost = {r["month"]: r["count"] for r in tampered.collect()}
+    assert lost  # the fixture really diverges
+    for r in rows:
+        if r["month"] in lost:
+            assert not r["digests_match"]
+            assert r["rows_missing"] == lost[r["month"]]
+        else:
+            assert r["digests_match"] and r["rows_missing"] == 0
+    # every month of the table is covered
+    n_months = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM")
+    ).distinct().count()
+    assert len(rows) == n_months

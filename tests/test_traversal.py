@@ -147,3 +147,36 @@ def test_lpa_pair_oscillation_is_deterministic(spark):
         got = {r.id: r.label
                for r in lpa_communities(edges, rounds=rounds).collect()}
         assert got == _lpa_python([(7, 3)], rounds)
+
+
+def test_sssp_weighted_oracle(spark, duck, sf_dir):
+    s = all_specs()["graph_sssp_weighted"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_sssp_weighted_vs_python_bellman_ford(spark):
+    """Planted weighted digraph: the operator must equal a pure-Python
+    bounded-round Bellman-Ford, including a case where the cheapest
+    path has MORE hops than the hop-minimal one."""
+    from bigdata2016w_spark.operators.traversal import sssp_weighted
+
+    edges = [
+        (0, 1, 10),       # direct but expensive
+        (0, 2, 1), (2, 3, 1), (3, 1, 1),   # 3-hop cost 3 beats 1-hop 10
+        (1, 4, 2),
+        (5, 0, 1),        # unreachable from 0 (wrong direction)
+    ]
+    rounds = 4
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: r.dist
+           for r in sssp_weighted(df, 0, rounds, num_partitions=2).collect()}
+
+    dist = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s_, d_, w_ in edges:
+            if s_ in dist and dist[s_] + w_ < nxt.get(d_, 1 << 60):
+                nxt[d_] = dist[s_] + w_
+        dist = nxt
+    assert got == dist
+    assert got[1] == 3 and got[4] == 5 and 5 not in got
