@@ -112,6 +112,17 @@ def main(argv: list[str] | None = None) -> int:
     zop.add_argument("--files", type=int, default=16,
                      help="target output file count (range partitions)")
 
+    audp = sub.add_parser(
+        "audit",
+        help="run the data-quality constraint suite "
+             "(plans/maintenance.orders_constraint_audit) and exit "
+             "non-zero when any rule fails — the ingest gate form",
+    )
+    audp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+
     admp = sub.add_parser(
         "admit",
         help="streaming dedup admission: replay a directory of document "
@@ -160,6 +171,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         return _export(args)
+
+    if args.cmd == "audit":
+        from bigdata2016w_spark import get_spark
+        from bigdata2016w_spark.plans.maintenance import (
+            orders_constraint_audit,
+        )
+
+        spark = get_spark(app_name="cli-audit")
+        spark.sparkContext.setLogLevel("WARN")
+        rows = orders_constraint_audit(spark, args.sf_dir).collect()
+        failed = 0
+        for r in rows:
+            mark = "PASS" if r["passed"] else "FAIL"
+            failed += 0 if r["passed"] else 1
+            print(f"{mark}  {r['rule']:32s} violations="
+                  f"{r['n_violations']}/{r['n_rows']}")
+        print(f"{len(rows) - failed}/{len(rows)} rules passed")
+        return 1 if failed else 0
 
     if args.cmd == "compact":
         from bigdata2016w_spark import get_spark

@@ -279,3 +279,15 @@ def test_cli_zorder(tmp_path, spark):
     assert p2.returncode == 2 and "at least two" in p2.stderr
     p3 = _run("zorder", src, dst + "3", "--cols", "a,nope")
     assert p3.returncode == 2 and "nope" in p3.stderr
+
+
+def test_cli_audit_exit_code_reflects_failures():
+    """The audit verb is an ingest gate: the sf0.001 fixture trips the
+    deliberately tight price-cap rule, so the exit code is 1 and every
+    rule prints a verdict line."""
+    r = _run("audit", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 1, r.stderr[-800:]
+    out = r.stdout
+    assert "FAIL  rule:o_totalprice_cap_125k" in out
+    assert out.count("PASS") >= 6
+    assert "6/7 rules passed" in out

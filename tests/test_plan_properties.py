@@ -640,3 +640,58 @@ def test_lpa_round_argmax_is_agg_pairs_never_window(spark):
              if "Functions [1]: [max(" in s]
     assert len(partial) == 1 and len(final) == 1
     assert partial[0] < final[0]
+
+
+def test_constraint_audit_single_scan_plus_anti_join(spark, sf_dir):
+    """The rule suite must fold into ONE orders aggregate (adding a
+    rule never adds a scan) plus exactly one LEFT ANTI join for the
+    referential check — never a scan per rule."""
+    from bigdata2016w_spark.plans.maintenance import orders_constraint_audit
+
+    plan = _formatted_plan(orders_constraint_audit(spark, sf_dir))
+    # tree nodes only (details repeat the header): orders(agg) +
+    # orders(fk probe) + customer — and not one more per rule
+    assert plan.count("Scan parquet  (") == 3
+    assert "LeftAnti" in plan
+
+
+def test_ivm_broadcasts_delta_side_dim(spark, sf_dir):
+    """The ΔV branch must broadcast the dimension to the (small) delta
+    batch — the property that makes maintenance cheaper than rebuild."""
+    from bigdata2016w_spark.plans.maintenance import orders_ivm_nation_revenue
+
+    plan = _formatted_plan(orders_ivm_nation_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the delta filter is pushed into the fact scan, not applied post-read
+    assert "o_orderkey" in plan.split("PushedFilters:")[1].splitlines()[0] \
+        or plan.count("PushedFilters: [IsNotNull") >= 1
+
+
+def test_cooccurrence_takes_ordered_after_pair_agg(spark, sf_dir):
+    from bigdata2016w_spark.plans.analytics import parts_cooccurrence_topk
+
+    plan = _formatted_plan(parts_cooccurrence_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan          # the A-Priori prune is in the plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_rollup_two_level_merge_is_partial_aggs(spark, sf_dir):
+    """Registers build once from raw data; the hour→day fold and the
+    estimate are hash aggs over register rows — no window, no Python."""
+    from bigdata2016w_spark.plans.sketches import events_hll_daily_rollup
+
+    plan = _formatted_plan(events_hll_daily_rollup(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ols_trend_is_one_aggregate_no_window(spark, sf_dir):
+    from bigdata2016w_spark.plans.events import events_hourly_trend_ols
+
+    plan = _formatted_plan(events_hourly_trend_ols(spark, sf_dir))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    # the global-min hour is a broadcast 1-row agg, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
