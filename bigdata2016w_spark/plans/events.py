@@ -664,3 +664,89 @@ FROM s ORDER BY event_type
 
 register(QuerySpec("events_hourly_trend_ols", events_hourly_trend_ols,
                    _OLS_SQL, doc=events_hourly_trend_ols.__doc__))
+
+
+# ------------------------------------------------------------ skew report
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for the events fact table — the numbers
+    that decide whether a groupBy/join on user_id needs salting
+    (operators/skew.py) or AQE skew handling before it runs at 100 TB:
+    key cardinality, the heaviest key's share, the top-1%-of-keys
+    share, and p50/p99 of per-key row counts.
+
+    One hash agg collapses the fact table to the per-key count table;
+    everything after runs over |keys| METADATA rows (rank windows +
+    sorted-index quantiles, the hash_sample_quantiles convention), so
+    the report costs one scan + one shuffle regardless of data size.
+    All ratios are integer basis points (exact BIGINT arithmetic) —
+    bit-identical in the DuckDB oracle."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_events"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    rn_desc = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+    rn_asc = F.row_number().over(
+        Window.orderBy(F.asc("cnt"), F.asc("user_id")))
+    ranked = counts.select(
+        "cnt", rn_desc.alias("rd"), rn_asc.alias("ra")
+    ).crossJoin(F.broadcast(stats))
+    return ranked.agg(
+        F.first("n_keys").alias("n_keys"),
+        F.first("total_events").alias("total_events"),
+        F.expr("first(max_cnt * 10000 DIV total_events)")
+        .alias("max_share_bp"),
+        F.expr(
+            "sum(CASE WHEN rd <= (n_keys + 99) DIV 100 THEN cnt"
+            " ELSE 0 END) * 10000 DIV first(total_events)"
+        ).alias("top1pct_share_bp"),
+        F.expr("first(max_cnt)").alias("max_cnt"),
+        F.max(F.expr(
+            "CASE WHEN ra = (50 * n_keys + 99) DIV 100 THEN cnt END"
+        )).alias("p50_cnt"),
+        F.max(F.expr(
+            "CASE WHEN ra = (99 * n_keys + 99) DIV 100 THEN cnt END"
+        )).alias("p99_cnt"),
+    )
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rd,
+         row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS ra
+  FROM counts
+), s AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total_events,
+         max(cnt) AS max_cnt
+  FROM counts
+)
+SELECT n_keys, total_events,
+       max_cnt * 10000 // total_events AS max_share_bp,
+       CAST((SELECT sum(CASE WHEN rd <= (n_keys + 99) // 100 THEN cnt
+                             ELSE 0 END) FROM ranked)
+            * 10000 // total_events AS BIGINT) AS top1pct_share_bp,
+       max_cnt,
+       (SELECT cnt FROM ranked WHERE ra = (50 * n_keys + 99) // 100)
+         AS p50_cnt,
+       (SELECT cnt FROM ranked WHERE ra = (99 * n_keys + 99) // 100)
+         AS p99_cnt
+FROM s
+"""
+
+register(QuerySpec("events_key_skew_report", events_key_skew_report,
+                   _SKEW_REPORT_SQL, doc=events_key_skew_report.__doc__))

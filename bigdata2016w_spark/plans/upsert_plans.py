@@ -171,3 +171,141 @@ FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
 
 register(QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
                    _SNAPSHOT_DIFF_SQL, doc=orders_snapshot_diff.__doc__))
+
+
+# ------------------------------------------------------------ purge audit
+
+# right-to-be-forgotten tombstones: a deterministic ~1% of customers
+_TOMBSTONE_PRED = "c_custkey % 97 = 13"
+
+
+def customers_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style cascading delete audit: purge a tombstoned customer
+    set and propagate through the foreign-key chain
+    (customer → orders → lineitem), reporting per-table before/purged/
+    after counts plus the post-purge orphan count — which must be 0,
+    and the query PROVES it rather than asserting it.
+
+    Physical shapes: the tombstone set (≈1% of a dimension) broadcasts;
+    customer purge is a LEFT ANTI against it, orders purge a LEFT SEMI
+    of o_custkey into it, lineitem purge a LEFT SEMI into the purged
+    orders' keys (fact-to-fact semi-join — shuffle-hash on l_orderkey,
+    the only step that touches the big table, one pass). The orphan
+    check re-joins the surviving orders against surviving customers
+    LEFT ANTI: at 100 TB every step is a semi/anti join on the key
+    chain — no row is ever rewritten, which is exactly how delete
+    vectors/tombstones defer physical rewrites in a lakehouse."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    tomb = customer.where(F.expr(_TOMBSTONE_PRED)).select("c_custkey")
+    purged_orders_keys = (
+        orders.join(F.broadcast(tomb),
+                    orders.o_custkey == tomb.c_custkey, "left_semi")
+        .select("o_orderkey")
+    )
+
+    def counts(name, total_df, purged_df, orphans_df):
+        t = total_df.agg(F.count("*").alias("rows_before"))
+        p = purged_df.agg(F.count("*").alias("rows_purged"))
+        o = orphans_df.agg(F.count("*").alias("orphans_after"))
+        return (
+            t.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(o))
+            .select(
+                F.lit(name).alias("table"),
+                "rows_before",
+                "rows_purged",
+                (F.col("rows_before") - F.col("rows_purged"))
+                .alias("rows_after"),
+                "orphans_after",
+            )
+        )
+
+    surviving_customer = customer.join(
+        F.broadcast(tomb), "c_custkey", "left_anti"
+    )
+    surviving_orders = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_anti"
+    )
+    empty = spark.range(0)
+
+    cust_row = counts(
+        "customer", customer,
+        customer.join(F.broadcast(tomb), "c_custkey", "left_semi"),
+        empty,
+    )
+    ord_row = counts(
+        "orders", orders,
+        orders.join(F.broadcast(tomb),
+                    orders.o_custkey == tomb.c_custkey, "left_semi"),
+        surviving_orders.join(
+            surviving_customer.select("c_custkey"),
+            surviving_orders.o_custkey == surviving_customer.c_custkey,
+            "left_anti",
+        ),
+    )
+    surviving_lineitem = lineitem.join(
+        purged_orders_keys,
+        lineitem.l_orderkey == purged_orders_keys.o_orderkey, "left_anti"
+    )
+    li_row = counts(
+        "lineitem", lineitem,
+        lineitem.join(purged_orders_keys,
+                      lineitem.l_orderkey == purged_orders_keys.o_orderkey,
+                      "left_semi"),
+        # real referential check: every surviving lineitem must still
+        # resolve to a surviving order
+        surviving_lineitem.join(
+            surviving_orders.select("o_orderkey"),
+            surviving_lineitem.l_orderkey == surviving_orders.o_orderkey,
+            "left_anti",
+        ),
+    )
+    return cust_row.unionByName(ord_row).unionByName(li_row).orderBy("table")
+
+
+_PURGE_SQL = f"""
+WITH tomb AS (SELECT c_custkey FROM customer WHERE {_TOMBSTONE_PRED}),
+po AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+),
+cust AS (
+  SELECT 'customer' AS "table",
+         (SELECT count(*) FROM customer) AS rows_before,
+         (SELECT count(*) FROM customer
+           WHERE c_custkey IN (SELECT c_custkey FROM tomb)) AS rows_purged,
+         CAST(0 AS BIGINT) AS orphans_after
+),
+ords AS (
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+         (SELECT count(*) FROM orders o
+           WHERE o.o_custkey NOT IN (SELECT c_custkey FROM tomb)
+             AND o.o_custkey NOT IN
+                 (SELECT c_custkey FROM customer
+                   WHERE NOT ({_TOMBSTONE_PRED})))
+),
+li AS (
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+         (SELECT count(*) FROM lineitem l
+           WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM po)
+             AND l.l_orderkey NOT IN
+                 (SELECT o_orderkey FROM orders
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)))
+)
+SELECT "table", rows_before, rows_purged,
+       rows_before - rows_purged AS rows_after, orphans_after
+FROM (SELECT * FROM cust UNION ALL SELECT * FROM ords
+      UNION ALL SELECT * FROM li)
+ORDER BY "table"
+"""
+
+register(QuerySpec("customers_purge_audit", customers_purge_audit,
+                   _PURGE_SQL, doc=customers_purge_audit.__doc__))

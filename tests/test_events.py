@@ -132,3 +132,38 @@ def test_hourly_trend_ols_recovers_planted_line(spark, tmp_path):
     assert (r["n"], r["slope_per_hour"], r["intercept"], r["r2"]) == (
         10, 0.25, 1.0, 1.0,
     )
+
+
+def test_key_skew_report_oracle(spark, duck, sf_dir):
+    s = all_specs()["events_key_skew_report"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_key_skew_report_detects_planted_hot_key(spark, tmp_path):
+    """One user holding half the events must dominate the report:
+    max_share_bp ~5000 and p99 >> p50."""
+    from datetime import datetime, timedelta
+
+    from bigdata2016w_spark.plans.events import events_key_skew_report
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for i in range(500):           # hot user 0: 500 events
+        rows.append((eid, t0 + timedelta(minutes=i), 0, "view", 1.0, "{}"))
+        eid += 1
+    for u in range(1, 101):        # 100 cold users: 5 events each
+        for i in range(5):
+            rows.append((eid, t0 + timedelta(minutes=i), u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = events_key_skew_report(spark, str(tmp_path)).collect()[0]
+    assert r["n_keys"] == 101 and r["total_events"] == 1000
+    assert r["max_share_bp"] == 5000 and r["max_cnt"] == 500
+    # top 1% of 101 keys = ceil(1.01) = 2 keys = hot + one cold
+    assert r["top1pct_share_bp"] == (505 * 10000) // 1000
+    assert r["p50_cnt"] == 5 and r["p99_cnt"] == 5

@@ -74,3 +74,39 @@ def test_snapshot_diff_classes_consistent(spark, sf_dir):
         | ((F.col("status") == "added") & F.col("n_old").isNotNull())
     )
     assert bad.count() == 0
+
+
+def test_purge_audit_oracle(spark, duck, sf_dir):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    s = all_specs()["customers_purge_audit"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_purge_audit_cascades_and_leaves_no_orphans(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.plans.upsert_plans import (
+        _TOMBSTONE_PRED,
+        customers_purge_audit,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    rows = {r["table"]: r for r in
+            customers_purge_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    customer = load_table(spark, sf_dir, "customer")
+    n_tomb = customer.where(F.expr(_TOMBSTONE_PRED)).count()
+    assert rows["customer"]["rows_purged"] == n_tomb > 0
+    # the cascade is real: purged orders/lineitems are non-zero and
+    # consistent with a direct recount
+    orders = load_table(spark, sf_dir, "orders")
+    tomb_keys = {r.c_custkey for r in
+                 customer.where(F.expr(_TOMBSTONE_PRED)).collect()}
+    n_po = orders.where(F.col("o_custkey").isin(tomb_keys)).count()
+    assert rows["orders"]["rows_purged"] == n_po > 0
+    assert rows["lineitem"]["rows_purged"] > 0
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_purged"]
+        assert r["orphans_after"] == 0
