@@ -337,25 +337,34 @@ def orders_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    reps = (
+    # one pass: replicate R_BOOT is the SENTINEL full-table replicate
+    # (no bit filter), so the full-data stats ride the same expand +
+    # partial-agg shuffle as the 32 half-samples; ONE final aggregate
+    # separates sentinel from replicates with CASE (collect_list drops
+    # the sentinel's NULL mu) — one orders scan total, plan-pinned. A
+    # two-consumer formulation re-scans: Catalyst pushes each r-filter
+    # below its aggregate, so the exchanges diverge and can't be reused.
+    per = (
         orders.select(
-            "h", "cents", F.explode(F.sequence(F.lit(0), F.lit(R_BOOT - 1)))
+            "h", "cents", F.explode(F.sequence(F.lit(0), F.lit(R_BOOT)))
             .alias("r")
         )
-        .where(F.expr("(shiftright(h, r) & 1) = 0"))
+        .where(F.expr(f"r = {R_BOOT} OR (shiftright(h, r) & 1) = 0"))
         .groupBy("r")
         .agg(F.sum("cents").alias("sc"), F.count("*").alias("nc"))
-        .select(
-            (F.col("sc").cast("double")
-             / (F.col("nc") * 100).cast("double")).alias("mu")
-        )
-        .agg(F.sort_array(F.collect_list("mu")).alias("xs"),
-             F.count("*").alias("n_replicates"))
     )
-    full = orders.agg(
-        F.count("*").alias("n_rows"), F.sum("cents").alias("sc_full")
+    is_rep = F.col("r") < R_BOOT
+    mu = F.when(
+        is_rep,
+        F.col("sc").cast("double") / (F.col("nc") * 100).cast("double"),
     )
-    return reps.crossJoin(F.broadcast(full)).select(
+    stats = per.agg(
+        F.max(F.when(~is_rep, F.col("nc"))).alias("n_rows"),
+        F.count(F.when(is_rep, F.lit(1))).alias("n_replicates"),
+        F.max(F.when(~is_rep, F.col("sc"))).alias("sc_full"),
+        F.sort_array(F.collect_list(mu)).alias("xs"),
+    )
+    return stats.select(
         "n_rows",
         "n_replicates",
         F.round(F.col("sc_full").cast("double")

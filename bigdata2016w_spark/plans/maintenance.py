@@ -160,6 +160,30 @@ register(QuerySpec("orders_constraint_audit", orders_constraint_audit,
 _DELTA_PRED = "o_orderkey % 20 IN (7, 11, 19)"
 
 
+def nation_revenue_delta(
+    part: DataFrame, dim: DataFrame, bcast_dim: bool = True
+) -> DataFrame:
+    """ΔV of the customer⋈orders nation-revenue view over one batch of
+    order rows: (c_nationkey, revenue DECIMAL(18,2), n_orders). THE
+    single definition of the view's delta — shared by the batch IVM
+    query below and the streaming sink (streaming/ivm.py), so the
+    "same view" contract between them is enforced by construction."""
+    dimc = dim.select("c_custkey", "c_nationkey")
+    d = F.broadcast(dimc) if bcast_dim else dimc
+    return (
+        part.select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .join(d, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("price").cast("decimal(18,2)").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN-aggregate view: revenue and
     order count per customer nation, maintained as V_base ⊕ ΔV rather
@@ -179,26 +203,14 @@ def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute bit-for-bit — which is exactly what the oracle checks.
     No reference analog; extends SURVEY §2.5 aggregation toward the
     incremental pipelines a daily 100-TB ingest needs."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-    )
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
     is_delta = F.expr(_DELTA_PRED)
 
-    def view_over(part: DataFrame, bcast_dim: bool) -> DataFrame:
-        dim = F.broadcast(customer) if bcast_dim else customer
-        return (
-            part.join(dim, part.o_custkey == customer.c_custkey)
-            .groupBy("c_nationkey")
-            .agg(F.sum("price").alias("revenue"),
-                 F.count("*").alias("n_orders"))
-        )
-
-    v_base = view_over(orders.where(~is_delta), bcast_dim=False)
-    dv = view_over(orders.where(is_delta), bcast_dim=True)
+    v_base = nation_revenue_delta(orders.where(~is_delta), customer,
+                                  bcast_dim=False)
+    dv = nation_revenue_delta(orders.where(is_delta), customer,
+                              bcast_dim=True)
     b, d = v_base.alias("b"), dv.alias("d")
     zero = F.lit(0).cast("decimal(18,2)")
     return (
@@ -287,16 +299,24 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(cum_rows - 1) DIV ((total_rows + {_TARGET_BINS - 1})"
         f" DIV {_TARGET_BINS}) AS bin",
     )
-    return (
+    grouped = (
         binned.groupBy("bin", "cap")
         .agg(
             F.count("*").alias("n_files"),
             F.sum("file_rows").alias("bin_rows"),
             F.max("file_rows").alias("largest_file_rows"),
         )
-        .selectExpr(
-            "bin", "n_files", "bin_rows", "largest_file_rows",
-            "(bin_rows * 10000) DIV cap AS fill_bp",
+    )
+    # dense renumbering over the ≤ _TARGET_BINS metadata rows: a single
+    # hot file larger than cap makes cum_rows skip raw bin indices, and
+    # consumers index bins 0..n-1 — contiguity must hold on skewed
+    # layouts too, not just uniform ones
+    dense = (F.row_number().over(Window.orderBy("bin")) - 1).cast("bigint")
+    return (
+        grouped.select(
+            dense.alias("bin"),
+            "n_files", "bin_rows", "largest_file_rows",
+            F.expr("(bin_rows * 10000) DIV cap").alias("fill_bp"),
         )
         .orderBy("bin")
     )
@@ -317,13 +337,18 @@ WITH files AS (
            AS cap
   FROM files
 )
-SELECT CAST((cum_rows - 1) // cap AS BIGINT) AS bin,
-       count(*) AS n_files,
-       CAST(sum(file_rows) AS BIGINT) AS bin_rows,
-       max(file_rows) AS largest_file_rows,
-       CAST((sum(file_rows) * 10000) // cap AS BIGINT) AS fill_bp
-FROM planned
-GROUP BY bin, cap ORDER BY bin
+, grouped AS (
+  SELECT (cum_rows - 1) // cap AS raw_bin, cap,
+         count(*) AS n_files,
+         CAST(sum(file_rows) AS BIGINT) AS bin_rows,
+         max(file_rows) AS largest_file_rows
+  FROM planned
+  GROUP BY raw_bin, cap
+)
+SELECT CAST(row_number() OVER (ORDER BY raw_bin) - 1 AS BIGINT) AS bin,
+       n_files, bin_rows, largest_file_rows,
+       CAST((bin_rows * 10000) // cap AS BIGINT) AS fill_bp
+FROM grouped ORDER BY bin
 """
 
 register(QuerySpec("events_compaction_plan", events_compaction_plan,

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from bigdata2016w_spark.streaming.ingest import (
     _batch_dirs,
@@ -40,19 +39,12 @@ def apply_ivm_batch(
     """Compute one batch's ΔV and land it in ``batch=<id>`` (overwrite:
     replays rewrite, never double-apply). ``dim`` is the static
     (c_custkey, c_nationkey) dimension — broadcast, the delta batch is
-    the small side's probe at any corpus scale."""
-    delta = (
-        batch_df.select(
-            "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-        )
-        .join(broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(
-            F.sum("price").cast("decimal(18,2)").alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
-    )
+    the small side's probe at any corpus scale. The delta definition is
+    ``plans.maintenance.nation_revenue_delta`` — the SAME function the
+    batch IVM query uses, so the two surfaces cannot drift apart."""
+    from bigdata2016w_spark.plans.maintenance import nation_revenue_delta
+
+    delta = nation_revenue_delta(batch_df, dim, bcast_dim=True)
     delta.write.mode("overwrite").parquet(f"{view_dir}/batch={batch_id}")
 
 
@@ -66,8 +58,10 @@ def ivm_view_sink(
     StreamingQuery. view_dir and checkpoint_dir live and die together —
     same fresh-checkpoint guard (and reasoning) as the admission sinks."""
     spark = orders_stream.sparkSession
-    _guard_fresh_checkpoint(spark, view_dir, checkpoint_dir,
-                            orders_stream.schema)
+    # guard with the DELTA schema — view_dir holds delta batches, not
+    # order rows; inputFiles() never reads data today, but a guard that
+    # ever evaluates the frame must see the schema actually on disk
+    _guard_fresh_checkpoint(spark, view_dir, checkpoint_dir, _DELTA_SCHEMA)
     dim = dim.select("c_custkey", "c_nationkey")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -545,7 +545,7 @@ def main() -> None:
             a.join(b, F.col("a.part") == F.col("b.part"), "full_outer")
             .where(~F.col("a.d").eqNullSafe(F.col("b.d")))
         )
-        return dig(base).count(), diff.count()
+        return a.count(), diff.count()
 
     t0 = time.perf_counter()
     tbl_h, div_h = _digest_exchange(n_vecs // 2)

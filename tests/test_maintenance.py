@@ -147,3 +147,36 @@ def test_replica_reconcile_flags_exactly_the_tampered_months(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM")
     ).distinct().count()
     assert len(rows) == n_months
+
+
+def test_compaction_plan_dense_bins_under_hot_file(spark, tmp_path):
+    """A single partition-file larger than the bin capacity (the skew
+    case) makes raw cumulative bin indices skip values — the plan must
+    still come out densely numbered 0..n-1 with conservation intact."""
+    from datetime import datetime, timedelta
+
+    from bigdata2016w_spark.plans.maintenance import events_compaction_plan
+
+    t0 = datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # hot file: one (event_type, hour) with half of all rows
+    for i in range(800):
+        rows.append((eid, t0, 1, "hot", 1.0, "{}")); eid += 1
+    # 80 uniform files of 10 rows
+    for h in range(80):
+        for i in range(10):
+            rows.append((eid, t0 + timedelta(hours=h + 1), 1,
+                         "cold", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    plan = events_compaction_plan(spark, str(tmp_path)).collect()
+    assert [r["bin"] for r in plan] == list(range(len(plan)))
+    assert sum(r["bin_rows"] for r in plan) == 1600
+    assert sum(r["n_files"] for r in plan) == 81
+    # the hot file sits alone in bin 0 (largest-first) and overflows cap
+    assert plan[0]["n_files"] == 1 and plan[0]["bin_rows"] == 800
+    assert plan[0]["fill_bp"] > 10000

@@ -695,3 +695,14 @@ def test_ols_trend_is_one_aggregate_no_window(spark, sf_dir):
     assert "EvalPython" not in plan
     # the global-min hour is a broadcast 1-row agg, not a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_halfsample_ci_single_scan(spark, sf_dir):
+    """The sentinel full-table replicate must ride the same expand +
+    partial-agg shuffle as the 32 half-samples, separated only in the
+    final CASE aggregate: exactly one orders scan, no join."""
+    from bigdata2016w_spark.plans.analytics import orders_halfsample_ci
+
+    plan = _formatted_plan(orders_halfsample_ci(spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 1
+    assert "Join" not in plan
