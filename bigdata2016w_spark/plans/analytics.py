@@ -370,9 +370,15 @@ def orders_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sc_full").cast("double")
                 / (F.col("n_rows") * 100).cast("double"), 6)
         .alias("mean_totalprice"),
-        F.round(F.element_at("xs", _BQ[0.05]), 6).alias("boot_p05"),
-        F.round(F.element_at("xs", _BQ[0.50]), 6).alias("boot_p50"),
-        F.round(F.element_at("xs", _BQ[0.95]), 6).alias("boot_p95"),
+        # try_element_at: NULL (like DuckDB list indexing) on an empty
+        # replicate table — an empty orders scan must yield a NULL CI,
+        # not an index error
+        F.round(F.try_element_at("xs", F.lit(_BQ[0.05])), 6)
+        .alias("boot_p05"),
+        F.round(F.try_element_at("xs", F.lit(_BQ[0.50])), 6)
+        .alias("boot_p50"),
+        F.round(F.try_element_at("xs", F.lit(_BQ[0.95])), 6)
+        .alias("boot_p95"),
     )
 
 

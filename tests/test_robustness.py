@@ -49,6 +49,12 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "embedding_int8_quant", "ann_dim_truncation_recall", "graph_kcore",
     "ann_ivf_pq_residual", "graph_lpa_communities",
     "orders_price_quantile_sketch", "ann_ivf_pq_rerank",
+    "orders_constraint_audit", "orders_ivm_nation_revenue",
+    "events_compaction_plan", "events_hll_daily_rollup",
+    "retrieval_proximity", "events_hourly_trend_ols",
+    "orders_halfsample_ci", "graph_sssp_weighted",
+    "orders_replica_reconcile", "parts_cooccurrence_topk",
+    "customers_purge_audit", "events_key_skew_report",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
