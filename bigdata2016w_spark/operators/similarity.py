@@ -1806,3 +1806,97 @@ def embedding_cross_near_dupes(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def ivf_probe_recall_sweep(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """(n_probe, n_queries, total_hits, avg_recall): recall@k of the
+    seed-centroid IVF (:func:`knn_ivf_flat`) at several probe depths in
+    ONE candidate pass — the tuning curve that picks n_probe for a
+    recall target, at roughly the cost of a single search.
+
+    Every vector lives in exactly one cell, so a candidate's probe
+    rank ``pr`` (the rank of its cell in the query's centroid-cosine
+    order) is unique per (query, candidate); candidates are generated
+    once at max(probes) and each threshold is a FILTER over the same
+    ranked set, never a re-scan. Ground truth is the brute-force top-k
+    (the oracle tier); recall = hits/(k·|Q|) as a single division of
+    exact int64 counts."""
+    max_p = max(probes)
+    spark = embeddings.sparkSession
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "n_probe int, n_queries bigint, total_hits bigint,"
+                " avg_recall double"
+        )
+    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    q = assigned.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probed = (
+        broadcast(q)
+        .crossJoin(broadcast(cent))
+        .select(
+            "query_id", "q_emb", "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= max_p)
+        .select("query_id", "q_emb", "cell", "pr")
+    )
+    cands = (
+        broadcast(probed)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "pr",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in sorted(probes)], "n_probe int"
+    )
+    per_t = cands.join(
+        broadcast(thresholds), F.col("pr") <= F.col("n_probe")
+    )
+    ranked = topk_per_group(
+        per_t, ["n_probe", "query_id"],
+        [F.desc("cosine"), F.asc("vec_id")], k,
+    ).select("n_probe", "query_id", "vec_id")
+
+    truth = knn_bruteforce(embeddings, query_ids, k).select(
+        "query_id", "vec_id"
+    )
+    hits = ranked.join(truth, ["query_id", "vec_id"]).groupBy(
+        "n_probe"
+    ).agg(F.count("*").alias("total_hits"))
+    # |Q| stays an in-plan broadcast 1-row aggregate (the PageRank
+    # dangling-mass convention), not a driver-side count
+    nq = truth.agg(
+        F.count_distinct("query_id").alias("n_queries")
+    )
+    th = F.coalesce(F.col("total_hits"), F.lit(0).cast("long"))
+    return (
+        broadcast(thresholds)
+        .join(hits, "n_probe", "left")
+        .crossJoin(broadcast(nq))
+        .select(
+            "n_probe",
+            "n_queries",
+            th.alias("total_hits"),
+            (th.cast("double")
+             / (F.col("n_queries") * k).cast("double")).alias("avg_recall"),
+        )
+        .orderBy("n_probe")
+    )

@@ -1965,3 +1965,97 @@ FROM base b LEFT JOIN hits h USING (query_id)
 
 register(QuerySpec("ann_dim_truncation_recall", ann_dim_truncation_recall,
                    _ANN_TRUNC_SQL, doc=ann_dim_truncation_recall.__doc__))
+
+
+# ---------------------------------------------------- IVF probe sweep
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import (
+        ivf_probe_recall_sweep,
+    )
+
+    return ivf_probe_recall_sweep(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, KNN_K,
+        n_cells=_IVF_CELLS, probes=_SWEEP_PROBES,
+    )
+
+
+# same CTE stack as _ANN_IVF_FLAT_SQL up to probe ranking, but the probe
+# rank rides onto the candidates and every sweep threshold is a filter
+# over that one candidate set — the oracle replays the single-pass trick
+_SWEEP_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
+),
+ac AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM e0 e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, q.qe, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, qe, cell, pr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {max(_SWEEP_PROBES)}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id, p.pr,
+         {_cos_sql('p.qe', 'a.embedding')} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+t AS (SELECT unnest([{', '.join(str(t) for t in sorted(_SWEEP_PROBES))}])
+        AS n_probe),
+ranked AS (
+  SELECT n_probe, query_id, vec_id FROM (
+    SELECT t.n_probe, c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY t.n_probe, c.query_id
+                              ORDER BY c.cosine DESC, c.vec_id ASC) AS rn
+    FROM cands c JOIN t ON c.pr <= t.n_probe
+  ) WHERE rn <= {KNN_K}
+),
+bf AS ({_ANN_SQL}),
+hits AS (
+  SELECT r.n_probe, count(*) AS total_hits
+  FROM ranked r JOIN bf USING (query_id, vec_id)
+  GROUP BY r.n_probe
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bf)
+SELECT t.n_probe,
+       n_queries,
+       CAST(coalesce(h.total_hits, 0) AS BIGINT) AS total_hits,
+       CAST(coalesce(h.total_hits, 0) AS DOUBLE)
+         / CAST(n_queries * {KNN_K} AS DOUBLE) AS avg_recall
+FROM t LEFT JOIN hits h ON t.n_probe = h.n_probe CROSS JOIN nq
+ORDER BY t.n_probe
+"""
+
+register(QuerySpec(
+    "ann_ivf_probe_sweep", ann_ivf_probe_sweep, _SWEEP_SQL,
+    doc="Recall@k vs n_probe tuning curve in one candidate pass "
+        "(operators/similarity.ivf_probe_recall_sweep).",
+))

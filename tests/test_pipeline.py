@@ -1273,3 +1273,37 @@ def test_validated_embeddings_validate_once_path(spark):
                                   validated=True)) == \
         rows(knn_ivf_pq_rerank(with_null, [0, 1], k=2, n_cells=4,
                                n_probe=2, n_codes=4, n_subspaces=4, dim=8))
+
+
+def test_ivf_probe_sweep_oracle(spark, duck, sf_dir):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    s = all_specs()["ann_ivf_probe_sweep"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivf_probe_sweep_monotone_and_exhaustive_at_full_probe(spark, sf_dir):
+    """Recall must be non-decreasing in n_probe (each threshold is a
+    superset of candidates), and probing every cell must recover the
+    brute-force answer exactly (recall = 1.0) — the property that makes
+    the sweep a trustworthy tuning curve."""
+    from bigdata2016w_spark.operators.similarity import (
+        ivf_probe_recall_sweep,
+    )
+    from bigdata2016w_spark.plans.pipeline import (
+        _IVF_CELLS,
+        KNN_K,
+        KNN_QUERY_IDS,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivf_probe_recall_sweep(
+        emb, KNN_QUERY_IDS, KNN_K,
+        n_cells=_IVF_CELLS, probes=(1, 4, _IVF_CELLS),
+    ).collect()
+    recalls = [r["avg_recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1]["n_probe"] == _IVF_CELLS
+    assert recalls[-1] == 1.0
