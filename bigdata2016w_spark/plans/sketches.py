@@ -641,3 +641,111 @@ ORDER BY a.event_type, a.day
 register(QuerySpec("events_hll_daily_rollup", events_hll_daily_rollup,
                    _HLL_ROLLUP_SQL,
                    doc=events_hll_daily_rollup.__doc__))
+
+
+# ----------------------------------------------------- winsorized mean
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+def orders_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean of o_totalprice: winsorize at sketch-estimated
+    p05/p95 and average the clipped values — the outlier-resistant
+    metric a monitoring pipeline prefers over the raw mean, computed
+    WITHOUT a global sort.
+
+    The clip bounds come from the k-minimum-hash uniform sample
+    (hash_sample_rows — O(k) state, TakeOrderedAndProject plan), so
+    they are actual data values both engines cut identically; the
+    winsorized pass is then one scan with the 1-row bounds frame
+    broadcast into a clamp expression, all sums in exact integer
+    cents, means as single IEEE divisions. Two scans total at any
+    scale: the sample and the clipped aggregate."""
+    from bigdata2016w_spark.operators.sketches import (
+        hash_sample_rows,
+        quantile_rows_from_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    samp = hash_sample_rows(orders, "o_orderkey", "o_totalprice")
+    bounds = (
+        quantile_rows_from_sample(samp, (_WINS_LO, _WINS_HI))
+        .agg(
+            F.round(F.max(F.when(F.col("q") == _WINS_LO, F.col("est")))
+                    * 100).cast("long").alias("lo_c"),
+            F.round(F.max(F.when(F.col("q") == _WINS_HI, F.col("est")))
+                    * 100).cast("long").alias("hi_c"),
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    clipped = F.greatest(F.least(cents, F.col("hi_c")), F.col("lo_c"))
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.first("lo_c").cast("double") / 100).alias("lo_bound"),
+            (F.first("hi_c").cast("double") / 100).alias("hi_bound"),
+            F.sum(F.when(cents < F.col("lo_c"), 1).otherwise(0))
+            .alias("n_clipped_lo"),
+            F.sum(F.when(cents > F.col("hi_c"), 1).otherwise(0))
+            .alias("n_clipped_hi"),
+            F.sum(cents).alias("_sc"),
+            F.sum(clipped).alias("_scw"),
+        )
+        .select(
+            "n_rows", "lo_bound", "hi_bound",
+            "n_clipped_lo", "n_clipped_hi",
+            F.round(F.col("_sc").cast("double")
+                    / (F.col("n_rows") * 100).cast("double"), 6)
+            .alias("raw_mean"),
+            F.round(F.col("_scw").cast("double")
+                    / (F.col("n_rows") * 100).cast("double"), 6)
+            .alias("winsorized_mean"),
+        )
+    )
+
+
+_WINS_SQL = f"""
+WITH s AS (
+  SELECT {_phash_sql('QSK', 'o_orderkey')} AS h,
+         CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+samp AS (SELECT x FROM s ORDER BY h, x LIMIT {QSK_K}),
+a AS (
+  SELECT list_sort(list(x)) AS xs, CAST(count(*) AS INTEGER) AS k_used
+  FROM samp
+),
+b AS (
+  SELECT CAST(round(xs[CAST(ceil({_WINS_LO} * k_used) AS INTEGER)] * 100)
+              AS BIGINT) AS lo_c,
+         CAST(round(xs[CAST(ceil({_WINS_HI} * k_used) AS INTEGER)] * 100)
+              AS BIGINT) AS hi_c
+  FROM a
+),
+m AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+         CAST(sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(greatest(least(c, hi_c), lo_c)) AS BIGINT) AS scw,
+         any_value(lo_c) AS lo_c, any_value(hi_c) AS hi_c
+  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders) CROSS JOIN b
+)
+SELECT n_rows,
+       CAST(lo_c AS DOUBLE) / 100 AS lo_bound,
+       CAST(hi_c AS DOUBLE) / 100 AS hi_bound,
+       n_clipped_lo, n_clipped_hi,
+       round(CAST(sc AS DOUBLE) / CAST(n_rows * 100 AS DOUBLE), 6)
+         AS raw_mean,
+       round(CAST(scw AS DOUBLE) / CAST(n_rows * 100 AS DOUBLE), 6)
+         AS winsorized_mean
+FROM m
+"""
+
+register(QuerySpec("orders_winsorized_mean", orders_winsorized_mean,
+                   _WINS_SQL, doc=orders_winsorized_mean.__doc__))

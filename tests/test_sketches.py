@@ -448,3 +448,39 @@ def test_hll_rollup_estimates_within_error_bound(spark, sf_dir):
         assert r["exact_distinct"] > 0
         rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.15, (r["event_type"], r["day"], rel)
+
+
+def test_winsorized_mean_oracle(spark, duck, sf_dir):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    s = all_specs()["orders_winsorized_mean"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_winsorized_mean_resists_planted_outlier(spark, tmp_path):
+    """999 orders at 100.00 plus one at 1,000,000.00: the raw mean is
+    dragged ~1000 up, the winsorized mean must stay at 100.00 exactly
+    (p05 = p95 = 100 in the sample, outlier clipped to the bound)."""
+    from datetime import datetime
+
+    from bigdata2016w_spark.plans.sketches import orders_winsorized_mean
+
+    rows = [(i, 1, "O", 100.00, datetime(2024, 1, 1), "1-URGENT")
+            for i in range(999)]
+    rows.append((999, 1, "O", 1_000_000.00, datetime(2024, 1, 1),
+                 "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = orders_winsorized_mean(spark, str(tmp_path)).collect()[0]
+    assert r["winsorized_mean"] == 100.0
+    assert r["raw_mean"] > 1000.0
+    assert r["lo_bound"] == r["hi_bound"] == 100.0
+    # the planted outlier is the only row above the upper bound... if it
+    # landed in the 128-row sample the bound would still be 100 (order
+    # statistic of a 99.9%-constant sample)
+    assert r["n_clipped_hi"] == 1 and r["n_clipped_lo"] == 0
