@@ -750,3 +750,51 @@ FROM s
 
 register(QuerySpec("events_key_skew_report", events_key_skew_report,
                    _SKEW_REPORT_SQL, doc=events_key_skew_report.__doc__))
+
+
+# ------------------------------------------------------ salted join
+
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient fact⋈dim enrichment: events join a customer-
+    derived user dimension through ``operators.skew.salted_broadcast_left``
+    (dim replicated per salt bucket so one hot user spreads over 8
+    tasks), then aggregate revenue-weighted event counts per nation.
+
+    The oracle is the PLAIN join + GROUP BY — like
+    events_user_stats_salted, a MATCH certifies externally that the
+    salting machinery is semantically transparent: the salt exists only
+    in the physical plan (pinned in tests), never in the result. Money
+    math in exact integer cents."""
+    from bigdata2016w_spark.operators.skew import salted_broadcast_left
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_broadcast_left(ev, dim, "user_id", salt_buckets=8)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_SALTED_ENRICH_SQL = """
+SELECT c_nationkey, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id IS NOT NULL
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+register(QuerySpec("events_salted_enrich", events_salted_enrich,
+                   _SALTED_ENRICH_SQL, doc=events_salted_enrich.__doc__))

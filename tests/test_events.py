@@ -1,6 +1,7 @@
 """Oracle-parity tests for event-table analytics (windows/JSON/sessions)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata2016w_spark.registry import all_specs
 from tests.oracle import compare_spark_duckdb
@@ -167,3 +168,34 @@ def test_key_skew_report_detects_planted_hot_key(spark, tmp_path):
     # top 1% of 101 keys = ceil(1.01) = 2 keys = hot + one cold
     assert r["top1pct_share_bp"] == (505 * 10000) // 1000
     assert r["p50_cnt"] == 5 and r["p99_cnt"] == 5
+
+
+def test_salted_enrich_oracle(spark, duck, sf_dir):
+    s = all_specs()["events_salted_enrich"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_salted_enrich_salt_is_physical_only(spark, sf_dir):
+    """The salt must appear in the plan (the machinery is really in use)
+    and the result must have no salt column and equal the plain join."""
+    import re
+
+    from bigdata2016w_spark.plans.events import events_salted_enrich
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    df = events_salted_enrich(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert "__salt" not in df.columns
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    cust = load_table(spark, sf_dir, "customer")
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("value_cents"))
+    )
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, plain.collect()))
