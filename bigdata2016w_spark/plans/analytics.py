@@ -359,7 +359,10 @@ def orders_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc").cast("double") / (F.col("nc") * 100).cast("double"),
     )
     stats = per.agg(
-        F.max(F.when(~is_rep, F.col("nc"))).alias("n_rows"),
+        # coalesce: an empty orders table has no sentinel row — report
+        # n_rows = 0 (the oracle's count(*)), not NULL
+        F.coalesce(F.max(F.when(~is_rep, F.col("nc"))),
+                   F.lit(0).cast("long")).alias("n_rows"),
         F.count(F.when(is_rep, F.lit(1))).alias("n_replicates"),
         F.max(F.when(~is_rep, F.col("sc"))).alias("sc_full"),
         F.sort_array(F.collect_list(mu)).alias("xs"),

@@ -701,22 +701,29 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = counts.select(
         "cnt", rn_desc.alias("rd"), rn_asc.alias("ra")
     ).crossJoin(F.broadcast(stats))
-    return ranked.agg(
-        F.first("n_keys").alias("n_keys"),
-        F.first("total_events").alias("total_events"),
-        F.expr("first(max_cnt * 10000 DIV total_events)")
-        .alias("max_share_bp"),
+    # the final row anchors on the STATS aggregate (which always yields
+    # one row — n_keys = 0 on an empty table, matching the oracle), and
+    # the rank-derived metrics ride in as a broadcast 1-row aggregate
+    metrics = ranked.agg(
         F.expr(
             "sum(CASE WHEN rd <= (n_keys + 99) DIV 100 THEN cnt"
-            " ELSE 0 END) * 10000 DIV first(total_events)"
-        ).alias("top1pct_share_bp"),
-        F.expr("first(max_cnt)").alias("max_cnt"),
+            " ELSE 0 END) AS top1pct_cnt"
+        ),
         F.max(F.expr(
             "CASE WHEN ra = (50 * n_keys + 99) DIV 100 THEN cnt END"
         )).alias("p50_cnt"),
         F.max(F.expr(
             "CASE WHEN ra = (99 * n_keys + 99) DIV 100 THEN cnt END"
         )).alias("p99_cnt"),
+    )
+    return stats.crossJoin(F.broadcast(metrics)).selectExpr(
+        "n_keys",
+        "total_events",
+        "max_cnt * 10000 DIV total_events AS max_share_bp",
+        "top1pct_cnt * 10000 DIV total_events AS top1pct_share_bp",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
     )
 
 

@@ -91,8 +91,11 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count_distinct(F.col("o_orderkey")))
             .alias("v_unique")]
     for i, (_, pred) in enumerate(_SCAN_RULES):
+        # coalesce: an EMPTY batch has zero violations and passes the
+        # gate — sum-over-nothing must not yield NULL verdicts
         aggs.append(
-            F.sum(F.expr(pred).cast("long")).alias(f"v_{i}")
+            F.coalesce(F.sum(F.expr(pred).cast("long")), F.lit(0))
+            .alias(f"v_{i}")
         )
     scan_stats = orders.agg(*aggs)
     fk_stats = (
@@ -125,7 +128,8 @@ WITH scan AS (
   SELECT count(*) AS n_rows,
          count(*) - count(DISTINCT o_orderkey) AS v_unique,
          {', '.join(
-             f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+             "CAST(coalesce(sum(CASE WHEN " + pred
+             + " THEN 1 ELSE 0 END), 0) AS BIGINT)"
              f" AS v_{i}" for i, (_, pred) in enumerate(_SCAN_RULES))}
   FROM orders
 ), fk AS (

@@ -55,6 +55,8 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_halfsample_ci", "graph_sssp_weighted",
     "orders_replica_reconcile", "parts_cooccurrence_topk",
     "customers_purge_audit", "events_key_skew_report",
+    "orders_winsorized_mean", "ann_ivf_probe_sweep",
+    "events_salted_enrich",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -82,6 +84,26 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     elif name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
         # global aggregates: one row of null sums / zero counts
         assert len(rows) == 1 and rows[0][0] is None
+    elif name == "orders_constraint_audit":
+        # the ingest gate PASSES an empty batch: 7 rules, 0 violations
+        assert len(rows) == 7
+        assert all(r.n_rows == 0 and r.n_violations == 0 and r.passed
+                   for r in rows)
+    elif name == "customers_purge_audit":
+        assert len(rows) == 3
+        assert all(r.rows_before == 0 and r.rows_purged == 0
+                   and r.orphans_after == 0 for r in rows)
+    elif name == "events_key_skew_report":
+        assert len(rows) == 1
+        assert rows[0].n_keys == 0 and rows[0].max_share_bp is None
+    elif name == "orders_halfsample_ci":
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_rows == 0 and r.n_replicates == 0
+        assert r.boot_p05 is None and r.boot_p95 is None
+    elif name == "orders_winsorized_mean":
+        assert len(rows) == 1
+        assert rows[0].n_rows == 0 and rows[0].winsorized_mean is None
     else:
         assert rows == []
 
