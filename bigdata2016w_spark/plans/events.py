@@ -805,3 +805,204 @@ ORDER BY c_nationkey
 
 register(QuerySpec("events_salted_enrich", events_salted_enrich,
                    _SALTED_ENRICH_SQL, doc=events_salted_enrich.__doc__))
+
+
+# ------------------------------------------------- funnel time-to-convert
+
+_TTC_K = 128
+
+
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the view→purchase funnel: exact mean plus
+    sketch-estimated p50/p90 of the per-user delay between the first
+    view and the first strictly-later purchase.
+
+    The per-user delay table is the funnel's min-agg join (one row per
+    converted user, exact integer MICROSECONDS); the mean is a single
+    IEEE division of exact int64 sums; the quantiles come from the
+    k-minimum-hash sample (order statistics both engines cut
+    identically — the orders_winsorized_mean convention), so nothing
+    sorts the full user population at any scale."""
+    from bigdata2016w_spark.operators.dedup import portable_hash60
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view"))
+    )
+    # cast("timestamp"): unix_micros takes LTZ only; the engine session
+    # reads parquet as NTZ while the bare driver session reads LTZ — the
+    # cast is a no-op on LTZ and a UTC reinterpretation on NTZ (session
+    # tz pinned UTC), so both sessions yield the same micros
+    delays = purchases.select(
+        "user_id",
+        (F.unix_micros(F.col("t_buy").cast("timestamp"))
+         - F.unix_micros(F.col("t_view").cast("timestamp"))).alias("d_us"),
+    )
+    stats = delays.agg(
+        F.count("*").alias("n_converted"),
+        F.sum("d_us").alias("_sd"),
+    )
+    samp = (
+        delays.select(
+            portable_hash60(F.col("user_id").cast("string"), "TTC")
+            .alias("h"),
+            "d_us",
+        )
+        .orderBy("h", "d_us")
+        .limit(_TTC_K)
+        .agg(F.sort_array(F.collect_list("d_us")).alias("xs"),
+             F.count("*").alias("k_used"))
+    )
+    sec = 1_000_000.0
+    # greatest(.., 1): index 0 (empty sample) is INVALID for element_at
+    # even in its try_ form — clamp to 1 and let the empty array yield
+    # NULL through try_element_at's out-of-bounds path
+    q = lambda p: F.round(  # noqa: E731
+        F.try_element_at(
+            "xs",
+            F.greatest(F.ceil(F.lit(p) * F.col("k_used")).cast("int"),
+                       F.lit(1)),
+        ).cast("double") / sec, 6)
+    return stats.crossJoin(F.broadcast(samp)).select(
+        "n_converted",
+        F.round(F.col("_sd").cast("double")
+                / (F.col("n_converted").cast("double") * sec), 6)
+        .alias("mean_ttc_sec"),
+        q(0.5).alias("p50_ttc_sec"),
+        q(0.9).alias("p90_ttc_sec"),
+        F.col("k_used").cast("int").alias("k_used"),
+    )
+
+
+_TTC_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), v AS (
+  SELECT user_id, min(ts) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy, any_value(v.t_view) AS t_view
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), d AS (
+  SELECT user_id, epoch_us(t_buy) - epoch_us(t_view) AS d_us FROM p
+), s AS (
+  SELECT count(*) AS n_converted, CAST(sum(d_us) AS BIGINT) AS sd FROM d
+), samp AS (
+  SELECT d_us FROM (
+    SELECT ('0x' || substr(md5('TTC:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h, d_us
+    FROM d
+  ) ORDER BY h, d_us LIMIT {_TTC_K}
+), a AS (
+  SELECT list_sort(list(d_us)) AS xs, CAST(count(*) AS INTEGER) AS k_used
+  FROM samp
+)
+SELECT n_converted,
+       round(CAST(sd AS DOUBLE)
+             / (CAST(n_converted AS DOUBLE) * 1000000.0), 6)
+         AS mean_ttc_sec,
+       round(CAST(xs[CAST(ceil(0.5 * k_used) AS INTEGER)] AS DOUBLE)
+             / 1000000.0, 6) AS p50_ttc_sec,
+       round(CAST(xs[CAST(ceil(0.9 * k_used) AS INTEGER)] AS DOUBLE)
+             / 1000000.0, 6) AS p90_ttc_sec,
+       k_used
+FROM s CROSS JOIN a
+"""
+
+register(QuerySpec("events_funnel_ttc", events_funnel_ttc, _TTC_SQL,
+                   doc=events_funnel_ttc.__doc__))
+
+
+# ------------------------------------------------------ distribution drift
+
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the order-priority mix of the first
+    half of the date range vs the second, one row per priority with
+    shares and deltas in integer basis points — the feed-health check a
+    pipeline runs before trusting a new ingest window.
+
+    The date midpoint is exact integer epoch arithmetic from a 1-row
+    min/max aggregate (broadcast into the scan predicate); the split is
+    a CASE over one scan, counts shuffle once on (priority, half), and
+    every ratio is a BIGINT basis-point division — bit-identical in the
+    oracle. Total-variation distance is half the sum of the per-class
+    deltas; left per-row so the result stays one row per class."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderpriority",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        .alias("es"),
+    )
+    span = orders.agg(
+        F.min("es").alias("e_lo"), F.max("es").alias("e_hi")
+    )
+    halves = (
+        orders.crossJoin(F.broadcast(span))
+        .selectExpr(
+            "o_orderpriority",
+            "CASE WHEN es * 2 < e_lo + e_hi THEN 0 ELSE 1 END AS half",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END"))
+            .alias("n_a"),
+            F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END"))
+            .alias("n_b"),
+        )
+    )
+    totals = halves.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return (
+        halves.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "o_orderpriority",
+            "n_a", "n_b",
+            "n_a * 10000 DIV t_a AS share_a_bp",
+            "n_b * 10000 DIV t_b AS share_b_bp",
+            "abs(n_a * 10000 DIV t_a - n_b * 10000 DIV t_b) AS delta_bp",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DRIFT_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, epoch(o_orderdate)::BIGINT AS es
+  FROM orders WHERE o_orderdate IS NOT NULL
+), span AS (SELECT min(es) AS e_lo, max(es) AS e_hi FROM o),
+halves AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN es * 2 < e_lo + e_hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN es * 2 < e_lo + e_hi THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM o CROSS JOIN span GROUP BY o_orderpriority
+), totals AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b
+  FROM halves
+)
+SELECT o_orderpriority, n_a, n_b,
+       n_a * 10000 // t_a AS share_a_bp,
+       n_b * 10000 // t_b AS share_b_bp,
+       abs(n_a * 10000 // t_a - n_b * 10000 // t_b) AS delta_bp
+FROM halves CROSS JOIN totals
+ORDER BY o_orderpriority
+"""
+
+register(QuerySpec("orders_priority_drift", orders_priority_drift,
+                   _DRIFT_SQL, doc=orders_priority_drift.__doc__))

@@ -199,3 +199,71 @@ def test_salted_enrich_salt_is_physical_only(spark, sf_dir):
     )
     assert sorted(map(tuple, df.collect())) == \
         sorted(map(tuple, plain.collect()))
+
+
+def test_funnel_ttc_oracle(spark, duck, sf_dir):
+    s = all_specs()["events_funnel_ttc"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_funnel_ttc_planted_delays(spark, tmp_path):
+    """Two converters with exactly 1h and 3h delays, one non-converter,
+    one purchase-before-view: mean = 2h exact, quantiles are sample
+    order statistics of {1h, 3h}."""
+    from datetime import datetime, timedelta
+
+    from bigdata2016w_spark.plans.events import events_funnel_ttc
+
+    t0 = datetime(2024, 7, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + timedelta(hours=3), 2, "purchase", 1.0, "{}"),
+        (5, t0, 3, "view", 1.0, "{}"),                      # never buys
+        (6, t0, 4, "purchase", 1.0, "{}"),                  # buys first
+        (7, t0 + timedelta(hours=1), 4, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = events_funnel_ttc(spark, str(tmp_path)).collect()[0]
+    assert r["n_converted"] == 2 and r["k_used"] == 2
+    assert r["mean_ttc_sec"] == 7200.0
+    assert r["p50_ttc_sec"] in (3600.0,)   # ceil(0.5*2) = 1st of {1h,3h}
+    assert r["p90_ttc_sec"] == 10800.0     # ceil(0.9*2) = 2nd
+
+
+def test_priority_drift_oracle(spark, duck, sf_dir):
+    s = all_specs()["orders_priority_drift"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_priority_drift_detects_planted_shift(spark, tmp_path):
+    """A priority class that exists ONLY in the second half must show
+    ~0 bp share in half A and a large delta."""
+    from datetime import datetime
+
+    from bigdata2016w_spark.plans.events import orders_priority_drift
+
+    early, late = datetime(2024, 1, 1), datetime(2024, 12, 31)
+    rows = [(i, 1, "O", 100.0, early, "1-URGENT") for i in range(100)]
+    rows += [(100 + i, 1, "O", 100.0, late, "1-URGENT")
+             for i in range(50)]
+    rows += [(200 + i, 1, "O", 100.0, late, "9-NEW") for i in range(50)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {r["o_orderpriority"]: r
+           for r in orders_priority_drift(spark, str(tmp_path)).collect()}
+    nine = got["9-NEW"]
+    assert nine["n_a"] == 0 and nine["n_b"] == 50
+    assert nine["share_a_bp"] == 0 and nine["share_b_bp"] == 5000
+    assert nine["delta_bp"] == 5000
+    urgent = got["1-URGENT"]
+    assert urgent["share_a_bp"] == 10000 and urgent["share_b_bp"] == 5000

@@ -56,7 +56,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_replica_reconcile", "parts_cooccurrence_topk",
     "customers_purge_audit", "events_key_skew_report",
     "orders_winsorized_mean", "ann_ivf_probe_sweep",
-    "events_salted_enrich",
+    "events_salted_enrich", "events_funnel_ttc", "orders_priority_drift",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -104,6 +104,9 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     elif name == "orders_winsorized_mean":
         assert len(rows) == 1
         assert rows[0].n_rows == 0 and rows[0].winsorized_mean is None
+    elif name == "events_funnel_ttc":
+        assert len(rows) == 1
+        assert rows[0].n_converted == 0 and rows[0].p50_ttc_sec is None
     else:
         assert rows == []
 
