@@ -68,3 +68,32 @@ def scd2_init(snapshot: DataFrame, version: int = 0,
         .withColumn(end_col, F.lit(None).cast("long"))
         .withColumn(flag_col, F.lit(True))
     )
+
+
+def scd2_point_in_time(
+    history: DataFrame,
+    probes: DataFrame,
+    key: str,
+    as_of_col: str = "as_of",
+    version_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Feature-store point-in-time lookup: for each (key, as_of) probe,
+    the SCD2 row whose validity range covers ``as_of`` (half-open
+    [valid_from, valid_to), open rows = NULL valid_to).
+
+    Physical shape: an equi-join on the key with the range predicate as
+    a residual filter — per-key fanout is the key's version count
+    (bounded by update history, never data volume), so this is a plain
+    hash join at 100 TB, not a range/interval join problem. Each probe
+    matches at most one version because SCD2 ranges partition the
+    version axis per key — the training-set correctness property
+    (no feature leakage from the future) that motivates PIT joins."""
+    return (
+        probes.join(history, key)
+        .where(
+            (F.col(version_col) <= F.col(as_of_col))
+            & (F.col(end_col).isNull()
+               | (F.col(as_of_col) < F.col(end_col)))
+        )
+    )

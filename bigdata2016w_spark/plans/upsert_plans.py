@@ -309,3 +309,48 @@ ORDER BY "table"
 
 register(QuerySpec("customers_purge_audit", customers_purge_audit,
                    _PURGE_SQL, doc=customers_purge_audit.__doc__))
+
+
+# --------------------------------------------------------- PIT lookup
+
+def orders_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup against the SCD2 history: every
+    50th order key probed at versions 0, 1, 2 returns the price/status
+    that was valid THEN — the no-future-leakage join a feature store
+    runs when assembling training sets
+    (operators/upsert.scd2_point_in_time)."""
+    from bigdata2016w_spark.operators.upsert import scd2_point_in_time
+
+    hist = orders_scd2(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.array(*[F.lit(v).cast("long") for v in (0, 1, 2)])
+            ).alias("as_of"),
+        )
+    )
+    return (
+        scd2_point_in_time(hist, probes, "o_orderkey")
+        .select("o_orderkey", "as_of", "o_orderstatus", "price")
+        .orderBy("o_orderkey", "as_of")
+    )
+
+
+_PIT_SQL = f"""
+WITH probes AS (
+  SELECT o_orderkey, unnest([0, 1, 2]) AS as_of
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT p.o_orderkey, CAST(p.as_of AS BIGINT) AS as_of,
+       h.o_orderstatus, h.price
+FROM probes p JOIN ({_SCD2_SQL}) h ON p.o_orderkey = h.o_orderkey
+WHERE h.valid_from <= p.as_of
+  AND (h.valid_to IS NULL OR p.as_of < h.valid_to)
+ORDER BY p.o_orderkey, as_of
+"""
+
+register(QuerySpec("orders_scd2_pit", orders_scd2_pit, _PIT_SQL,
+                   doc=orders_scd2_pit.__doc__))

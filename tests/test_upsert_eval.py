@@ -110,3 +110,40 @@ def test_purge_audit_cascades_and_leaves_no_orphans(spark, sf_dir):
     for r in rows.values():
         assert r["rows_after"] == r["rows_before"] - r["rows_purged"]
         assert r["orphans_after"] == 0
+
+
+def test_scd2_pit_oracle(spark, duck, sf_dir):
+    from bigdata2016w_spark.registry import all_specs
+    from tests.oracle import compare_spark_duckdb
+
+    s = all_specs()["orders_scd2_pit"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_scd2_pit_exactly_one_version_and_no_future_leakage(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from bigdata2016w_spark.plans.upsert_plans import orders_scd2_pit
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    rows = orders_scd2_pit(spark, sf_dir).collect()
+    keys = {r["o_orderkey"] for r in rows}
+    # SCD2 ranges partition the version axis: each probe hits exactly one
+    assert len(rows) == 3 * len(keys)
+    assert len({(r["o_orderkey"], r["as_of"]) for r in rows}) == len(rows)
+    snap = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0).collect()
+    }
+    for r in rows:
+        k, v = r["o_orderkey"], r["as_of"]
+        if v == 0:
+            # no future leakage: as-of v0 returns the original snapshot
+            assert abs(r["price"] - snap[k]) < 1e-6
+            assert r["o_orderstatus"] != "U" or snap[k] == r["price"]
+        elif v == 1:
+            assert abs(r["price"] - 2 * snap[k]) < 1e-6
+        else:
+            mult = 4 if k % 100 == 0 else 2
+            assert abs(r["price"] - mult * snap[k]) < 1e-6
