@@ -129,3 +129,89 @@ FROM od FULL OUTER JOIN ed ON od.d = ed.d
 register(QuerySpec("daily_orders_events_reconcile",
                    daily_orders_events_reconcile, _RECONCILE_SQL,
                    doc=daily_orders_events_reconcile.__doc__))
+
+
+# ------------------------------------------------------- bucketed join
+
+_BUCKETED_CACHE: dict[tuple[str, str], bool] = {}
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem as bucketed+sorted catalog tables ONCE per
+    (session, sf_dir) — the write-time co-location investment the query
+    below amortizes, exactly like a production lakehouse laying out its
+    fact tables for repeated key joins. Memoized like the streamed-probe
+    index and the validated embedding corpus."""
+    import re
+
+    key = (str(id(spark)), sf_dir)
+    # table names carry the sf slug: two sf_dirs in one session (the
+    # empty-table robustness fixture, multi-sf test runs) must not
+    # overwrite each other's buckets behind the memo's back
+    slug = re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")
+    bo, bl = f"bj_orders_{slug}", f"bj_lineitem_{slug}"
+    if not _BUCKETED_CACHE.get(key):
+        import shutil
+
+        for t in (bo, bl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            shutil.rmtree(f"{wh.removeprefix('file:')}/{t}",
+                          ignore_errors=True)
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ).write.bucketBy(_N_BUCKETS, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable(bo)
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        ).write.bucketBy(_N_BUCKETS, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).mode("overwrite").saveAsTable(bl)
+        _BUCKETED_CACHE[key] = True
+    return bo, bl
+
+
+def lineitem_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join served from BUCKETED tables: lineitem revenue per
+    order status through a zero-exchange sort-merge join — write-time
+    co-location replaces the reference's PartitionGraph pre-partitioning
+    (JAVA/assignment4/PartitionGraph.java:107-126) and is the 100-TB
+    recipe for any repeatedly-joined fact pair.
+
+    The MERGE join hint pins the sort-merge strategy declaratively (at
+    toy scale the planner would broadcast and silently skip the
+    bucketing claim; at fact-fact scale SMJ is what runs — and a hint,
+    unlike a session-conf toggle, survives replanning at action time).
+    The plan pin in tests asserts NO Exchange feeds the join — both
+    sides stream straight from bucket-pruned, pre-sorted files. The
+    oracle is the plain unbucketed join: a MATCH certifies the layout
+    is semantically transparent, the salting-tier convention applied
+    to bucketing."""
+    bo, bl = _bucketed_tables(spark, sf_dir)
+    joined = spark.table(bl).hint("merge").join(
+        spark.table(bo), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum("price").cast("decimal(18,2)").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_BUCKETED_SQL = """
+SELECT o_orderstatus, count(*) AS n_lineitems,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+register(QuerySpec("lineitem_bucketed_revenue", lineitem_bucketed_revenue,
+                   _BUCKETED_SQL, doc=lineitem_bucketed_revenue.__doc__))

@@ -86,7 +86,8 @@ _SPEC_MODULES = [
 # orders_replica_reconcile, parts_cooccurrence_topk,
 # customers_purge_audit, events_key_skew_report, ann_ivf_probe_sweep,
 # orders_winsorized_mean, events_salted_enrich, events_funnel_ttc,
-# orders_priority_drift, orders_scd2_pit), then rotate the
+# orders_priority_drift, orders_scd2_pit, lineitem_bucketed_revenue),
+# then rotate the
 # 48 remaining r08-latest greens to the front (they will then be three
 # rounds stale), fillers from the oldest r09 greens in sample order.
 _WINDOW_FRONT = [

@@ -90,3 +90,24 @@ def test_full_outer_reconcile_has_both_null_sides(spark, sf_dir):
         F.sum(F.col("n_events").isNull().cast("int")).alias("null_events"),
     ).collect()[0]
     assert sides.null_orders > 0 and sides.null_events > 0
+
+
+def test_bucketed_revenue_oracle(spark, duck, sf_dir):
+    s = all_specs()["lineitem_bucketed_revenue"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_bucketed_revenue_join_has_no_key_shuffle(spark, sf_dir):
+    """The registered bucketed join must read both sides straight from
+    bucket files: a SortMergeJoin with NO hash exchange on either join
+    key anywhere in the plan (the agg/sort exchanges downstream
+    partition on other columns)."""
+    from bigdata2016w_spark.plans.joins_setops import (
+        lineitem_bucketed_revenue,
+    )
+
+    df = lineitem_bucketed_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan

@@ -57,7 +57,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "customers_purge_audit", "events_key_skew_report",
     "orders_winsorized_mean", "ann_ivf_probe_sweep",
     "events_salted_enrich", "events_funnel_ttc", "orders_priority_drift",
-    "orders_scd2_pit",
+    "orders_scd2_pit", "lineitem_bucketed_revenue",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
