@@ -242,18 +242,19 @@ def knn_ivf(
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 
 
-def _ivf_probe_search(
+def _probe_candidates(
     assigned: DataFrame,
     cent: DataFrame,
     query_ids: list[int],
-    k: int,
     n_probe: int,
 ) -> DataFrame:
-    """Shared IVF search half (knn_ivf and knn_ivf_flat): rank centroids
-    per query by exact cosine, probe the best ``n_probe`` cells, rank
-    candidates inside probed cells, two-stage top-k. Query and probe
-    tables are broadcast; the assigned corpus is only ever the build
-    (non-shuffled) side of the cell equi-join."""
+    """(query_id, vec_id, pr, cosine): the shared IVF probe pipeline —
+    rank centroids per query by exact cosine, keep the best ``n_probe``
+    cells WITH their probe rank, join candidates inside probed cells.
+    Query and probe tables are broadcast; the assigned corpus is only
+    ever the build (non-shuffled) side of the cell equi-join. ``pr`` is
+    unique per (query, candidate) because a vector lives in exactly one
+    cell — the property the probe sweep's threshold slicing relies on."""
     q = assigned.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -269,16 +270,32 @@ def _ivf_probe_search(
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= n_probe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "cell", "pr")
     )
-    pairs = (
+    return (
         broadcast(probes)
         .join(assigned, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "vec_id",
+            "query_id", "vec_id", "pr",
             cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
         )
+    )
+
+
+def _ivf_probe_search(
+    assigned: DataFrame,
+    cent: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF search half (knn_ivf and knn_ivf_flat): probe the
+    best ``n_probe`` cells (:func:`_probe_candidates`), two-stage
+    top-k over the candidates."""
+    pairs = (
+        _probe_candidates(assigned, cent, query_ids, n_probe)
+        .select("query_id", "vec_id", "cosine")
         .distinct()
     )
     return topk_per_group(
@@ -1838,32 +1855,7 @@ def ivf_probe_recall_sweep(
         )
     assigned = _assign_to_literal_centroids(embeddings, cent_lit)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
-    q = assigned.where(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), F.asc("cell")
-    )
-    probed = (
-        broadcast(q)
-        .crossJoin(broadcast(cent))
-        .select(
-            "query_id", "q_emb", "cell",
-            cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= max_p)
-        .select("query_id", "q_emb", "cell", "pr")
-    )
-    cands = (
-        broadcast(probed)
-        .join(assigned, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", "pr",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
-    )
+    cands = _probe_candidates(assigned, cent, query_ids, max_p)
     thresholds = spark.createDataFrame(
         [(t,) for t in sorted(probes)], "n_probe int"
     )

@@ -820,10 +820,14 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-user delay table is the funnel's min-agg join (one row per
     converted user, exact integer MICROSECONDS); the mean is a single
     IEEE division of exact int64 sums; the quantiles come from the
-    k-minimum-hash sample (order statistics both engines cut
-    identically — the orders_winsorized_mean convention), so nothing
-    sorts the full user population at any scale."""
-    from bigdata2016w_spark.operators.dedup import portable_hash60
+    SHARED k-minimum-hash sample machinery (operators/sketches
+    hash_sample_rows + quantile_rows_from_sample — the
+    orders_winsorized_mean convention), so nothing sorts the full user
+    population at any scale."""
+    from bigdata2016w_spark.operators.sketches import (
+        hash_sample_rows,
+        quantile_rows_from_sample,
+    )
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -852,35 +856,21 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_converted"),
         F.sum("d_us").alias("_sd"),
     )
-    samp = (
-        delays.select(
-            portable_hash60(F.col("user_id").cast("string"), "TTC")
-            .alias("h"),
-            "d_us",
-        )
-        .orderBy("h", "d_us")
-        .limit(_TTC_K)
-        .agg(F.sort_array(F.collect_list("d_us")).alias("xs"),
-             F.count("*").alias("k_used"))
+    samp = hash_sample_rows(delays, "user_id", "d_us", _TTC_K, "TTC")
+    bounds = quantile_rows_from_sample(samp, (0.5, 0.9)).agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50_us"),
+        F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90_us"),
+        F.max("k_used").cast("int").alias("k_used"),
     )
     sec = 1_000_000.0
-    # greatest(.., 1): index 0 (empty sample) is INVALID for element_at
-    # even in its try_ form — clamp to 1 and let the empty array yield
-    # NULL through try_element_at's out-of-bounds path
-    q = lambda p: F.round(  # noqa: E731
-        F.try_element_at(
-            "xs",
-            F.greatest(F.ceil(F.lit(p) * F.col("k_used")).cast("int"),
-                       F.lit(1)),
-        ).cast("double") / sec, 6)
-    return stats.crossJoin(F.broadcast(samp)).select(
+    return stats.crossJoin(F.broadcast(bounds)).select(
         "n_converted",
         F.round(F.col("_sd").cast("double")
                 / (F.col("n_converted").cast("double") * sec), 6)
         .alias("mean_ttc_sec"),
-        q(0.5).alias("p50_ttc_sec"),
-        q(0.9).alias("p90_ttc_sec"),
-        F.col("k_used").cast("int").alias("k_used"),
+        F.round(F.col("p50_us") / sec, 6).alias("p50_ttc_sec"),
+        F.round(F.col("p90_us") / sec, 6).alias("p90_ttc_sec"),
+        "k_used",
     )
 
 
@@ -972,9 +962,14 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "o_orderpriority",
             "n_a", "n_b",
-            "n_a * 10000 DIV t_a AS share_a_bp",
-            "n_b * 10000 DIV t_b AS share_b_bp",
-            "abs(n_a * 10000 DIV t_a - n_b * 10000 DIV t_b) AS delta_bp",
+            # nullif: a degenerate window (all rows one side — e.g. a
+            # single-date table) yields NULL shares, not an ANSI
+            # DIVIDE_BY_ZERO (0 DIV 0 throws under Spark 4 ANSI; the
+            # oracle's // returns NULL the same way through nullif)
+            "n_a * 10000 DIV nullif(t_a, 0) AS share_a_bp",
+            "n_b * 10000 DIV nullif(t_b, 0) AS share_b_bp",
+            "abs(n_a * 10000 DIV nullif(t_a, 0)"
+            " - n_b * 10000 DIV nullif(t_b, 0)) AS delta_bp",
         )
         .orderBy("o_orderpriority")
     )
@@ -997,9 +992,10 @@ halves AS (
   FROM halves
 )
 SELECT o_orderpriority, n_a, n_b,
-       n_a * 10000 // t_a AS share_a_bp,
-       n_b * 10000 // t_b AS share_b_bp,
-       abs(n_a * 10000 // t_a - n_b * 10000 // t_b) AS delta_bp
+       n_a * 10000 // nullif(t_a, 0) AS share_a_bp,
+       n_b * 10000 // nullif(t_b, 0) AS share_b_bp,
+       abs(n_a * 10000 // nullif(t_a, 0)
+           - n_b * 10000 // nullif(t_b, 0)) AS delta_bp
 FROM halves CROSS JOIN totals
 ORDER BY o_orderpriority
 """

@@ -145,7 +145,10 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     index and the validated embedding corpus."""
     import re
 
-    key = (str(id(spark)), sf_dir)
+    # applicationId, not id(spark): a recycled object address after a
+    # session restart must never alias a dead session's catalog state
+    # (the _JACCARD_PAIRS_CACHE convention)
+    key = (spark.sparkContext.applicationId, sf_dir)
     # table names carry the sf slug: two sf_dirs in one session (the
     # empty-table robustness fixture, multi-sf test runs) must not
     # overwrite each other's buckets behind the memo's back

@@ -2051,6 +2051,7 @@ SELECT t.n_probe,
        CAST(coalesce(h.total_hits, 0) AS DOUBLE)
          / CAST(n_queries * {KNN_K} AS DOUBLE) AS avg_recall
 FROM t LEFT JOIN hits h ON t.n_probe = h.n_probe CROSS JOIN nq
+WHERE (SELECT count(*) FROM cent) > 0
 ORDER BY t.n_probe
 """
 

@@ -666,7 +666,13 @@ def orders_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_rows_from_sample,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL prices are excluded from BOTH passes: the sample drops them
+    # internally, and a NULL surviving into the clamp would silently
+    # coerce to the upper bound (least/greatest skip NULLs) — inflating
+    # the winsorized mean while the raw mean loses the row
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     samp = hash_sample_rows(orders, "o_orderkey", "o_totalprice")
     bounds = (
         quantile_rows_from_sample(samp, (_WINS_LO, _WINS_HI))
@@ -734,7 +740,9 @@ m AS (
          CAST(sum(greatest(least(c, hi_c), lo_c)) AS BIGINT) AS scw,
          any_value(lo_c) AS lo_c, any_value(hi_c) AS hi_c
   FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        FROM orders) CROSS JOIN b
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL)
+       CROSS JOIN b
 )
 SELECT n_rows,
        CAST(lo_c AS DOUBLE) / 100 AS lo_bound,
