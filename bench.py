@@ -174,7 +174,12 @@ def main() -> None:
                  # r10's streamed-index probe builds a temp index on first
                  # run (cached per session) — the isolated number shows
                  # the steady-state probe cost, not the build
-                 "ann_ivfpq_streamed_probe"):
+                 "ann_ivfpq_streamed_probe",
+                 # the two slowest r10-new queries: the probe sweep pays
+                 # a brute-force ground-truth pass, basket mining a
+                 # per-order self-join — isolated refs so any future
+                 # drift is attributable from day one
+                 "ann_ivf_probe_sweep", "parts_cooccurrence_topk"):
         jvm_gc()
         best = float("inf")
         for _ in range(3):
