@@ -123,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
 
+    recp = sub.add_parser(
+        "reconcile",
+        help="Merkle-style diff of two parquet tables: per-partition "
+             "row counts + order-independent content digests "
+             "(operators/reconcile). Exit 1 when any partition "
+             "diverges — only those partitions need re-sync.",
+    )
+    recp.add_argument("primary", help="primary table parquet path")
+    recp.add_argument("replica", help="replica table parquet path")
+    recp.add_argument("--partition-col", required=True,
+                      help="column whose values define the digest "
+                           "partitions (e.g. a date or bucket column)")
+
     admp = sub.add_parser(
         "admit",
         help="streaming dedup admission: replay a directory of document "
@@ -171,6 +184,46 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         return _export(args)
+
+    if args.cmd == "reconcile":
+        from bigdata2016w_spark import get_spark
+        from bigdata2016w_spark.operators.reconcile import (
+            default_canon,
+            reconcile_digests,
+            table_digests,
+        )
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="cli-reconcile")
+        spark.sparkContext.setLogLevel("WARN")
+        a = spark.read.parquet(args.primary)
+        b = spark.read.parquet(args.replica)
+        if sorted(a.columns) != sorted(b.columns):
+            print(f"schema mismatch: {sorted(a.columns)} vs "
+                  f"{sorted(b.columns)}", file=sys.stderr)
+            return 2
+        if args.partition_col not in a.columns:
+            print(f"unknown partition column {args.partition_col!r}",
+                  file=sys.stderr)
+            return 2
+
+        def dig(df):
+            return table_digests(
+                df, F.col(args.partition_col).cast("string"),
+                default_canon(df),
+            )
+
+        rows = (reconcile_digests(dig(a), dig(b))
+                .orderBy("part").collect())
+        divergent = 0
+        for r in rows:
+            mark = "OK  " if r["digests_match"] else "DIFF"
+            divergent += 0 if r["digests_match"] else 1
+            print(f"{mark} {str(r['part']):20s} primary={r['n_primary']}"
+                  f" replica={r['n_replica']}"
+                  f" rows_missing={r['rows_missing']}")
+        print(f"{len(rows) - divergent}/{len(rows)} partitions match")
+        return 1 if divergent else 0
 
     if args.cmd == "audit":
         from bigdata2016w_spark import get_spark

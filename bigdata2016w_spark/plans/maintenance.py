@@ -385,41 +385,33 @@ def orders_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     TB); only months with digests_match = false need block-level
     resync. The oracle replays both sides' digests from the same md5
     arithmetic."""
+    from bigdata2016w_spark.operators.reconcile import (
+        reconcile_digests,
+        table_digests,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    month = F.date_format("o_orderdate", "yyyy-MM")
 
     def digests(side: DataFrame) -> DataFrame:
-        canon = F.concat_ws(
-            "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-            F.col("o_orderpriority"),
-        )
-        return (
-            side.select(
-                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-                portable_hash60(canon, "DIG").cast("decimal(38,0)")
-                .alias("h"),
-            )
-            .groupBy("month")
-            .agg(F.count("*").alias("n"), F.sum("h").alias("digest"))
+        return table_digests(
+            side, month, canon,
+            hasher=lambda c: portable_hash60(c, "DIG"),
         )
 
-    a = digests(orders).alias("a")
-    b = digests(orders.where(~F.expr(_TAMPER_PRED))).alias("b")
     return (
-        a.join(b, F.col("a.month") == F.col("b.month"), "full_outer")
-        .select(
-            F.coalesce(F.col("a.month"), F.col("b.month")).alias("month"),
-            F.coalesce(F.col("a.n"), F.lit(0)).alias("n_primary"),
-            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_replica"),
-            (F.col("a.digest").eqNullSafe(F.col("b.digest")))
-            .alias("digests_match"),
-            (F.coalesce(F.col("a.n"), F.lit(0))
-             - F.coalesce(F.col("b.n"), F.lit(0))).alias("rows_missing"),
-        )
+        reconcile_digests(digests(orders),
+                          digests(orders.where(~F.expr(_TAMPER_PRED))))
+        .withColumnRenamed("part", "month")
         .orderBy("month")
     )
 

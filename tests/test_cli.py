@@ -291,3 +291,24 @@ def test_cli_audit_exit_code_reflects_failures():
     assert "FAIL  rule:o_totalprice_cap_125k" in out
     assert out.count("PASS") >= 6
     assert "6/7 rules passed" in out
+
+
+def test_cli_reconcile(tmp_path, spark):
+    """Exit 0 on identical replicas; exit 1 with the divergent
+    partition named when the replica loses rows."""
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.write.parquet(a)
+    orders.write.parquet(b)
+    r = _run("reconcile", a, b, "--partition-col", "o_orderstatus")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "3/3 partitions match" in r.stdout
+
+    b2 = str(tmp_path / "b2")
+    orders.where("o_orderkey % 500 <> 7").write.parquet(b2)
+    r = _run("reconcile", a, b2, "--partition-col", "o_orderstatus")
+    assert r.returncode == 1
+    assert "DIFF" in r.stdout and "rows_missing=" in r.stdout

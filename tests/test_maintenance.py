@@ -180,3 +180,52 @@ def test_compaction_plan_dense_bins_under_hot_file(spark, tmp_path):
     # the hot file sits alone in bin 0 (largest-first) and overflows cap
     assert plan[0]["n_files"] == 1 and plan[0]["bin_rows"] == 800
     assert plan[0]["fill_bp"] > 10000
+
+
+def test_reconcile_digest_catches_content_change(spark):
+    """Equal row counts, one payload changed: the COUNT cannot tell the
+    partitions apart, the content digest must."""
+    from bigdata2016w_spark.operators.reconcile import (
+        default_canon,
+        reconcile_digests,
+        table_digests,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "p0", "x"), (2, "p0", "y"), (3, "p1", "z")],
+        "id long, part string, payload string",
+    )
+    b = spark.createDataFrame(
+        [(1, "p0", "x"), (2, "p0", "CHANGED"), (3, "p1", "z")],
+        "id long, part string, payload string",
+    )
+
+    def dig(df):
+        return table_digests(df, F.col("part"), default_canon(df))
+
+    rows = {r["part"]: r
+            for r in reconcile_digests(dig(a), dig(b)).collect()}
+    assert not rows["p0"]["digests_match"]
+    assert rows["p0"]["rows_missing"] == 0          # counts agree
+    assert rows["p1"]["digests_match"]
+
+
+def test_reconcile_default_canon_null_vs_empty_distinct(spark):
+    """The NULL sentinel keeps (NULL) and ('') rows distinct — a plain
+    concat_ws would silently collapse them into equal digests."""
+    from bigdata2016w_spark.operators.reconcile import (
+        default_canon,
+        reconcile_digests,
+        table_digests,
+    )
+
+    a = spark.createDataFrame([(1, "p", None)],
+                              "id long, part string, payload string")
+    b = spark.createDataFrame([(1, "p", "")],
+                              "id long, part string, payload string")
+
+    def dig(df):
+        return table_digests(df, F.col("part"), default_canon(df))
+
+    r = reconcile_digests(dig(a), dig(b)).collect()[0]
+    assert not r["digests_match"] and r["rows_missing"] == 0
