@@ -449,3 +449,89 @@ ORDER BY month
 
 register(QuerySpec("orders_replica_reconcile", orders_replica_reconcile,
                    _RECONCILE_SQL, doc=orders_replica_reconcile.__doc__))
+
+
+# ---------------------------------------------------------------------------
+# Streamed IVM certification: the delta path itself, end to end
+# ---------------------------------------------------------------------------
+#
+# orders_ivm_nation_revenue above certifies the DELTA ALGEBRA (V_base ⊕ ΔV
+# == from-scratch recompute); this query certifies the STREAMED surface
+# that applies it: streaming/ivm.ivm_view_sink maintains the view over a
+# real two-micro-batch orders stream (foreachBatch → batch-stamped delta
+# subdirs → merge-on-read), and the oracle recomputes the view from
+# scratch over all orders. Equality proves the whole streamed chain —
+# per-batch ΔV, replay-safe batch=N overwrite layout, read_view's
+# merge-on-read — not just the delta arithmetic. Temp view dirs are built
+# once per (session, sf_dir); DECIMAL money math keeps the streamed merge
+# bit-equal to the one-shot rebuild.
+_IVM_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_ivm_view(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.streaming.ivm import ivm_view_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _IVM_STREAM_CACHE.get(key)
+    if view is not None:
+        return view
+    root = tempfile.mkdtemp(prefix="bigdata2016w_ivm_stream_")
+    view = f"{root}/view"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # two single-file inputs + maxFilesPerTrigger=1 → exactly two
+    # micro-batches under the availableNow trigger (the
+    # _streamed_ivfpq_index convention); the view merge is commutative,
+    # but the batch COUNT is asserted so this always exercises the
+    # multi-batch merge, never a degenerate single-delta read
+    for j, m in ((1, 0), (2, 1)):
+        w = f"{root}/w{j}"
+        orders.where(F.col("o_orderkey") % 2 == m).coalesce(1) \
+            .write.parquet(w)
+        shutil.copy(next(Path(w).glob("part-*.parquet")),
+                    f"{src_dir}/{j}.parquet")
+    stream = (
+        spark.readStream
+        .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ivm_view_sink(stream, customer, view, f"{root}/ckpt") \
+        .awaitTermination()
+    n_batches = len(_batch_dirs(spark, view))
+    if n_batches != 2:
+        raise AssertionError(
+            f"expected 2 streamed delta batches, got {n_batches}"
+        )
+    _IVM_STREAM_CACHE[key] = view
+    return view
+
+
+def orders_ivm_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation-revenue view maintained BY THE STREAM: two order
+    micro-batches through streaming/ivm.ivm_view_sink (foreachBatch ΔV →
+    batch-stamped overwrite subdirs), then read_view's merge-on-read.
+    The oracle recomputes the view from scratch over all orders, so a
+    MATCH certifies the streamed maintenance path end to end. At 100 TB
+    each delta batch is a broadcast-joined agg over just the new rows
+    and the merged view reads keys × batches rows of metadata — the
+    point of IVM vs a nightly full rebuild. No reference analog
+    (extends SURVEY §2.11 streaming)."""
+    from bigdata2016w_spark.streaming.ivm import read_view
+
+    view = _streamed_ivm_view(spark, sf_dir)
+    return read_view(spark, view).orderBy("c_nationkey")
+
+
+register(QuerySpec("orders_ivm_streamed", orders_ivm_streamed, _IVM_SQL,
+                   doc=orders_ivm_streamed.__doc__))

@@ -757,3 +757,164 @@ FROM m
 
 register(QuerySpec("orders_winsorized_mean", orders_winsorized_mean,
                    _WINS_SQL, doc=orders_winsorized_mean.__doc__))
+
+
+# --------------------------------------------- streamed winnow admission
+#
+# The winnow ADMISSION GATE end to end: streaming/ingest.winnow_admission
+# _sink run over a real two-micro-batch documents stream, returning the
+# per-batch admission ledger. The in-batch tier (winnow_dup_candidates)
+# and the cross tier (winnow_cross_candidates) each already have a
+# registered oracle; this query certifies their COMPOSITION under the
+# streaming machinery — exact-text dedup → in-batch long-span dedup →
+# accepted-text drop → cross-corpus fingerprint gate, batch-stamped
+# replay-safe subdirs — by replaying both batches statically in SQL.
+_WINNOW_ADMIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_winnow_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import (
+        _batch_dirs,
+        winnow_admission_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    acc = _WINNOW_ADMIT_CACHE.get(key)
+    if acc is not None:
+        return acc
+    root = tempfile.mkdtemp(prefix="bigdata2016w_winnow_admit_")
+    acc = f"{root}/accepted"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # two single-file inputs + maxFilesPerTrigger=1 → exactly two
+    # micro-batches. Unlike the IVM view (commutative merge), admission
+    # is ORDER-DEPENDENT — batch 0's survivors gate batch 1 — so the
+    # file-source processing order is pinned via explicit mtimes
+    # (FileStreamSource takes oldest-first under latestFirst=false).
+    now = time.time()
+    for j, m, age in ((1, 0, 200), (2, 1, 100)):
+        w = f"{root}/w{j}"
+        docs.where(F.col("doc_id") % 2 == m).coalesce(1).write.parquet(w)
+        dst = f"{src_dir}/{j}.parquet"
+        shutil.copy(next(Path(w).glob("part-*.parquet")), dst)
+        os.utime(dst, (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    winnow_admission_sink(stream, acc, f"{root}/ckpt").awaitTermination()
+    dirs = _batch_dirs(spark, acc)
+    if len(dirs) != 2:
+        raise AssertionError(f"expected 2 admission batches, got {dirs}")
+    _WINNOW_ADMIT_CACHE[key] = acc
+    return acc
+
+
+def documents_winnow_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission ledger (batch, doc_id) of the streamed winnow gate:
+    documents arrive as two micro-batches (even doc_ids then odd), each
+    batch is exact-deduped, long-span-deduped in-batch (≥1 shared rare
+    winnow fingerprint), then gated against everything already accepted
+    (exact text + cross-corpus fingerprint probe). The oracle replays
+    both batches statically from the documents table, so a MATCH
+    certifies the streamed admission chain — including the batch-stamped
+    replay-safe layout — not just its two candidate generators. At
+    100 TB the accepted corpus is bucketed by fingerprint and each
+    micro-batch probes only the buckets it hashes to; see
+    streaming/ingest.admit_winnow_batch."""
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    acc = _streamed_winnow_corpus(spark, sf_dir)
+    parts = []
+    for d in sorted(_batch_dirs(spark, acc)):
+        bid = int(d.rstrip("/").rsplit("batch=", 1)[1])
+        parts.append(
+            spark.read.schema("doc_id bigint, text string").parquet(d)
+            .select(F.lit(bid).cast("long").alias("batch"), "doc_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("batch", "doc_id")
+
+
+def _winnow_admit_sql() -> str:
+    """Static replay of the two admission batches. Exact-dedup survivors
+    are expressed as WHERE predicates on the documents scan so the ONE
+    winnow CTE generator (`_winnow_cte`) serves both batches — the
+    fingerprint arithmetic cannot drift from the other winnow oracles.
+    NOT EXISTS (never NOT IN) everywhere a NULL could poison the
+    three-valued logic, matching Spark's anti-join semantics."""
+    b0a = ("doc_id % 2 = 0 AND doc_id IN (SELECT min(doc_id) "
+           "FROM documents WHERE doc_id % 2 = 0 GROUP BY text)")
+    b1a = ("doc_id % 2 = 1 AND doc_id IN (SELECT min(doc_id) "
+           "FROM documents WHERE doc_id % 2 = 1 GROUP BY text)")
+    return f"""
+WITH {_winnow_cte('a', ' WHERE ' + b0a)},
+{_winnow_cte('p', ' WHERE ' + b1a)},
+rare0 AS (
+  SELECT fingerprint FROM afps
+  GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_DF}
+),
+fr0 AS (SELECT doc_id, fingerprint FROM afps JOIN rare0 USING (fingerprint)),
+drop0 AS (
+  SELECT DISTINCT y.doc_id FROM fr0 x
+  JOIN fr0 y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+),
+s0 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE {b0a.replace('doc_id', 'd.doc_id', 1)}
+    AND NOT EXISTS (SELECT 1 FROM drop0 x WHERE x.doc_id = d.doc_id)
+),
+rare1 AS (
+  SELECT fingerprint FROM pfps
+  GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_DF}
+),
+fr1 AS (SELECT doc_id, fingerprint FROM pfps JOIN rare1 USING (fingerprint)),
+drop1 AS (
+  SELECT DISTINCT y.doc_id FROM fr1 x
+  JOIN fr1 y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+),
+b1c AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE {b1a.replace('doc_id', 'd.doc_id', 1)}
+    AND NOT EXISTS (SELECT 1 FROM drop1 x WHERE x.doc_id = d.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM s0 WHERE s0.text = d.text)
+),
+s0fps AS (
+  SELECT f.doc_id, f.fingerprint FROM afps f
+  WHERE EXISTS (SELECT 1 FROM s0 WHERE s0.doc_id = f.doc_id)
+),
+rarex AS (
+  SELECT fingerprint FROM s0fps
+  GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_DF}
+),
+crossdrop AS (
+  SELECT DISTINCT pp.doc_id
+  FROM pfps pp
+  JOIN rarex USING (fingerprint)
+  JOIN s0fps ii USING (fingerprint)
+  WHERE EXISTS (SELECT 1 FROM b1c WHERE b1c.doc_id = pp.doc_id)
+),
+s1 AS (
+  SELECT doc_id FROM b1c d
+  WHERE NOT EXISTS (SELECT 1 FROM crossdrop x WHERE x.doc_id = d.doc_id)
+)
+SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM s1
+ORDER BY batch, doc_id
+"""
+
+
+register(QuerySpec("documents_winnow_admission", documents_winnow_admission,
+                   _winnow_admit_sql(),
+                   doc=documents_winnow_admission.__doc__))

@@ -62,56 +62,56 @@ _SPEC_MODULES = [
 # ORDER MATTERS for external verification: the round driver samples the
 # FIRST 50 names returned by all_specs() for its DuckDB-oracle correctness
 # file. _WINDOW_FRONT pins that window explicitly (finer-grained than
-# module import order). Rotation history for rounds 6-9 lives in
+# module import order). Rotation history for rounds 6-10 lives in
 # docs/window_history.md; the comments here describe only the LIVE window.
 #
-# ROUND 10 window (1 + 1 + 46 + 2 = 50): lead with the two queries that
-# have NO driver verdict yet — corpus_curation_semdedup (added r9) and
-# ann_ivfpq_streamed_probe (added r10, the streamed-index probe path) —
-# then the 46 queries whose latest green is r06 (four rounds stale:
-# q1–q7, pmi_*, bigram_relfreq_*, retrieval_*, events_sessions, …), then
-# 2 fillers from the oldest r08 greens in sample order. A green r10
-# leaves every oracle-backed query driver-certified with no certificate
-# older than r08 (distribution 50 r10 / 48 r8 / 50 r9 + the r10-new
-# query). The 5 rows-only no-oracle queries (ann_ivf, sgd_scores,
-# sgd_ensemble, sgd_auc, bpe_merge_table) stay BEHIND the window — an
-# oracle slot spent on a rows-only check is wasted.
+# ROUND 11 window (2 + 21 + 27 = 50): lead with the 2 queries added in
+# r11 (orders_ivm_streamed, documents_winnow_admission — the streamed
+# IVM and winnow-admission certifications the r10 verdict asked for),
+# then the 21 oracle-backed queries added in r10 that have NO driver
+# verdict yet (all MATCHed the judge's full gate in r10), then the 27
+# oldest r08-latest greens in r08 sample order. The remaining 21
+# r08-latest greens rotate in r12. The 5 rows-only no-oracle queries
+# (ann_ivf, sgd_scores, sgd_ensemble, sgd_auc, bpe_merge_table) stay
+# BEHIND the window — an oracle slot spent on a rows-only check is
+# wasted.
 #
-# ROUND 11 TODO: lead with the never-driver-sampled oracle-backed
-# queries added in r10 (lineitem_zorder_skipping,
-# events_user_stats_salted, orders_constraint_audit,
-# orders_ivm_nation_revenue, events_compaction_plan,
-# events_hll_daily_rollup, retrieval_proximity,
-# events_hourly_trend_ols, orders_halfsample_ci, graph_sssp_weighted,
-# orders_replica_reconcile, parts_cooccurrence_topk,
-# customers_purge_audit, events_key_skew_report, ann_ivf_probe_sweep,
-# orders_winsorized_mean, events_salted_enrich, events_funnel_ttc,
-# orders_priority_drift, orders_scd2_pit, lineitem_bucketed_revenue),
-# then rotate the
-# 48 remaining r08-latest greens to the front (they will then be three
-# rounds stale), fillers from the oldest r09 greens in sample order.
+# ROUND 12 TODO: lead with any r12-new oracle-backed queries without a
+# driver verdict, then the 21 remaining r08-latest greens
+# (orders_snapshot_diff, doc_repetition_stats,
+# contamination_check, dup_span_fraction, corpus_datacard,
+# doc_lm_score, vocab_coverage, doc_tfidf_terms,
+# documents_weighted_sample, doc_bpe_token_stats, token_heavy_hitters,
+# media_image_features, media_frame_sample, pagerank_top10,
+# graph_triangles, dedup_exact, embedding_near_dupes, dedup_jaccard,
+# dedup_minhash_lsh, dedup_simhash, ann_bruteforce), fillers from the
+# oldest r09 greens in sample order.
 _WINDOW_FRONT = [
-    # --- oracle-backed, never driver-sampled (2) ---
-    "corpus_curation_semdedup", "ann_ivfpq_streamed_probe",
-    # --- r06-latest greens, four rounds stale (46) ---
-    "q1_count_shipped", "q2_order_status", "q3_part_supplier",
-    "q4_nation_counts", "q5_monthly_nation", "q6_lineitem_agg",
-    "q7_top_revenue", "prefix_count", "bigram_relfreq_pairs",
-    "bigram_relfreq_stripes", "pmi_pairs", "index_stats", "term_postings",
-    "retrieval_and", "retrieval_or_and", "retrieval_bm25", "orders_rollup",
-    "orders_cube", "customer_rank_window", "nation_distinct_counts",
-    "totalprice_histogram", "customer_acctbal_quartiles", "pmi_stripes",
-    "customers_semi_join", "customers_anti_join", "segment_set_ops",
-    "events_json_agg", "events_tumbling_hour", "events_sliding",
-    "events_sessions", "orders_daily_moving_avg", "orders_grouping_sets",
-    "q17_small_quantity_revenue", "supplier_fuzzy_name_pairs",
-    "daily_orders_events_reconcile", "orders_pivot", "lineitem_unpivot",
-    "q8_market_share", "q9_product_profit", "ann_ivf_lloyd",
-    "events_nation_hourly", "documents_token_budget_mix",
-    "documents_pii_scrub", "documents_incremental_dedup",
-    "documents_containment_dupes", "bpe_apply_closed_form",
-    # --- fillers: oldest r08 greens, sample order (2) ---
-    "documents_scrub_dup_spans", "documents_rejection_audit",
+    # --- oracle-backed, added r11 (2) ---
+    "orders_ivm_streamed", "documents_winnow_admission",
+    # --- oracle-backed, never driver-sampled (21, added r10) ---
+    "lineitem_zorder_skipping", "events_user_stats_salted",
+    "orders_constraint_audit", "orders_ivm_nation_revenue",
+    "events_compaction_plan", "events_hll_daily_rollup",
+    "retrieval_proximity", "events_hourly_trend_ols",
+    "orders_halfsample_ci", "graph_sssp_weighted",
+    "orders_replica_reconcile", "parts_cooccurrence_topk",
+    "customers_purge_audit", "events_key_skew_report",
+    "ann_ivf_probe_sweep", "orders_winsorized_mean",
+    "events_salted_enrich", "events_funnel_ttc",
+    "orders_priority_drift", "orders_scd2_pit",
+    "lineitem_bucketed_revenue",
+    # --- oldest r08-latest greens, r08 sample order (27) ---
+    "dedup_keep_best", "ann_pq_adc", "ann_ivf_pq", "semantic_dedup",
+    "ann_recall_eval", "knn_label_vote", "embedding_int8_quant",
+    "ann_dim_truncation_recall", "events_transition_matrix",
+    "events_user_value_ema", "graph_kcore", "doc_winnow_fingerprints",
+    "winnow_dup_candidates", "shingles_kmv_distinct",
+    "shingles_hll_distinct", "events_cms_heavy_users",
+    "shingles_kmv_lang_overlap", "orders_bloom_probe",
+    "winnow_cross_candidates", "corpus_curation", "ann_ivf_flat",
+    "totalprice_percentiles", "q6_tpch_proper", "doc_train_test_split",
+    "documents_stratified_sample", "orders_upsert", "orders_scd2",
 ]
 
 

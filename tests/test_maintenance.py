@@ -229,3 +229,31 @@ def test_reconcile_default_canon_null_vs_empty_distinct(spark):
 
     r = reconcile_digests(dig(a), dig(b)).collect()[0]
     assert not r["digests_match"] and r["rows_missing"] == 0
+
+
+# ------------------------------------------------------- streamed ivm
+
+def test_ivm_streamed_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_ivm_streamed")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivm_streamed_equals_batch_ivm_totals(spark, sf_dir):
+    """The stream-maintained view must equal the batch IVM query's
+    merged view key-for-key (both equal the from-scratch rebuild via
+    their oracles; this pins the two engine surfaces to EACH OTHER, so
+    neither can drift behind a matching oracle edit). Also pins that
+    the streamed corpus really was maintained in two delta batches."""
+    from bigdata2016w_spark.plans.maintenance import (
+        _streamed_ivm_view,
+        orders_ivm_streamed,
+    )
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    got = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+           for r in orders_ivm_streamed(spark, sf_dir).collect()}
+    want = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+            for r in orders_ivm_nation_revenue(spark, sf_dir).collect()}
+    assert got == want and got
+    view = _streamed_ivm_view(spark, sf_dir)
+    assert len(_batch_dirs(spark, view)) == 2

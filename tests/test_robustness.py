@@ -58,6 +58,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_winsorized_mean", "ann_ivf_probe_sweep",
     "events_salted_enrich", "events_funnel_ttc", "orders_priority_drift",
     "orders_scd2_pit", "lineitem_bucketed_revenue",
+    "orders_ivm_streamed", "documents_winnow_admission",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
