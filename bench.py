@@ -23,6 +23,51 @@ from bigdata2016w_spark import get_spark  # noqa: E402
 from bigdata2016w_spark.registry import all_specs  # noqa: E402
 
 
+# ISOLATED-BLOCK POLICY (converged on across r9-r10, codified r11): any
+# query whose SUITE-mode time exceeds ~1.5 s at sf0.1 joins this block AT
+# REGISTRATION TIME, so when the driver or tripwire flags it the isolated
+# best-of-3 number is already in the committed artifact and interference
+# is adjudicable the same round instead of a round later (corpus_curation
+# in r9 and corpus_curation_semdedup in r10 each cost a round of
+# ambiguity). tests/test_bench_tripwire.py lints the rule against the
+# committed BENCH_LOCAL.json. Entries are never removed just for getting
+# faster — history stays attributable.
+ISOLATED_QUERIES = (
+    "q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
+    "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
+    "graph_sssp_hops", "shared_shingle_pairs_pipeline",
+    "ann_pq_adc", "ann_ivf_pq", "ann_recall_eval",
+    "semantic_dedup",
+    # the r6 driver run showed containment at 5.53 s where the same code
+    # measured 1.58 s here — these three give the dedup tier's outliers
+    # an isolated reference so environment noise is attributable
+    "documents_containment_dupes", "winnow_dup_candidates",
+    "documents_incremental_dedup",
+    # the r7 residual tier (Lloyd coarse fit + 2-step residual codebook)
+    "ann_ivf_pq_residual",
+    # r8: winnow_cross flagged at 2.19x with zero code change; rerank was
+    # the other slowest-5 line without an isolated ref
+    "ann_ivf_pq_rerank", "winnow_cross_candidates",
+    # r9: corpus_curation shares the shingle cache with the semdedup
+    # tier — isolated numbers separate interference from regression
+    "corpus_curation", "corpus_curation_semdedup",
+    # r10: the streamed-index probe builds a temp index on first run
+    # (cached per session) — isolated shows steady-state probe cost
+    "ann_ivfpq_streamed_probe",
+    # the two slowest r10-new queries: probe sweep pays a brute-force
+    # ground-truth pass, basket mining a per-order self-join
+    "ann_ivf_probe_sweep", "parts_cooccurrence_topk",
+    # r11: both streamed certifications build their corpus/view on first
+    # run (cached per session) — isolated shows the steady-state read
+    "orders_ivm_streamed", "documents_winnow_admission",
+    # r11: backfill found by the new policy lint — every remaining
+    # committed >1.5 s suite line gets an isolated twin
+    "bpe_merge_table", "shingles_kmv_lang_overlap",
+    "documents_scrub_dup_spans", "embedding_near_dupes", "ann_ivf",
+    "dedup_keep_best",
+)
+
+
 def roll_baseline(
     prev: dict, timings: dict[str, float], rebaseline: str = ""
 ) -> dict[str, float]:
@@ -145,41 +190,7 @@ def main() -> None:
     # numbers, free of suite-context noise. Suite vs isolated drift
     # > ~1.3x on these means the suite protocol is inflating again.
     isolated: dict[str, float] = {}
-    for name in ("q6_lineitem_agg", "q7_top_revenue", "dedup_simhash",
-                 "ann_ivf_lloyd", "pagerank_top10", "ann_ivf_flat",
-                 "graph_sssp_hops", "shared_shingle_pairs_pipeline",
-                 "ann_pq_adc", "ann_ivf_pq", "ann_recall_eval",
-                 "semantic_dedup",
-                 # the r6 driver run showed containment at 5.53 s where
-                 # the same code measured 1.58 s here — these three give
-                 # the dedup tier's outliers an isolated reference so
-                 # environment noise is attributable, not arguable
-                 "documents_containment_dupes", "winnow_dup_candidates",
-                 "documents_incremental_dedup",
-                 # the r7 residual tier is the new slowest suite line
-                 # (Lloyd coarse fit + 2-step residual codebook) —
-                 # isolated so its cost is attributable from day one
-                 "ann_ivf_pq_residual",
-                 # r8 driver flagged winnow_cross_candidates at 2.19x its
-                 # committed baseline with zero code change — an isolated
-                 # number makes interleave noise attributable; rerank is
-                 # the other slowest-5 line without one
-                 "ann_ivf_pq_rerank", "winnow_cross_candidates",
-                 # the r9 driver flagged corpus_curation (0.94→1.68 s in
-                 # suite mode) with no code change on its path — it shares
-                 # the shingle cache with the r9-new semdedup tier, so
-                 # without isolated numbers interference wasn't separable
-                 # from regression (it was interference: 0.875 s isolated)
-                 "corpus_curation", "corpus_curation_semdedup",
-                 # r10's streamed-index probe builds a temp index on first
-                 # run (cached per session) — the isolated number shows
-                 # the steady-state probe cost, not the build
-                 "ann_ivfpq_streamed_probe",
-                 # the two slowest r10-new queries: the probe sweep pays
-                 # a brute-force ground-truth pass, basket mining a
-                 # per-order self-join — isolated refs so any future
-                 # drift is attributable from day one
-                 "ann_ivf_probe_sweep", "parts_cooccurrence_topk"):
+    for name in ISOLATED_QUERIES:
         jvm_gc()
         best = float("inf")
         for _ in range(3):
@@ -194,6 +205,58 @@ def main() -> None:
                 _ = specs[name].fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         isolated[name] = round(best, 3)
+
+    # ANN fit-vs-serve split: the suite's ann_* lines re-fit Lloyd/PQ
+    # per run (the registered queries are self-contained), but production
+    # serves from the PERSISTED index — so the artifact carries both:
+    # ann_ivfpq_index_build (the one-time fit+write) and two *_serve
+    # lines (best-of-3 probe against the already-built index, the number
+    # a steady-state deployment sees). A separate section, not the
+    # timings map: these aren't registered queries, and suite_wall stays
+    # comparable round-over-round.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivfpq_from_index,
+        knn_ivfpq_rerank_from_index,
+    )
+    from bigdata2016w_spark.plans.pipeline import (
+        _IVF_PROBE,
+        KNN_K,
+        KNN_QUERY_IDS,
+        _shared_valid_embeddings,
+    )
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    ann_serve: dict[str, float] = {}
+    idx_root = tempfile.mkdtemp(prefix="bench_ivfpq_idx_")
+    try:
+        emb = _shared_valid_embeddings(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id").isin(*KNN_QUERY_IDS))
+        jvm_gc()
+        t0 = time.perf_counter()
+        write_ivfpq_index(emb, f"{idx_root}/idx")
+        ann_serve["ann_ivfpq_index_build"] = round(
+            time.perf_counter() - t0, 3)
+        for name, fn in (
+            ("ann_ivfpq_from_index_serve", lambda: knn_ivfpq_from_index(
+                spark, f"{idx_root}/idx", queries_df, KNN_K, _IVF_PROBE)),
+            ("ann_ivfpq_rerank_from_index_serve",
+             lambda: knn_ivfpq_rerank_from_index(
+                 spark, f"{idx_root}/idx", queries_df, emb, KNN_K,
+                 n_probe=_IVF_PROBE)),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t0)
+            ann_serve[name] = round(best, 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     # Regression tripwire: diff this run's per-query map against the
     # COMMITTED artifact (read before we overwrite it) and surface any
@@ -226,6 +289,7 @@ def main() -> None:
         "queries": timings,
         "baseline_queries": baseline,
         "isolated": isolated,
+        "ann_serve": ann_serve,
         "regressions": regressions,
         "ppjoin": ppjoin_metrics,
         "sf": sf,
@@ -251,6 +315,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_full": "BENCH_LOCAL.json",
         "isolated": isolated,
+        "ann_serve": ann_serve,
         "regressions": regressions,
         "ppjoin": ppjoin_metrics,
         "sf": sf,

@@ -261,6 +261,7 @@ def minhash_lsh_near_dupes(
     bands: int = 4,
     shingled: DataFrame | None = None,
     portable: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash banding, then exact-Jaccard
     verification of candidates. Same output schema as jaccard_near_dupes —
@@ -268,7 +269,9 @@ def minhash_lsh_near_dupes(
     :func:`jaccard_near_dupes`. ``portable``: use the SQL-reproducible
     md5 hash family and a decimal-string band key so a DuckDB oracle can
     recompute the exact pair set (band key equality ⇔ signature-slice
-    equality either way; plan shape is identical)."""
+    equality either way; plan shape is identical). ``metrics``: optional
+    dict, populated with a ``candidates`` Observation (distinct banded
+    candidate pairs reaching verification — the scale-smoke counter)."""
     rows = num_perm // bands
     # materialize shingling once: it feeds signatures and both verify sides
     s = (shingled if shingled is not None
@@ -306,6 +309,12 @@ def minhash_lsh_near_dupes(
         .distinct()
         .repartition(s.sparkSession.sparkContext.defaultParallelism, "doc_a")
     )
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        metrics["candidates"] = Observation("lsh_candidates")
+        cand = cand.observe(metrics["candidates"],
+                            F.count(F.lit(1)).alias("n"))
     sh = s.select("doc_id", "shingles")
     return (
         cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")

@@ -247,6 +247,11 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     )
 
     spark = embeddings.sparkSession
+    # (re)writing the models: drop any session-cached copy for this path
+    from bigdata2016w_spark.operators.similarity import _INDEX_MODELS_CACHE
+
+    _INDEX_MODELS_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None)
     e = embeddings.where(F.col("embedding").isNotNull())
     row = e.select("embedding").first()
     if row is None:  # empty (or all-NULL) corpus: a valid, empty index
@@ -283,24 +288,21 @@ def _ivfpq_frozen_models(spark, index_path: str):
     frozen encode inputs: (cent_lit, cent DataFrame, codebook DataFrame,
     n_subspaces, dim). Raises on an empty index — there is no model to
     encode against. Shared by :func:`ivfpq_index_append` and the
-    streaming ``streaming.index_sink.ivfpq_append_sink``."""
-    from pyspark.sql import functions as F
+    streaming ``streaming.index_sink.ivfpq_append_sink``. Model rows
+    come from the session-scoped ``_index_models`` cache (coherent under
+    the train-once contract; invalidated by :func:`write_ivfpq_index`)."""
+    from bigdata2016w_spark.operators.similarity import _index_models
 
-    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-    if not cent_rows:
+    cb_rows, cent_lit = _index_models(spark, index_path)
+    if not cent_lit:
         raise ValueError(
             f"index at {index_path!r} has no centroids — it was written "
             "from an empty corpus; build it with write_ivfpq_index on a "
             "non-empty corpus before appending"
         )
-    cent_lit = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]])
-        for r in cent_rows
-    )
-    cb = spark.read.parquet(f"{index_path}/codebook")
-    meta = cb.agg(F.max("m").alias("mm"), F.max(F.size("cv")).alias("sd")
-                  ).first()
-    n_subspaces, sd = int(meta["mm"]) + 1, int(meta["sd"])
+    n_subspaces = cb_rows[-1][0] + 1
+    sd = max(len(r[2]) for r in cb_rows)
+    cb = spark.createDataFrame(cb_rows, "m int, code bigint, cv array<double>")
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return cent_lit, cent, cb, n_subspaces, n_subspaces * sd
 

@@ -9,6 +9,7 @@ table. Not part of the pytest gate (runtime);
 run manually:
 
     python scripts/scale_smoke.py [n_docs] [n_vecs]
+    python scripts/scale_smoke.py decade [base_n]   # 10x candidates/doc pin
 
 The interesting outputs are the RATIOS: candidate pairs per document and
 scan fraction must stay ~constant as N grows (linear total work), which
@@ -68,7 +69,112 @@ def synth_docs(spark, n: int):
     ).repartition(32, "doc_id").localCheckpoint(eager=True)
 
 
+def synth_docs_distributed(spark, n: int):
+    """JVM-side twin of :func:`synth_docs` for the 10x decade tier: same
+    corpus shape (DOC_LEN words over the same VOCAB digit-word alphabet,
+    ~DUP_RATE planted near-dups = an earlier doc with one word swapped),
+    synthesized entirely as Spark expressions so a million docs never
+    pass through the driver. word(t) is the exact python words_v
+    construction as one translate() call."""
+    def word(t):
+        return F.concat(
+            F.translate(t.cast("string"), "0123456789", "abcdefghij"),
+            F.lit("x"),
+        )
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    is_dup = (F.col("doc_id") % int(1 / DUP_RATE) == 3) & (F.col("doc_id") >= 128)
+    src = F.when(
+        is_dup, F.col("doc_id") - 1 - F.pmod(F.xxhash64("doc_id"), F.lit(97))
+    ).otherwise(F.col("doc_id"))
+    swap_pos = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(DOC_LEN))
+    docs = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DOC_LEN - 1)),
+                lambda k: F.when(
+                    is_dup & (k == swap_pos),
+                    word(F.pmod(F.xxhash64(F.col("doc_id"), k, F.lit(999)),
+                                F.lit(VOCAB))),
+                ).otherwise(
+                    word(F.pmod(F.xxhash64(src * DOC_LEN + k), F.lit(VOCAB)))
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).localCheckpoint(eager=True)
+
+
+def decade(base_n: int = 100_000) -> None:
+    """The 10x data point for the linear-in-matches blocking claims:
+    PPJoin, winnow, and MinHash-LSH candidates/doc measured at base_n
+    and 10·base_n on the distributed synthetic corpus. Flat (≤ ~1.1x)
+    candidates/doc across the decade is the pass criterion — drift above
+    it means the stop-fingerprint cap / rarest-first prefix ordering /
+    band width needs re-examination before trusting 100 TB."""
+    from bigdata2016w_spark.operators.sketches import (
+        winnow_dup_candidates,
+        winnow_fingerprints,
+    )
+
+    spark = get_spark(app_name="scale-smoke-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    stats: dict[int, dict[str, float]] = {}
+    for n in (base_n, base_n * 10):
+        t_all = time.perf_counter()
+        docs = synth_docs_distributed(spark, n)
+        sh = shingle_sets(docs).localCheckpoint(eager=True)
+        row: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        jm: dict = {}
+        n_pp = jaccard_near_dupes(docs, 0.5, shingled=sh, metrics=jm).count()
+        row["ppjoin_cand_per_doc"] = jm["candidates"].get["n"] / n
+        row["ppjoin_pairs_per_doc"] = n_pp / n
+        row["ppjoin_wall"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        row["winnow_fps_per_doc"] = winnow_fingerprints(docs).count() / n
+        row["winnow_pairs_per_doc"] = winnow_dup_candidates(docs).count() / n
+        row["winnow_wall"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        lm: dict = {}
+        n_lsh = minhash_lsh_near_dupes(
+            docs, 0.5, shingled=sh, portable=False, metrics=lm
+        ).count()
+        row["lsh_cand_per_doc"] = lm["candidates"].get["n"] / n
+        row["lsh_pairs_per_doc"] = n_lsh / n
+        row["lsh_wall"] = time.perf_counter() - t0
+
+        stats[n] = row
+        docs.unpersist()
+        sh.unpersist()
+        print(f"@ {n} docs ({time.perf_counter() - t_all:.0f}s total): "
+              + ", ".join(
+                  f"{k}={v:.4f}" if not k.endswith("wall")
+                  else f"{k}={v:.0f}s" for k, v in row.items()))
+
+    lo, hi = stats[base_n], stats[base_n * 10]
+    for k in ("ppjoin_cand_per_doc", "winnow_pairs_per_doc",
+              "lsh_cand_per_doc"):
+        r = hi[k] / max(lo[k], 1e-9)
+        verdict = "FLAT" if r <= 1.1 else "DRIFTING"
+        print(f"decade ratio {k}: {lo[k]:.4f} @ {base_n} -> "
+              f"{hi[k]:.4f} @ {base_n * 10} ({r:.2f}x — {verdict})")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "decade":
+        decade(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     spark = get_spark(app_name="scale-smoke")

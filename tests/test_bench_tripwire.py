@@ -90,3 +90,28 @@ def test_roll_baseline_seeds_new_and_honors_rebaseline():
     # legacy artifact without baseline_queries: fall back to queries
     legacy = {"queries": {"old": 1.5}}
     assert roll_baseline(legacy, t) == {"old": 1.5, "new": 0.7}
+
+
+def test_isolated_block_covers_every_slow_suite_query():
+    """Isolated-block POLICY lint (r11): any query whose committed
+    suite-mode time exceeds 1.5 s must have an isolated best-of-3 twin
+    in bench.ISOLATED_QUERIES, so interference adjudication never lags
+    a round (corpus_curation r9, corpus_curation_semdedup r10). Checked
+    against the committed BENCH_LOCAL.json artifact."""
+    import json
+    from pathlib import Path
+
+    from bench import ISOLATED_QUERIES
+
+    art = json.loads(
+        (Path(__file__).parent.parent / "BENCH_LOCAL.json").read_text()
+    )
+    slow = {n for n, t in art["queries"].items() if t > 1.5}
+    missing = slow - set(ISOLATED_QUERIES)
+    assert not missing, (
+        f"suite queries over 1.5 s without an isolated twin: {missing}"
+    )
+    # and the block only names real queries (or the pipeline pseudo-line)
+    from bigdata2016w_spark.registry import all_specs
+    known = set(all_specs()) | {"shared_shingle_pairs_pipeline"}
+    assert set(ISOLATED_QUERIES) <= known

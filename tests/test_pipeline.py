@@ -935,14 +935,21 @@ def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
 
     assert _bytes(f"{path}/codes") < _bytes(f"{sf_dir}/embeddings.parquet") / 3
 
-    # physical proof: the codes scan is dynamically partition-pruned
+    # physical proof: the codes scan is partition-pruned STATICALLY —
+    # the probed cells are known at planning time (driver-materialized
+    # LUT), so the hive `cell` filter lands in PartitionFilters and the
+    # scan never lists unprobed directories (stronger than the previous
+    # runtime-DPP-subquery formulation)
     import contextlib
     import io
+    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         knn_ivfpq_from_index(spark, path, queries).explain("formatted")
-    assert "dynamicpruning" in buf.getvalue()
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m and "IN" in m.group(1).upper(), plan[:2000]
 
 
 def test_ivfpq_rerank_from_index_matches_inmemory(spark, sf_dir, tmp_path):
