@@ -918,3 +918,155 @@ ORDER BY batch, doc_id
 register(QuerySpec("documents_winnow_admission", documents_winnow_admission,
                    _winnow_admit_sql(),
                    doc=documents_winnow_admission.__doc__))
+
+
+# ---------------------------------------------- streamed sketch partials
+#
+# The THIRD pytest-only streaming surface certified end-to-end (after the
+# r11 IVM and winnow-admission queries): streaming/sketch_sink writes
+# per-micro-batch CMS counter and HLL register PARTIALS to batch-stamped
+# dirs; this query runs the real sink over a two-micro-batch user_id
+# stream, merges on read (counters add, registers max), and returns the
+# combined sketch state. The oracle recomputes both sketches from the
+# events table directly — a MATCH certifies that the streamed partial
+# layout + algebraic merge equals the one-shot sketch, externally.
+_SKETCH_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_sketch_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        sketch_maintenance_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tgt = _SKETCH_STREAM_CACHE.get(key)
+    if tgt is not None:
+        return tgt
+    root = tempfile.mkdtemp(prefix="bigdata2016w_sketch_stream_")
+    tgt = f"{root}/sketches"
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = f"{root}/in"
+    os.makedirs(src)
+    # two single-file inputs + maxFilesPerTrigger=1 → exactly two
+    # micro-batches; the merge is commutative (add/max), so batch order
+    # is immaterial — only the count is asserted, so the query always
+    # exercises a real multi-batch merge
+    for j, m in ((1, 0), (2, 1)):
+        w = f"{root}/w{j}"
+        ev.where(F.pmod(F.col("user_id"), F.lit(2)) == m).coalesce(1) \
+            .write.parquet(w)
+        shutil.copy(next(Path(w).glob("part-*.parquet")),
+                    f"{src}/{j}.parquet")
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sketch_maintenance_sink(stream, tgt, f"{root}/ckpt",
+                            col="user_id").awaitTermination()
+    n = len(_batch_dirs(spark, tgt))
+    if n != 2:
+        raise AssertionError(f"expected 2 sketch batches, got {n}")
+    _SKETCH_STREAM_CACHE[key] = tgt
+    return tgt
+
+
+def events_streamed_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (m_filled, isum, est_distinct, exact_distinct, cms_nnz,
+    cms_total, cms_max): the STREAM-maintained distinct-user HLL and
+    event-count CMS over events.user_id — two micro-batches through
+    streaming/sketch_sink.sketch_maintenance_sink, partials merged on
+    read, estimated with the exact-int64 harmonic sum. The oracle
+    builds both sketches from the raw table in one shot; equality
+    certifies the batch-stamped partial layout and the add/max merges.
+    exact_distinct rides along as the error report. At 100 TB each
+    batch's partial is STILL 256 + d·w rows — the point of sketch
+    maintenance on a stream; see streaming/sketch_sink.py."""
+    from bigdata2016w_spark.streaming.sketch_sink import (
+        read_merged_cms,
+        read_merged_hll,
+    )
+    from pyspark.sql.functions import broadcast
+
+    tgt = _streamed_sketch_dir(spark, sf_dir)
+    hll = hll_estimate_by(read_merged_hll(spark, tgt), [])
+    cms = read_merged_cms(spark, tgt).agg(
+        F.count("*").alias("cms_nnz"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("cms_total"),
+        F.max("cnt").alias("cms_max"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        hll.crossJoin(broadcast(cms))   # three 1-row frames
+        .crossJoin(broadcast(exact))
+        .select("m_filled", "isum", "est_distinct", "exact_distinct",
+                "cms_nnz", "cms_total", "cms_max")
+    )
+
+
+_SKETCH_STREAM_SQL = f"""
+WITH k AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE user_id IS NOT NULL
+),
+h AS (SELECT {_phash_sql('HLL', 'k')} AS h FROM k),
+b AS (
+  SELECT CAST(h & {HLL_M - 1} AS INTEGER) AS bucket,
+         h >> {HLL_P} AS rest
+  FROM h
+),
+r AS (
+  SELECT bucket,
+         CAST(CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+                   ELSE {_HLL_RHO_MAX} - length(printf('%b', rest)) END
+              AS INTEGER) AS rho
+  FROM b
+),
+regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+a AS (
+  SELECT CAST(count(*) AS INTEGER) AS m_filled,
+         CAST(coalesce(sum(1::BIGINT << ({_HLL_RHO_MAX} - rho)), 0)
+              + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_MAX})
+              AS BIGINT) AS isum
+  FROM regs
+),
+e AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct FROM k),
+hs AS (
+  SELECT k, j,
+         CAST(('0x' || substr(md5('CMS' || j || ':' || k), 1, 15))::BIGINT
+              % {CMS_W} AS INTEGER) AS slot
+  FROM (SELECT k, unnest([{_CMS_JS}]) AS j FROM k)
+),
+counters AS (SELECT j, slot, count(*) AS cnt FROM hs GROUP BY j, slot),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS cms_nnz,
+         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS cms_total,
+         CAST(max(cnt) AS BIGINT) AS cms_max
+  FROM counters
+)
+SELECT m_filled, isum,
+       round(CASE WHEN {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+                       <= {2.5 * HLL_M!r}
+                   AND {HLL_M} - m_filled > 0
+                  THEN {float(HLL_M)!r}
+                       * ln({float(HLL_M)!r}
+                            / CAST({HLL_M} - m_filled AS DOUBLE))
+                  ELSE {HLL_EST_NUMERATOR!r} / CAST(isum AS DOUBLE)
+             END, 4) AS est_distinct,
+       exact_distinct, cms_nnz, cms_total, cms_max
+FROM a CROSS JOIN e CROSS JOIN c
+"""
+
+register(QuerySpec("events_streamed_sketch_state",
+                   events_streamed_sketch_state, _SKETCH_STREAM_SQL,
+                   doc=events_streamed_sketch_state.__doc__))

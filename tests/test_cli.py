@@ -1,8 +1,18 @@
-"""CLI surface: list/run/explain through a real subprocess."""
+"""CLI surface tests.
+
+Two invocation tiers: ``_run`` spawns a REAL subprocess (fresh
+interpreter + JVM) — kept for the cheap smoke tests that pin the true
+process surface (module entry point, exit codes through the OS) — while
+``_call`` drives the SAME ``cli.main(argv)`` argparse surface in-process,
+reusing the session-scoped Spark (cli's get_spark is getOrCreate, and no
+verb stops the session). Everything argparse/verb-logic related is
+identical through both; the in-process tier exists because a fresh JVM
+per invocation cost the suite ~5 minutes (r11 durations profile)."""
 
 import json
 import subprocess
 import sys
+from types import SimpleNamespace
 
 REPO = "/root/repo"
 
@@ -17,18 +27,31 @@ def _run(*args):
     )
 
 
+def _call(capsys, *args):
+    """In-process twin of ``_run``: same argv surface, same return-code
+    contract (argparse's own errors surface as SystemExit(2))."""
+    from bigdata2016w_spark.cli import main
+
+    try:
+        code = main(list(args))
+    except SystemExit as e:
+        code = e.code if isinstance(e.code, int) else 2
+    out = capsys.readouterr()
+    return SimpleNamespace(returncode=code, stdout=out.out, stderr=out.err)
+
+
 def test_cli_list():
     p = _run("list")
     assert p.returncode == 0
     assert "q7_top_revenue" in p.stdout and "[oracle]" in p.stdout
 
 
-def test_cli_retrieve():
-    p = _run("retrieve", "scan column AND",
+def test_cli_retrieve(capsys, spark):
+    p = _call(capsys, "retrieve", "scan column AND",
              "--sf-dir", "/root/testdata/sf0.001", "--limit", "3")
     assert p.returncode == 0
     assert "doc_id" in p.stdout and "text" in p.stdout
-    p2 = _run("retrieve", "scan column AND OR",
+    p2 = _call(capsys, "retrieve", "scan column AND OR",
               "--sf-dir", "/root/testdata/sf0.001")
     assert p2.returncode == 2
     assert "malformed" in p2.stderr
@@ -44,9 +67,9 @@ def test_cli_run_and_unknown():
     assert "unknown query" in p2.stderr
 
 
-def test_cli_export(tmp_path):
+def test_cli_export(capsys, tmp_path, spark):
     out = str(tmp_path / "exp")
-    p = _run("export", out, "--sf-dir", "/root/testdata/sf0.001")
+    p = _call(capsys, "export", out, "--sf-dir", "/root/testdata/sf0.001")
     assert p.returncode == 0, p.stderr[-500:]
     card = json.loads(p.stdout.strip().splitlines()[-1])
     assert card["total_docs"] == 500
@@ -57,15 +80,15 @@ def test_cli_export(tmp_path):
     assert json.load(open(f"{out}/datacard.json")) == card
 
 
-def test_cli_export_scrub_spans(tmp_path, spark):
+def test_cli_export_scrub_spans(capsys, tmp_path, spark):
     """--scrub-spans must export span-scrubbed text for exactly the docs
     the scrubber touched (everyone else keeps their original bytes), the
     survivor set must be unchanged, and the exported n_tokens metadata
     must describe the SHIPPED text, not the pre-scrub text."""
     plain, scrub = str(tmp_path / "plain"), str(tmp_path / "scrub")
-    p1 = _run("export", plain, "--sf-dir", "/root/testdata/sf0.001")
+    p1 = _call(capsys, "export", plain, "--sf-dir", "/root/testdata/sf0.001")
     assert p1.returncode == 0, p1.stderr[-500:]
-    p2 = _run("export", scrub, "--sf-dir", "/root/testdata/sf0.001",
+    p2 = _call(capsys, "export", scrub, "--sf-dir", "/root/testdata/sf0.001",
               "--scrub-spans")
     assert p2.returncode == 0, p2.stderr[-500:]
     card = json.loads(p2.stdout.strip().splitlines()[-1])
@@ -104,7 +127,7 @@ def test_cli_export_scrub_spans(tmp_path, spark):
         == exported_tok
 
 
-def test_cli_admit(tmp_path, spark):
+def test_cli_admit(capsys, tmp_path, spark):
     """The admit subcommand replays a doc directory as micro-batches and
     reports the accepted count; a planted duplicate is rejected."""
     import os
@@ -124,14 +147,14 @@ def test_cli_admit(tmp_path, spark):
         shutil.copy(part, dst)
         os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
     out = str(tmp_path / "corpus")
-    p = _run("admit", str(sdir), out)
+    p = _call(capsys, "admit", str(sdir), out)
     assert p.returncode == 0, p.stderr[-500:]
     assert "accepted corpus: 3 docs" in p.stdout
 
 
-def test_cli_compact_sketches(tmp_path, spark):
+def test_cli_compact_sketches(capsys, tmp_path, spark):
     """`compact sketches <dir>` must fold planted batch partials into
-    one dir through a real subprocess, preserving the merged counters."""
+    one dir through the CLI verb, preserving the merged counters."""
     from bigdata2016w_spark.streaming.ingest import _batch_dirs
     from bigdata2016w_spark.streaming.sketch_sink import read_merged_cms
 
@@ -144,7 +167,7 @@ def test_cli_compact_sketches(tmp_path, spark):
             [(3, 4 + b)], "bucket int, rho int"
         ).write.parquet(f"{target}/batch={b}/hll")
     want = sorted(map(tuple, read_merged_cms(spark, target).collect()))
-    p = _run("compact", "sketches", target)
+    p = _call(capsys, "compact", "sketches", target)
     assert p.returncode == 0, p.stderr[-500:]
     assert "removed 1 batch dirs" in p.stdout
     assert len(_batch_dirs(spark, target)) == 1
@@ -152,9 +175,9 @@ def test_cli_compact_sketches(tmp_path, spark):
                       read_merged_cms(spark, target).collect())) == want
 
 
-def test_cli_compact_index(tmp_path, spark):
+def test_cli_compact_index(capsys, tmp_path, spark):
     """`compact index <path>` must fold a streamed batch into the base
-    codes through a real subprocess; the folded row count is printed and
+    codes through the CLI verb; the folded row count is printed and
     the streamed read comes back empty."""
     import shutil
 
@@ -183,14 +206,14 @@ def test_cli_compact_index(tmp_path, spark):
     assert n > 0
     base_before = spark.read.parquet(f"{idx}/codes").count()
 
-    p = _run("compact", "index", idx)
+    p = _call(capsys, "compact", "index", idx)
     assert p.returncode == 0, p.stderr[-500:]
     assert f"folded {n} streamed code rows" in p.stdout
     assert read_streamed_codes(spark, idx).collect() == []
     assert spark.read.parquet(f"{idx}/codes").count() == base_before + n
 
 
-def test_cli_export_dedup_tiers(tmp_path, spark):
+def test_cli_export_dedup_tiers(capsys, tmp_path, spark):
     """--dedup {jaccard,winnow,exact,semdedup}: each tier's exported
     survivor set (train ∪ test doc_ids) must equal the set derived from
     the REGISTERED queries — the quality gate of doc_stats minus that
@@ -225,7 +248,7 @@ def test_cli_export_dedup_tiers(tmp_path, spark):
 
     for tier in ("jaccard", "winnow", "exact", "semdedup"):
         out = str(tmp_path / tier)
-        p = _run("export", out, "--sf-dir", sf, "--dedup", tier)
+        p = _call(capsys, "export", out, "--sf-dir", sf, "--dedup", tier)
         assert p.returncode == 0, (tier, p.stderr[-500:])
         card = json.loads(p.stdout.strip().splitlines()[-1])
         assert card["dedup"] == tier
@@ -235,8 +258,8 @@ def test_cli_export_dedup_tiers(tmp_path, spark):
         assert card["train"]["n_docs"] + card["test"]["n_docs"] == len(got)
 
 
-def test_cli_zorder(tmp_path, spark):
-    """Z-order rewrite through a real subprocess: rows preserved, output
+def test_cli_zorder(capsys, tmp_path, spark):
+    """Z-order rewrite through the CLI verb: rows preserved, output
     files carry narrow per-file ranges on BOTH clustered columns (spot-
     checked via the same pyarrow footer stats tests/test_zorder.py
     measures exhaustively), and bad input is rejected with exit 2."""
@@ -246,7 +269,7 @@ def test_cli_zorder(tmp_path, spark):
         "id AS a", "pmod(hash(id), 1000) AS b"
     ).write.parquet(src)
 
-    p = _run("zorder", src, dst, "--cols", "a,b", "--files", "8")
+    p = _call(capsys, "zorder", src, dst, "--cols", "a,b", "--files", "8")
     assert p.returncode == 0, p.stderr
     assert "z-ordered" in p.stdout
 
@@ -275,17 +298,17 @@ def test_cli_zorder(tmp_path, spark):
         spans.append(hi - lo)
     assert sorted(spans)[len(spans) // 2] < 20_000 / 2
 
-    p2 = _run("zorder", src, dst + "2", "--cols", "a")
+    p2 = _call(capsys, "zorder", src, dst + "2", "--cols", "a")
     assert p2.returncode == 2 and "at least two" in p2.stderr
-    p3 = _run("zorder", src, dst + "3", "--cols", "a,nope")
+    p3 = _call(capsys, "zorder", src, dst + "3", "--cols", "a,nope")
     assert p3.returncode == 2 and "nope" in p3.stderr
 
 
-def test_cli_audit_exit_code_reflects_failures():
+def test_cli_audit_exit_code_reflects_failures(capsys, spark):
     """The audit verb is an ingest gate: the sf0.001 fixture trips the
     deliberately tight price-cap rule, so the exit code is 1 and every
     rule prints a verdict line."""
-    r = _run("audit", "--sf-dir", "/root/testdata/sf0.001")
+    r = _call(capsys, "audit", "--sf-dir", "/root/testdata/sf0.001")
     assert r.returncode == 1, r.stderr[-800:]
     out = r.stdout
     assert "FAIL  rule:o_totalprice_cap_125k" in out
@@ -293,7 +316,7 @@ def test_cli_audit_exit_code_reflects_failures():
     assert "6/7 rules passed" in out
 
 
-def test_cli_reconcile(tmp_path, spark):
+def test_cli_reconcile(capsys, tmp_path, spark):
     """Exit 0 on identical replicas; exit 1 with the divergent
     partition named when the replica loses rows."""
     from bigdata2016w_spark.sources.catalog import load_table
@@ -303,12 +326,12 @@ def test_cli_reconcile(tmp_path, spark):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     orders.write.parquet(a)
     orders.write.parquet(b)
-    r = _run("reconcile", a, b, "--partition-col", "o_orderstatus")
+    r = _call(capsys, "reconcile", a, b, "--partition-col", "o_orderstatus")
     assert r.returncode == 0, r.stderr[-500:]
     assert "3/3 partitions match" in r.stdout
 
     b2 = str(tmp_path / "b2")
     orders.where("o_orderkey % 500 <> 7").write.parquet(b2)
-    r = _run("reconcile", a, b2, "--partition-col", "o_orderstatus")
+    r = _call(capsys, "reconcile", a, b2, "--partition-col", "o_orderstatus")
     assert r.returncode == 1
     assert "DIFF" in r.stdout and "rows_missing=" in r.stdout

@@ -897,12 +897,27 @@ def test_ann_ivf_pq_rerank_oracle_and_recall_gain(spark, sf_dir, duck):
     assert rr >= 0.5
 
 
-def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+@pytest.fixture(scope="module")
+def ivfpq_full_index(spark, sf_dir, tmp_path_factory):
+    """Full-corpus persisted IVF-PQ index, built ONCE per module and
+    shared by the read-only probe tests (training is deterministic, so
+    sharing is observationally identical to per-test builds; tests that
+    MUTATE an index — append, compact — still build their own)."""
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "full_idx")
+    write_ivfpq_index(load_table(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir,
+                                                ivfpq_full_index):
     """write_ivfpq_index → knn_ivfpq_from_index must reproduce
     knn_ivf_pq_residual bit-exactly (Lloyd centroids, residual codebook
     doubles, byte codes, and int64 LUT distances all round-trip
     parquet), the persisted codes must be materially smaller than the
-    raw embeddings, and the probe scan must be dynamically
+    raw embeddings, and the probe scan must be statically
     partition-pruned so only probed cell directories are read."""
     import os
 
@@ -911,11 +926,9 @@ def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
         knn_ivfpq_from_index,
     )
     from bigdata2016w_spark.sources.catalog import load_table
-    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = str(tmp_path / "ivfpq_index")
-    write_ivfpq_index(emb, path)
+    path = ivfpq_full_index
     qids = [0, 1, 2, 3, 4]
     queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
     from_index = knn_ivfpq_from_index(
@@ -952,7 +965,8 @@ def test_ivfpq_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     assert m and "IN" in m.group(1).upper(), plan[:2000]
 
 
-def test_ivfpq_rerank_from_index_matches_inmemory(spark, sf_dir, tmp_path):
+def test_ivfpq_rerank_from_index_matches_inmemory(spark, sf_dir, tmp_path,
+                                                  ivfpq_full_index):
     """The persisted two-stage path (index ADC shortlist → exact cosine
     re-rank) must reproduce knn_ivf_pq_rerank bit-exactly on the same
     corpus — and stay bit-exact when half the corpus arrives through the
@@ -977,8 +991,8 @@ def test_ivfpq_rerank_from_index_matches_inmemory(spark, sf_dir, tmp_path):
     queries = emb.where(emb.vec_id.isin(qids)).select("vec_id", "embedding")
 
     # full-corpus index: same deterministic training as the in-memory op
-    path = str(tmp_path / "full_idx")
-    write_ivfpq_index(emb, path)
+    # (shared module fixture — training is deterministic)
+    path = ivfpq_full_index
     got = knn_ivfpq_rerank_from_index(
         spark, path, queries, emb, k=10, n_probe=4
     ).collect()

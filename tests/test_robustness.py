@@ -59,6 +59,7 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "events_salted_enrich", "events_funnel_ttc", "orders_priority_drift",
     "orders_scd2_pit", "lineitem_bucketed_revenue",
     "orders_ivm_streamed", "documents_winnow_admission",
+    "events_streamed_sketch_state",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
@@ -109,6 +110,13 @@ def test_queries_survive_empty_tables(name, spark, empty_sf):
     elif name == "events_funnel_ttc":
         assert len(rows) == 1
         assert rows[0].n_converted == 0 and rows[0].p50_ttc_sec is None
+    elif name == "events_streamed_sketch_state":
+        # global sketch state: one row, empty registers/counters
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.m_filled == 0 and r.est_distinct == 0.0
+        assert r.exact_distinct == 0 and r.cms_nnz == 0
+        assert r.cms_total == 0 and r.cms_max is None
     else:
         assert rows == []
 

@@ -518,3 +518,36 @@ def test_winnow_admission_ledger_invariants(spark, sf_dir):
     texts1 = {r.text for r in
               docs.where(F.col("doc_id").isin(b1)).collect()}
     assert not (texts0 & texts1)
+
+
+def test_streamed_sketch_state_matches_oracle(spark, duck, sf_dir):
+    s = all_specs()["events_streamed_sketch_state"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_streamed_sketch_state_equals_oneshot_sketch(spark, sf_dir):
+    """The stream-merged HLL/CMS state must equal the one-shot sketches
+    built directly from the raw table IN-ENGINE too (the oracle proves
+    it against DuckDB; this pins the two engine surfaces to each other),
+    and the streamed target must really hold two batch dirs."""
+    from bigdata2016w_spark.plans.sketches import (
+        _streamed_sketch_dir,
+        events_streamed_sketch_state,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.operators.sketches import (
+        cms_counters,
+        hll_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    got = events_streamed_sketch_state(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    one = hll_distinct(ev, "user_id").collect()[0]
+    assert (got["m_filled"], got["isum"], got["est_distinct"],
+            got["exact_distinct"]) == tuple(one)
+    cms = cms_counters(ev, "user_id").agg(
+        F.count("*"), F.sum("cnt"), F.max("cnt")).collect()[0]
+    assert (got["cms_nnz"], got["cms_total"], got["cms_max"]) == tuple(cms)
+    assert len(_batch_dirs(spark, _streamed_sketch_dir(spark, sf_dir))) == 2
