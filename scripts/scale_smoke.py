@@ -75,7 +75,17 @@ def synth_docs_distributed(spark, n: int):
     ~DUP_RATE planted near-dups = an earlier doc with one word swapped),
     synthesized entirely as Spark expressions so a million docs never
     pass through the driver. word(t) is the exact python words_v
-    construction as one translate() call."""
+    construction as one translate() call.
+
+    The corpus is round-tripped through a temp PARQUET dir rather than
+    localCheckpoint'ed: a checkpointed frame inherits the logical stats
+    of its ORIGIN plan, and this one originates from spark.range(n) —
+    ~8 bytes/row to the planner no matter how many text bytes the
+    projection builds — so AQE happily broadcast the GB-scale prefix
+    index at 1M docs (driver maxResultSize abort). Parquet-backed input
+    is also what production corpora look like, so the smoke exercises
+    the operators under honest planner statistics."""
+    import tempfile
     def word(t):
         return F.concat(
             F.translate(t.cast("string"), "0123456789", "abcdefghij"),
@@ -104,9 +114,11 @@ def synth_docs_distributed(spark, n: int):
             " ",
         ).alias("text"),
     )
-    return docs.repartition(
+    out = tempfile.mkdtemp(prefix="bigdata2016w_decade_") + "/docs"
+    docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).localCheckpoint(eager=True)
+    ).write.parquet(out)
+    return spark.read.parquet(out)
 
 
 def decade(base_n: int = 100_000) -> None:
