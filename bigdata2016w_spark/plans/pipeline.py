@@ -2060,3 +2060,152 @@ register(QuerySpec(
     doc="Recall@k vs n_probe tuning curve in one candidate pass "
         "(operators/similarity.ivf_probe_recall_sweep).",
 ))
+
+
+# ------------------------------------------- streamed PPJoin admission
+#
+# The LAST streaming admission surface certified end-to-end (after r11's
+# winnow / IVM / sketch-partial queries): streaming/ingest's document
+# dedup-admission sink — the STRONG (whole-doc Jaccard) gate, vs the
+# winnow gate's cheap long-span tier — run over a real two-micro-batch
+# documents stream, returning the per-batch admission ledger. The oracle
+# replays both batches statically with the O(n²) Jaccard formulation the
+# PPJoin is provably equal to.
+_JACCARD_ADMIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_jaccard_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import (
+        _batch_dirs,
+        dedup_admission_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    acc = _JACCARD_ADMIT_CACHE.get(key)
+    if acc is not None:
+        return acc
+    root = tempfile.mkdtemp(prefix="bigdata2016w_jaccard_admit_")
+    acc = f"{root}/accepted"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # admission is ORDER-DEPENDENT (batch 0's survivors gate batch 1):
+    # pin the file-source processing order via explicit mtimes, the
+    # plans/sketches._streamed_winnow_corpus convention
+    now = time.time()
+    for j, m, age in ((1, 0, 200), (2, 1, 100)):
+        w = f"{root}/w{j}"
+        docs.where(F.col("doc_id") % 2 == m).coalesce(1).write.parquet(w)
+        dst = f"{src_dir}/{j}.parquet"
+        shutil.copy(next(Path(w).glob("part-*.parquet")), dst)
+        os.utime(dst, (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    dedup_admission_sink(
+        stream, acc, f"{root}/ckpt", threshold=JACCARD_THRESHOLD
+    ).awaitTermination()
+    dirs = _batch_dirs(spark, acc)
+    if len(dirs) != 2:
+        raise AssertionError(f"expected 2 admission batches, got {dirs}")
+    _JACCARD_ADMIT_CACHE[key] = acc
+    return acc
+
+
+def documents_jaccard_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission ledger (batch, doc_id) of the streamed PPJoin dedup
+    gate: documents arrive as two micro-batches (even doc_ids then odd);
+    each batch is exact-deduped, near-dup-deduped in-batch (Jaccard ≥
+    0.5, lower doc_id survives), then gated against everything already
+    accepted (exact text + cross-corpus PPJoin, probe-vs-index only).
+    The oracle replays both batches statically with plain O(n²) Jaccard
+    SQL — lossless-equal to the prefix-filtered PPJoin — so a MATCH
+    certifies the streamed admission chain including the batch-stamped
+    replay-safe layout. At 100 TB the accepted corpus is bucketed by its
+    prefix-index keys and each micro-batch probes only matching buckets;
+    see streaming/ingest.admit_batch."""
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    acc = _streamed_jaccard_corpus(spark, sf_dir)
+    parts = []
+    for d in sorted(_batch_dirs(spark, acc)):
+        bid = int(d.rstrip("/").rsplit("batch=", 1)[1])
+        parts.append(
+            spark.read.schema("doc_id bigint, text string").parquet(d)
+            .select(F.lit(bid).cast("long").alias("batch"), "doc_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("batch", "doc_id")
+
+
+def _jaccard_admit_sql() -> str:
+    """Static two-batch replay. One whole-corpus shingle CTE (shingles
+    are per-doc independent) filtered per tier by doc_id predicates;
+    exact-dedup survivor sets expressed as min-per-text subqueries; the
+    Jaccard tiers as O(n²) list_intersect joins (the registered
+    dedup_jaccard twin's formulation — lossless-equal to the PPJoin).
+    NOT EXISTS everywhere a NULL could poison three-valued logic."""
+    b0a = ("d.doc_id % 2 = 0 AND d.doc_id IN (SELECT min(doc_id) "
+           "FROM documents WHERE doc_id % 2 = 0 GROUP BY text)")
+    b1a = ("d.doc_id % 2 = 1 AND d.doc_id IN (SELECT min(doc_id) "
+           "FROM documents WHERE doc_id % 2 = 1 GROUP BY text)")
+    jac = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+           "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) "
+           f"AS DOUBLE) >= {JACCARD_THRESHOLD}")
+    return f"""
+WITH {_SHINGLES},
+b0a AS (SELECT d.doc_id, d.text FROM documents d WHERE {b0a}),
+drop0 AS (
+  SELECT DISTINCT b.doc_id FROM s a JOIN s b
+    ON a.doc_id < b.doc_id
+   AND EXISTS (SELECT 1 FROM b0a x WHERE x.doc_id = a.doc_id)
+   AND EXISTS (SELECT 1 FROM b0a x WHERE x.doc_id = b.doc_id)
+  WHERE {jac}
+),
+s0 AS (
+  SELECT doc_id, text FROM b0a d
+  WHERE NOT EXISTS (SELECT 1 FROM drop0 x WHERE x.doc_id = d.doc_id)
+),
+b1a AS (SELECT d.doc_id, d.text FROM documents d WHERE {b1a}),
+drop1 AS (
+  SELECT DISTINCT b.doc_id FROM s a JOIN s b
+    ON a.doc_id < b.doc_id
+   AND EXISTS (SELECT 1 FROM b1a x WHERE x.doc_id = a.doc_id)
+   AND EXISTS (SELECT 1 FROM b1a x WHERE x.doc_id = b.doc_id)
+  WHERE {jac}
+),
+b1c AS (
+  SELECT doc_id, text FROM b1a d
+  WHERE NOT EXISTS (SELECT 1 FROM drop1 x WHERE x.doc_id = d.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM s0 WHERE s0.text = d.text)
+),
+crossdrop AS (
+  SELECT DISTINCT b.doc_id FROM s a JOIN s b
+    ON EXISTS (SELECT 1 FROM s0 x WHERE x.doc_id = a.doc_id)
+   AND EXISTS (SELECT 1 FROM b1c x WHERE x.doc_id = b.doc_id)
+  WHERE {jac}
+),
+s1 AS (
+  SELECT doc_id FROM b1c d
+  WHERE NOT EXISTS (SELECT 1 FROM crossdrop x WHERE x.doc_id = d.doc_id)
+)
+SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM s1
+ORDER BY batch, doc_id
+"""
+
+
+register(QuerySpec("documents_jaccard_admission",
+                   documents_jaccard_admission, _jaccard_admit_sql(),
+                   doc=documents_jaccard_admission.__doc__))

@@ -65,21 +65,23 @@ _SPEC_MODULES = [
 # module import order). Rotation history for rounds 6-10 lives in
 # docs/window_history.md; the comments here describe only the LIVE window.
 #
-# ROUND 11 window (3 + 21 + 26 = 50): lead with the 3 queries added in
+# ROUND 11 window (4 + 21 + 25 = 50): lead with the 4 queries added in
 # r11 (orders_ivm_streamed, documents_winnow_admission,
-# events_streamed_sketch_state — the streamed IVM / winnow-admission /
-# sketch-partial certifications closing the r10 verdict's "What's
-# missing #4"), then the 21 oracle-backed queries added in r10 that
-# have NO driver verdict yet (all MATCHed the judge's full gate in
-# r10), then the 26 oldest r08-latest greens in r08 sample order. The
-# remaining 22 r08-latest greens rotate in r12. The 5 rows-only
+# events_streamed_sketch_state, documents_jaccard_admission — the
+# streamed IVM / winnow-admission / sketch-partial / PPJoin-admission
+# certifications; every streaming surface now has an end-to-end
+# oracle-backed query), then the 21 oracle-backed queries added in r10
+# that have NO driver verdict yet (all MATCHed the judge's full gate in
+# r10), then the 25 oldest r08-latest greens in r08 sample order. The
+# remaining 23 r08-latest greens rotate in r12. The 5 rows-only
 # no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble, sgd_auc,
 # bpe_merge_table) stay BEHIND the window — an oracle slot spent on a
 # rows-only check is wasted.
 #
 # ROUND 12 TODO: lead with any r12-new oracle-backed queries without a
-# driver verdict, then the 22 remaining r08-latest greens
-# (orders_scd2, orders_snapshot_diff, doc_repetition_stats,
+# driver verdict, then the 23 remaining r08-latest greens
+# (orders_upsert, orders_scd2, orders_snapshot_diff,
+# doc_repetition_stats,
 # contamination_check, dup_span_fraction, corpus_datacard,
 # doc_lm_score, vocab_coverage, doc_tfidf_terms,
 # documents_weighted_sample, doc_bpe_token_stats, token_heavy_hitters,
@@ -88,9 +90,9 @@ _SPEC_MODULES = [
 # dedup_minhash_lsh, dedup_simhash, ann_bruteforce), fillers from the
 # oldest r09 greens in sample order.
 _WINDOW_FRONT = [
-    # --- oracle-backed, added r11 (3) ---
+    # --- oracle-backed, added r11 (4) ---
     "orders_ivm_streamed", "documents_winnow_admission",
-    "events_streamed_sketch_state",
+    "events_streamed_sketch_state", "documents_jaccard_admission",
     # --- oracle-backed, never driver-sampled (21, added r10) ---
     "lineitem_zorder_skipping", "events_user_stats_salted",
     "orders_constraint_audit", "orders_ivm_nation_revenue",
@@ -103,7 +105,7 @@ _WINDOW_FRONT = [
     "events_salted_enrich", "events_funnel_ttc",
     "orders_priority_drift", "orders_scd2_pit",
     "lineitem_bucketed_revenue",
-    # --- oldest r08-latest greens, r08 sample order (26) ---
+    # --- oldest r08-latest greens, r08 sample order (25) ---
     "dedup_keep_best", "ann_pq_adc", "ann_ivf_pq", "semantic_dedup",
     "ann_recall_eval", "knn_label_vote", "embedding_int8_quant",
     "ann_dim_truncation_recall", "events_transition_matrix",
@@ -113,7 +115,7 @@ _WINDOW_FRONT = [
     "shingles_kmv_lang_overlap", "orders_bloom_probe",
     "winnow_cross_candidates", "corpus_curation", "ann_ivf_flat",
     "totalprice_percentiles", "q6_tpch_proper", "doc_train_test_split",
-    "documents_stratified_sample", "orders_upsert",
+    "documents_stratified_sample",
 ]
 
 

@@ -33,7 +33,9 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              "embedding_near_dupes", "documents_incremental_dedup",
              "documents_containment_dupes",
              # embeds _SEMDEDUP_SQL's O(in-cell pairs) drop list
-             "corpus_curation_semdedup"}
+             "corpus_curation_semdedup",
+             # two-batch PPJoin admission replay: O(n²) Jaccard tiers
+             "documents_jaccard_admission"}
 
 
 def main() -> int:

@@ -1328,3 +1328,35 @@ def test_ivf_probe_sweep_monotone_and_exhaustive_at_full_probe(spark, sf_dir):
     assert recalls == sorted(recalls)
     assert rows[-1]["n_probe"] == _IVF_CELLS
     assert recalls[-1] == 1.0
+
+
+def test_jaccard_admission_matches_oracle(spark, duck, sf_dir):
+    s = all_specs()["documents_jaccard_admission"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_jaccard_admission_ledger_invariants(spark, sf_dir):
+    """Structural invariants the oracle can't state: batch 0 holds only
+    even doc_ids and batch 1 only odd (the split really drove the
+    micro-batch order), no doc admitted twice, and no admitted batch-1
+    text exactly duplicates an admitted batch-0 text (the cross-batch
+    exact gate held)."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.plans.pipeline import (
+        documents_jaccard_admission,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    rows = documents_jaccard_admission(spark, sf_dir).collect()
+    b0 = {r.doc_id for r in rows if r.batch == 0}
+    b1 = {r.doc_id for r in rows if r.batch == 1}
+    assert b0 and b1 and not (b0 & b1)
+    assert all(i % 2 == 0 for i in b0)
+    assert all(i % 2 == 1 for i in b1)
+    docs = load_table(spark, sf_dir, "documents")
+    texts0 = {r.text for r in
+              docs.where(F.col("doc_id").isin(b0)).collect()}
+    texts1 = {r.text for r in
+              docs.where(F.col("doc_id").isin(b1)).collect()}
+    assert not (texts0 & texts1)
