@@ -205,6 +205,10 @@ def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     math in DECIMAL(18,2): exact, order-independent, so the
     incrementally-maintained view must equal the oracle's from-scratch
     recompute bit-for-bit — which is exactly what the oracle checks.
+    The DECIMAL total is cast to DOUBLE only at the output boundary,
+    the convention every other money query in the registry follows
+    (plans/analytics.py _ROLLUP_SQL) so external hash canonicalization
+    sees one numeric type; the merge algebra stays exact inside.
     No reference analog; extends SURVEY §2.5 aggregation toward the
     incremental pipelines a daily 100-TB ingest needs."""
     orders = load_table(spark, sf_dir, "orders")
@@ -225,7 +229,7 @@ def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_nationkey"),
             (F.coalesce(F.col("b.revenue"), zero)
              + F.coalesce(F.col("d.revenue"), zero))
-            .cast("decimal(18,2)").alias("revenue"),
+            .cast("decimal(18,2)").cast("double").alias("revenue"),
             (F.coalesce(F.col("b.n_orders"), F.lit(0))
              + F.coalesce(F.col("d.n_orders"), F.lit(0)))
             .alias("n_orders"),
@@ -235,11 +239,13 @@ def orders_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the oracle recomputes the view FROM SCRATCH over all orders — equality
-# proves the delta-merge algebra, not just the arithmetic
+# proves the delta-merge algebra, not just the arithmetic. The exact
+# DECIMAL(18,2) sum is cast to DOUBLE at the output edge on BOTH sides
+# (cent totals ≪ 2^53, so the cast is lossless).
 _IVM_SQL = """
 SELECT c_nationkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-         AS revenue,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
@@ -530,7 +536,13 @@ def orders_ivm_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.streaming.ivm import read_view
 
     view = _streamed_ivm_view(spark, sf_dir)
-    return read_view(spark, view).orderBy("c_nationkey")
+    # DECIMAL merge inside, DOUBLE at the output edge — same boundary
+    # convention as the batch IVM query above (lossless: cents ≪ 2^53)
+    return (
+        read_view(spark, view)
+        .withColumn("revenue", F.col("revenue").cast("double"))
+        .orderBy("c_nationkey")
+    )
 
 
 register(QuerySpec("orders_ivm_streamed", orders_ivm_streamed, _IVM_SQL,

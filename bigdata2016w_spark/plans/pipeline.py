@@ -2209,3 +2209,162 @@ ORDER BY batch, doc_id
 register(QuerySpec("documents_jaccard_admission",
                    documents_jaccard_admission, _jaccard_admit_sql(),
                    doc=documents_jaccard_admission.__doc__))
+
+
+# ------------------------------------------ streamed embedding admission
+#
+# The LAST pytest-only streaming surface certified end-to-end (after the
+# jaccard/winnow admission gates and the streamed sketch partials):
+# streaming/ingest.embedding_admission_sink — SemDeDup AT INGEST — run
+# over a real two-micro-batch embeddings stream, returning the per-batch
+# admission ledger. Both tiers already have registered oracles
+# (embedding_near_dupes; the cross tier shares its plane arithmetic);
+# this query certifies their COMPOSITION under the streaming machinery —
+# in-batch cosine dedup → cross-corpus multiprobe gate, batch-stamped
+# replay-safe subdirs — by replaying both batches statically in SQL.
+_EMB_ADMIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_embedding_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import (
+        _batch_dirs,
+        embedding_admission_sink,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    acc = _EMB_ADMIT_CACHE.get(key)
+    if acc is not None:
+        return acc
+    root = tempfile.mkdtemp(prefix="bigdata2016w_emb_admit_")
+    acc = f"{root}/accepted"
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # admission is ORDER-DEPENDENT (batch 0's survivors gate batch 1):
+    # pin the file-source processing order via explicit mtimes, the
+    # plans/sketches._streamed_winnow_corpus convention
+    now = time.time()
+    for j, m, age in ((1, 0, 200), (2, 1, 100)):
+        w = f"{root}/w{j}"
+        vecs.where(F.col("vec_id") % 2 == m).coalesce(1).write.parquet(w)
+        dst = f"{src_dir}/{j}.parquet"
+        shutil.copy(next(Path(w).glob("part-*.parquet")), dst)
+        os.utime(dst, (now - age, now - age))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    embedding_admission_sink(
+        stream, acc, f"{root}/ckpt", threshold=SEMDEDUP_THRESHOLD
+    ).awaitTermination()
+    dirs = _batch_dirs(spark, acc)
+    if len(dirs) != 2:
+        raise AssertionError(f"expected 2 admission batches, got {dirs}")
+    _EMB_ADMIT_CACHE[key] = acc
+    return acc
+
+
+def embeddings_semdedup_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission ledger (batch, vec_id) of the streamed embedding gate
+    (ingest-time SemDeDup): vectors arrive as two micro-batches (even
+    vec_ids then odd); each batch is cosine-deduped in-batch (LSH
+    blocking + exact cosine ≥ 0.4 verify, lower vec_id survives), then
+    gated against every already-accepted vector (cross-corpus probe with
+    1-bit multiprobe, probe-vs-index only). The oracle replays both
+    batches statically — the SAME 4-hyperplane bucket arithmetic the
+    adaptive operator resolves to at gate scale (N ≤ 512 per side →
+    P = 4, one table; the embedding_near_dupes oracle convention) — so
+    a MATCH certifies the streamed admission chain including the
+    batch-stamped replay-safe layout. At 100 TB the accepted corpus is
+    bucketed by plane signature and each micro-batch probes only its
+    P+1 buckets; see streaming/ingest.admit_embedding_batch."""
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    acc = _streamed_embedding_corpus(spark, sf_dir)
+    parts = []
+    for d in sorted(_batch_dirs(spark, acc)):
+        bid = int(d.rstrip("/").rsplit("batch=", 1)[1])
+        parts.append(
+            spark.read.schema("vec_id bigint, embedding array<float>")
+            .parquet(d)
+            .select(F.lit(bid).cast("long").alias("batch"), "vec_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("batch", "vec_id")
+
+
+def _emb_admit_sql() -> str:
+    """Static two-batch replay. One whole-corpus bucket/norm CTE (planes
+    are per-vector independent) filtered per tier by vec_id parity; the
+    in-batch tiers are same-bucket self-joins, the cross tier the 1-bit
+    multiprobe of operators/similarity.embedding_cross_near_dupes. The
+    plane literals are _LSH_PLANES_LIT — the identical seed-42 4-plane
+    table both Spark tiers resolve to at gate scale."""
+    cos_xy = f"{_dot_sql('x.embedding', 'y.embedding')} / (x.n * y.n)"
+    cos_pi = f"{_dot_sql('p.embedding', 'i.embedding')} / (p.n * i.n)"
+    probe_list = ("[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(4)) + "]")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding', _LSH_PLANES_LIT)} AS bucket,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS n
+  FROM embeddings
+),
+drop0 AS (
+  SELECT DISTINCT y.vec_id FROM e x JOIN e y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 0
+    AND {cos_xy} >= {SEMDEDUP_THRESHOLD}
+),
+s0 AS (
+  SELECT vec_id, embedding, bucket, n FROM e
+  WHERE vec_id % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM drop0 d WHERE d.vec_id = e.vec_id)
+),
+drop1 AS (
+  SELECT DISTINCT y.vec_id FROM e x JOIN e y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 1
+    AND {cos_xy} >= {SEMDEDUP_THRESHOLD}
+),
+b1c AS (
+  SELECT vec_id, embedding, bucket, n FROM e
+  WHERE vec_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM drop1 d WHERE d.vec_id = e.vec_id)
+),
+probes AS (
+  SELECT vec_id, embedding, n, unnest({probe_list}) AS bucket FROM b1c
+),
+crossdrop AS (
+  SELECT DISTINCT p.vec_id FROM probes p
+  JOIN s0 i ON i.bucket = p.bucket
+  WHERE {cos_pi} >= {SEMDEDUP_THRESHOLD}
+),
+s1 AS (
+  SELECT vec_id FROM b1c
+  WHERE NOT EXISTS (SELECT 1 FROM crossdrop d WHERE d.vec_id = b1c.vec_id)
+)
+SELECT CAST(0 AS BIGINT) AS batch, vec_id FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, vec_id FROM s1
+ORDER BY batch, vec_id
+"""
+
+
+register(QuerySpec("embeddings_semdedup_admission",
+                   embeddings_semdedup_admission, _emb_admit_sql(),
+                   doc=embeddings_semdedup_admission.__doc__))

@@ -62,60 +62,43 @@ _SPEC_MODULES = [
 # ORDER MATTERS for external verification: the round driver samples the
 # FIRST 50 names returned by all_specs() for its DuckDB-oracle correctness
 # file. _WINDOW_FRONT pins that window explicitly (finer-grained than
-# module import order). Rotation history for rounds 6-10 lives in
+# module import order). Rotation history for rounds 6-11 lives in
 # docs/window_history.md; the comments here describe only the LIVE window.
 #
-# ROUND 11 window (4 + 21 + 25 = 50): lead with the 4 queries added in
-# r11 (orders_ivm_streamed, documents_winnow_admission,
-# events_streamed_sketch_state, documents_jaccard_admission — the
-# streamed IVM / winnow-admission / sketch-partial / PPJoin-admission
-# certifications; every streaming surface now has an end-to-end
-# oracle-backed query), then the 21 oracle-backed queries added in r10
-# that have NO driver verdict yet (all MATCHed the judge's full gate in
-# r10), then the 25 oldest r08-latest greens in r08 sample order. The
-# remaining 23 r08-latest greens rotate in r12. The 5 rows-only
+# ROUND 12 window (3 + 23 + 24 = 50): lead with the two IVM queries
+# (r11's only reds — hash-flagged on raw DECIMAL output, now CAST to
+# DOUBLE at the boundary) plus the r12-new embeddings_semdedup_admission
+# (the last streaming surface certified end-to-end), then the 23
+# remaining r08-latest greens in r08 sample order, then 24 fillers from
+# the oldest r09-latest greens in r09 sample order. The 5 rows-only
 # no-oracle queries (ann_ivf, sgd_scores, sgd_ensemble, sgd_auc,
 # bpe_merge_table) stay BEHIND the window — an oracle slot spent on a
 # rows-only check is wasted.
-#
-# ROUND 12 TODO: lead with any r12-new oracle-backed queries without a
-# driver verdict, then the 23 remaining r08-latest greens
-# (orders_upsert, orders_scd2, orders_snapshot_diff,
-# doc_repetition_stats,
-# contamination_check, dup_span_fraction, corpus_datacard,
-# doc_lm_score, vocab_coverage, doc_tfidf_terms,
-# documents_weighted_sample, doc_bpe_token_stats, token_heavy_hitters,
-# media_image_features, media_frame_sample, pagerank_top10,
-# graph_triangles, dedup_exact, embedding_near_dupes, dedup_jaccard,
-# dedup_minhash_lsh, dedup_simhash, ann_bruteforce), fillers from the
-# oldest r09 greens in sample order.
 _WINDOW_FRONT = [
-    # --- oracle-backed, added r11 (4) ---
-    "orders_ivm_streamed", "documents_winnow_admission",
-    "events_streamed_sketch_state", "documents_jaccard_admission",
-    # --- oracle-backed, never driver-sampled (21, added r10) ---
-    "lineitem_zorder_skipping", "events_user_stats_salted",
-    "orders_constraint_audit", "orders_ivm_nation_revenue",
-    "events_compaction_plan", "events_hll_daily_rollup",
-    "retrieval_proximity", "events_hourly_trend_ols",
-    "orders_halfsample_ci", "graph_sssp_weighted",
-    "orders_replica_reconcile", "parts_cooccurrence_topk",
-    "customers_purge_audit", "events_key_skew_report",
-    "ann_ivf_probe_sweep", "orders_winsorized_mean",
-    "events_salted_enrich", "events_funnel_ttc",
-    "orders_priority_drift", "orders_scd2_pit",
-    "lineitem_bucketed_revenue",
-    # --- oldest r08-latest greens, r08 sample order (25) ---
-    "dedup_keep_best", "ann_pq_adc", "ann_ivf_pq", "semantic_dedup",
-    "ann_recall_eval", "knn_label_vote", "embedding_int8_quant",
-    "ann_dim_truncation_recall", "events_transition_matrix",
-    "events_user_value_ema", "graph_kcore", "doc_winnow_fingerprints",
-    "winnow_dup_candidates", "shingles_kmv_distinct",
-    "shingles_hll_distinct", "events_cms_heavy_users",
-    "shingles_kmv_lang_overlap", "orders_bloom_probe",
-    "winnow_cross_candidates", "corpus_curation", "ann_ivf_flat",
-    "totalprice_percentiles", "q6_tpch_proper", "doc_train_test_split",
-    "documents_stratified_sample",
+    # --- needs a green driver row (2 hash-fixed + 1 r12-new) ---
+    "orders_ivm_streamed", "orders_ivm_nation_revenue",
+    "embeddings_semdedup_admission",
+    # --- the 23 remaining r08-latest greens, r08 sample order ---
+    "orders_upsert", "orders_scd2", "orders_snapshot_diff",
+    "doc_repetition_stats", "contamination_check", "dup_span_fraction",
+    "corpus_datacard", "doc_lm_score", "vocab_coverage",
+    "doc_tfidf_terms", "documents_weighted_sample",
+    "doc_bpe_token_stats", "token_heavy_hitters",
+    "media_image_features", "media_frame_sample", "pagerank_top10",
+    "graph_triangles", "dedup_exact", "embedding_near_dupes",
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_bruteforce",
+    # --- oldest r09-latest greens, r09 sample order (24) ---
+    "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",
+    "orders_price_quantile_sketch", "ann_lsh", "doc_stats",
+    "doc_lang_id", "dedup_clusters", "dedup_clusters_star",
+    "embedding_label_centroids", "embedding_nearest_centroid",
+    "embedding_hard_negatives", "q4_priority_late_exists",
+    "q21_waiting_supplier", "q10_returned_revenue",
+    "q12_priority_shipping", "q14_promo_revenue", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q22_sales_opportunity",
+    "q11_important_stock", "q15_top_supplier", "q20_surplus_suppliers",
+    "q13_customer_distribution",
 ]
 
 

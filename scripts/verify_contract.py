@@ -35,7 +35,10 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              # embeds _SEMDEDUP_SQL's O(in-cell pairs) drop list
              "corpus_curation_semdedup",
              # two-batch PPJoin admission replay: O(n²) Jaccard tiers
-             "documents_jaccard_admission"}
+             "documents_jaccard_admission",
+             # static 4-plane twin of the adaptive embedding gate — exact
+             # only at gate scale (same reason as embedding_near_dupes)
+             "embeddings_semdedup_admission"}
 
 
 def main() -> int:

@@ -69,7 +69,8 @@ def test_ivm_equals_from_scratch_rebuild(spark, sf_dir):
                       .alias("price"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
-        .agg(F.sum("price").cast("decimal(18,2)").alias("revenue"),
+        .agg(F.sum("price").cast("decimal(18,2)").cast("double")
+             .alias("revenue"),
              F.count("*").alias("n_orders"))
     )
     got = {r["c_nationkey"]: (r["revenue"], r["n_orders"])

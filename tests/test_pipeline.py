@@ -1360,3 +1360,50 @@ def test_jaccard_admission_ledger_invariants(spark, sf_dir):
     texts1 = {r.text for r in
               docs.where(F.col("doc_id").isin(b1)).collect()}
     assert not (texts0 & texts1)
+
+
+def test_embedding_admission_matches_oracle(spark, duck, sf_dir):
+    s = all_specs()["embeddings_semdedup_admission"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_embedding_admission_ledger_invariants(spark, sf_dir):
+    """Structural invariants the oracle can't state: batch 0 holds only
+    even vec_ids and batch 1 only odd (the split really drove the
+    micro-batch order), no vector admitted twice, and the streamed
+    ledger equals a static batch-wise replay through
+    admit_embedding_batch — the streamed composition pinned to the
+    batch surface (the test_ivm_equals_from_scratch_rebuild
+    convention), so a streaming-machinery bug (replay listing, batch
+    ordering) can't hide behind a matching oracle edit."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.plans.pipeline import (
+        SEMDEDUP_THRESHOLD,
+        embeddings_semdedup_admission,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.streaming.ingest import admit_embedding_batch
+
+    rows = embeddings_semdedup_admission(spark, sf_dir).collect()
+    b0 = {r.vec_id for r in rows if r.batch == 0}
+    b1 = {r.vec_id for r in rows if r.batch == 1}
+    assert b0 and b1 and not (b0 & b1)
+    assert all(i % 2 == 0 for i in b0)
+    assert all(i % 2 == 1 for i in b1)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    empty = spark.createDataFrame([], emb.schema)
+    s0 = admit_embedding_batch(
+        emb.where(F.col("vec_id") % 2 == 0), empty,
+        SEMDEDUP_THRESHOLD, n_accepted=0,
+    )
+    want0 = {r.vec_id for r in s0.collect()}
+    s1 = admit_embedding_batch(
+        emb.where(F.col("vec_id") % 2 == 1),
+        emb.where(F.col("vec_id").isin(want0)),
+        SEMDEDUP_THRESHOLD, n_accepted=len(want0),
+    )
+    want1 = {r.vec_id for r in s1.collect()}
+    assert b0 == want0 and b1 == want1
