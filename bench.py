@@ -75,6 +75,17 @@ ISOLATED_QUERIES = (
     "graph_sssp_weighted", "q21_waiting_supplier", "q9_product_profit",
     "doc_bigram_surprisal", "q18_large_volume_customers",
     "q8_market_share",
+    # r12: the driver-refreshed r11 artifact crossed 1.5 s on five more
+    # lines under contention, and the two multimodal queries plus two
+    # others were regression-flagged with no twin to adjudicate — every
+    # one gets its isolated reference now (the r11 verdict's task #3)
+    "events_hll_daily_rollup", "pmi_stripes", "token_heavy_hitters",
+    "sgd_ensemble", "sgd_ensemble_closed_form", "media_frame_sample",
+    "media_image_features", "customers_purge_audit",
+    "lineitem_zorder_skipping",
+    # r12-new: streamed embedding-admission builds its corpus on first
+    # run (cached per session) — isolated shows the steady-state read
+    "embeddings_semdedup_admission",
 )
 
 

@@ -1624,11 +1624,26 @@ def knn_ivf_pq_rerank(
 _INDEX_MODELS_CACHE: dict[tuple[str, str], tuple[list, list]] = {}
 
 
+def _index_cache_key(spark, index_path: str) -> tuple[str, str]:
+    """Cache key with a NORMALIZED path: the same physical index
+    addressed with a trailing slash or a relative path must hit the
+    same entry, and — more important — the write-side invalidation pop
+    must remove whatever the read side stored. URI-style paths
+    (scheme://) only lose trailing slashes (os.path.abspath would
+    mangle the double slash); plain local paths are made absolute."""
+    import os
+
+    p = index_path.rstrip("/")
+    if "://" not in p:
+        p = os.path.abspath(p or "/")
+    return (spark.sparkContext.applicationId, p)
+
+
 def _index_models(spark, index_path: str) -> tuple[list, list]:
     """(codebook rows [(m, code, cv)], centroid rows [(cell, centroid)])
     of the index at ``index_path``, session-cached. Empty lists for an
     index written from an empty corpus."""
-    key = (spark.sparkContext.applicationId, index_path)
+    key = _index_cache_key(spark, index_path)
     got = _INDEX_MODELS_CACHE.get(key)
     if got is None:
         cb_rows = sorted(
@@ -1660,8 +1675,11 @@ def _adc_lut_driver(q_rows, cent_rows, cb_rows, n_probe: int,
     test_ivfpq_index_roundtrip_matches_inmemory and the driver gate):
     every float op replays Spark's exact expression order — left-fold
     dot products, cosine as one division of the dot by the product of
-    the two sqrt'd norms (IEEE ±inf/NaN on zero denominators, NaN
-    ranked greatest like Spark's desc ordering), residual subtraction
+    the two sqrt'd norms (a zero denominator RAISES, replicating ANSI
+    Spark's DIVIDE_BY_ZERO — the in-plan twin raises on a zero-norm
+    query or centroid, so silently probing IEEE-inf/NaN-ranked cells
+    here would break bit parity; NaN cosines from NaN components still
+    rank greatest like Spark's desc ordering), residual subtraction
     per element, and pq_d2's per-element round((x-y)²·2^24) where the
     HALF_UP rounding goes through Decimal(repr(v)) — repr() and Java's
     Double.toString both emit round-trip decimal strings of the same
@@ -1677,11 +1695,18 @@ def _adc_lut_driver(q_rows, cent_rows, cb_rows, n_probe: int,
             acc += x * y
         return acc
 
-    def fdiv(num, den):  # Spark double division semantics
+    def fdiv(num, den):
+        # ANSI Spark double division: a zero divisor raises
+        # DIVIDE_BY_ZERO (the engine runs with spark.sql.ansi.enabled's
+        # Spark-4 default of true), so the in-plan twin fails loudly on
+        # a zero-norm query embedding or centroid — this driver-side
+        # replay must too, not return IEEE inf/NaN and silently probe
+        # differently-ranked cells
         if den == 0.0:
-            if num == 0.0 or math.isnan(num):
-                return float("nan")
-            return math.copysign(float("inf"), num)
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm embedding or centroid in "
+                "ADC LUT cosine (ANSI division semantics)"
+            )
         return num / den
 
     one = Decimal(1)

@@ -248,10 +248,14 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
 
     spark = embeddings.sparkSession
     # (re)writing the models: drop any session-cached copy for this path
-    from bigdata2016w_spark.operators.similarity import _INDEX_MODELS_CACHE
+    # (normalized key — a trailing-slash or relative alias must not
+    # leave a stale entry behind)
+    from bigdata2016w_spark.operators.similarity import (
+        _INDEX_MODELS_CACHE,
+        _index_cache_key,
+    )
 
-    _INDEX_MODELS_CACHE.pop(
-        (spark.sparkContext.applicationId, path), None)
+    _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)
     e = embeddings.where(F.col("embedding").isNotNull())
     row = e.select("embedding").first()
     if row is None:  # empty (or all-NULL) corpus: a valid, empty index
@@ -262,6 +266,9 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
         spark.createDataFrame(
             [], "vec_id bigint, codes array<tinyint>, cell int"
         ).write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
+        # pop again AFTER the write: a concurrent probe may have
+        # re-filled the entry from the half-written index in between
+        _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)
         return
     dim = len(row["embedding"])
     cent_lit = lloyd_centroids(e, n_cells, n_iter, dim)
@@ -281,6 +288,9 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    # pop again AFTER a successful write: a concurrent probe may have
+    # re-filled the entry from the half-written index in between
+    _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)
 
 
 def _ivfpq_frozen_models(spark, index_path: str):

@@ -114,11 +114,19 @@ def synth_docs_distributed(spark, n: int):
             " ",
         ).alias("text"),
     )
-    out = tempfile.mkdtemp(prefix="bigdata2016w_decade_") + "/docs"
+    root = tempfile.mkdtemp(prefix="bigdata2016w_decade_")
+    _DECADE_TMP_ROOTS.append(root)
+    out = f"{root}/docs"
     docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).write.parquet(out)
     return spark.read.parquet(out)
+
+
+# temp parquet roots created by synth_docs_distributed, removed at the
+# end of decade() — a 1M-doc run otherwise leaves multi-GB dirs behind
+# per invocation
+_DECADE_TMP_ROOTS: list[str] = []
 
 
 def decade(base_n: int = 100_000) -> None:
@@ -128,14 +136,26 @@ def decade(base_n: int = 100_000) -> None:
     candidates/doc across the decade is the pass criterion — drift above
     it means the stop-fingerprint cap / rarest-first prefix ordering /
     band width needs re-examination before trusting 100 TB."""
+    spark = get_spark(app_name="scale-smoke-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    try:
+        _decade_measure(spark, base_n)
+    finally:
+        spark.stop()
+        # a 1M-doc tier leaves multi-GB temp parquet behind otherwise
+        import shutil
+
+        while _DECADE_TMP_ROOTS:
+            shutil.rmtree(_DECADE_TMP_ROOTS.pop(), ignore_errors=True)
+
+
+def _decade_measure(spark, base_n: int) -> None:
     from bigdata2016w_spark.operators.sketches import (
         winnow_dup_candidates,
         winnow_fingerprints,
     )
-
-    spark = get_spark(app_name="scale-smoke-decade")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     stats: dict[int, dict[str, float]] = {}
     for n in (base_n, base_n * 10):
@@ -166,7 +186,8 @@ def decade(base_n: int = 100_000) -> None:
         row["lsh_wall"] = time.perf_counter() - t0
 
         stats[n] = row
-        docs.unpersist()
+        # docs is a plain parquet-read frame (no persisted blocks to
+        # free); its temp dir is removed in the finally below
         sh.unpersist()
         print(f"@ {n} docs ({time.perf_counter() - t_all:.0f}s total): "
               + ", ".join(
@@ -180,7 +201,6 @@ def decade(base_n: int = 100_000) -> None:
         verdict = "FLAT" if r <= 1.1 else "DRIFTING"
         print(f"decade ratio {k}: {lo[k]:.4f} @ {base_n} -> "
               f"{hi[k]:.4f} @ {base_n * 10} ({r:.2f}x — {verdict})")
-    spark.stop()
 
 
 def main() -> None:

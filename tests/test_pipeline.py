@@ -1407,3 +1407,65 @@ def test_embedding_admission_ledger_invariants(spark, sf_dir):
     )
     want1 = {r.vec_id for r in s1.collect()}
     assert b0 == want0 and b1 == want1
+
+
+def test_adc_lut_driver_raises_on_zero_norm():
+    """ANSI parity at the serve path's driver-side LUT: the in-plan
+    twin divides cosine's dot by the product of norms with ANSI
+    division (zero divisor raises DIVIDE_BY_ZERO), so the driver-side
+    replay must RAISE on a zero-norm query or centroid — not return
+    IEEE inf/NaN and silently probe differently-ranked cells."""
+    import pytest as _pytest
+
+    from bigdata2016w_spark.operators.similarity import _adc_lut_driver
+
+    cb = [(0, 0, [0.0, 0.0]), (0, 1, [1.0, 1.0])]
+    cents = [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])]
+    zero_q = [{"vec_id": 7, "embedding": [0.0, 0.0, 0.0, 0.0]}]
+    with _pytest.raises(ArithmeticError, match="DIVIDE_BY_ZERO"):
+        _adc_lut_driver(zero_q, cents, cb, n_probe=1,
+                        n_subspaces=2, sd=2, dim=4)
+    ok_q = [{"vec_id": 7, "embedding": [1.0, 0.0, 0.0, 0.0]}]
+    zero_cent = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0, 0.0])]
+    with _pytest.raises(ArithmeticError, match="DIVIDE_BY_ZERO"):
+        _adc_lut_driver(ok_q, zero_cent, cb, n_probe=1,
+                        n_subspaces=2, sd=2, dim=4)
+    # the non-degenerate case still produces |Q|*n_probe*M*K LUT rows
+    rows = _adc_lut_driver(ok_q, cents, cb, n_probe=1,
+                           n_subspaces=2, sd=2, dim=4)
+    assert len(rows) == 1 * 1 * 2 * 1  # one codeword registered per m=0
+
+
+def test_index_models_cache_alias_invalidation(spark, sf_dir, tmp_path):
+    """The session model cache keys on a NORMALIZED path: an entry
+    filled through a trailing-slash (or relative) alias of the index
+    path must be invalidated by a rewrite addressed with the plain
+    path — otherwise every subsequent probe silently serves the stale
+    centroids/codebook."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        _INDEX_MODELS_CACHE,
+        _index_cache_key,
+        _index_models,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb.where(F.col("vec_id") < 64), path,
+                      n_cells=4)
+    # fill the cache through a trailing-slash ALIAS of the same path
+    _, cents_v1 = _index_models(spark, path + "/")
+    assert _index_cache_key(spark, path + "/") == \
+        _index_cache_key(spark, path)
+    # rewrite through the plain path with a different corpus slice
+    # (both slices contain vec_ids 0..n_cells-1 — the seed-centroid
+    # convention — but Lloyd refines over different corpora, so the
+    # refined centroids differ)
+    write_ivfpq_index(emb.where(F.col("vec_id") < 128), path,
+                      n_cells=4)
+    assert _index_cache_key(spark, path) not in _INDEX_MODELS_CACHE
+    _, cents_v2 = _index_models(spark, path)
+    assert cents_v1 != cents_v2
