@@ -86,6 +86,24 @@ ISOLATED_QUERIES = (
     # r12-new: streamed embedding-admission builds its corpus on first
     # run (cached per session) — isolated shows the steady-state read
     "embeddings_semdedup_admission",
+    # r12: filtered vector search (in-memory tier crossed 1.5 s at
+    # registration — the ann_ivf_flat plan plus the predicate join);
+    # the serve tier builds its sidecar index on first run (cached per
+    # session); doc_lm_score tripped the tripwire on the r12 host with
+    # zero code change — twin it to adjudicate host drift vs regression
+    "ann_ivf_filtered", "ann_ivfpq_filtered_serve", "doc_lm_score",
+    # r12: a contended mid-suite episode pushed these two over the
+    # policy line (isolated twins adjudicated every other flag in the
+    # same run) — twin them so the next episode is attributable
+    "orders_scd2", "sgd_scores",
+    # r12: hovers at the 1.5 s line run-to-run (1.37-1.55 s); its
+    # stripes sibling is already twinned
+    "pmi_pairs",
+    # r12-new: retraction-delta IVM, batch and streamed-CDC form (the
+    # streamed corpus is built on first run, cached per session)
+    "orders_ivm_retractions", "orders_ivm_cdc_streamed",
+    # r12: hovers near the 1.5 s line under suite load
+    "graph_lpa_communities", "retrieval_bm25",
 )
 
 

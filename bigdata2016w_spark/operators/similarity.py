@@ -247,6 +247,7 @@ def _probe_candidates(
     cent: DataFrame,
     query_ids: list[int],
     n_probe: int,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, pr, cosine): the shared IVF probe pipeline —
     rank centroids per query by exact cosine, keep the best ``n_probe``
@@ -254,7 +255,13 @@ def _probe_candidates(
     Query and probe tables are broadcast; the assigned corpus is only
     ever the build (non-shuffled) side of the cell equi-join. ``pr`` is
     unique per (query, candidate) because a vector lives in exactly one
-    cell — the property the probe sweep's threshold slicing relies on."""
+    cell — the property the probe sweep's threshold slicing relies on.
+    ``corpus`` (default: ``assigned`` itself) is the candidate side of
+    the join — the filtered-search tier passes a predicate-restricted
+    view of ``assigned`` here while queries still resolve against the
+    UNfiltered frame (a query need not satisfy its own filter)."""
+    if corpus is None:
+        corpus = assigned
     q = assigned.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -274,7 +281,7 @@ def _probe_candidates(
     )
     return (
         broadcast(probes)
-        .join(assigned, "cell")
+        .join(corpus, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id", "pr",
@@ -339,8 +346,97 @@ def knn_ivf_flat(
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 
 
+def knn_bruteforce_filtered(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    candidate_filter,
+    k: int = 10,
+) -> DataFrame:
+    """Exact FILTERED top-k: each query's k nearest neighbors among only
+    the corpus rows satisfying ``candidate_filter`` (a Column
+    predicate over the embeddings table's metadata columns). Queries
+    resolve against the UNfiltered corpus — a query need not satisfy
+    its own filter. The ground-truth tier for filtered vector search
+    (the metadata-restricted ANN every production retrieval stack
+    needs: "nearest English docs", "nearest in-tenant vectors"); the
+    predicate applies BEFORE ranking, so recall@k is against the true
+    filtered neighborhood, never a post-filtered shortlist that can
+    come up short. One corpus pass, broadcast queries — linear, the
+    knn_bruteforce contract."""
+    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
+    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__n").alias("__qn"),
+    )
+    pairs = (
+        broadcast(q)
+        .crossJoin(emb_n.where(candidate_filter))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_with_norms(
+                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
+
+
+def knn_ivf_filtered(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    candidate_filter,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Filtered IVF-Flat: :func:`knn_ivf_flat`'s seed-centroid index
+    searched under a candidate predicate — the PRE-FILTER strategy
+    (restrict the probed-cell scan, then rank), never post-filter (rank
+    top-k, then drop non-matching rows and return fewer than k).
+
+    The index is built once over the FULL corpus (centroids and cell
+    assignment ignore the filter — filters vary per query, indexes
+    don't), and the predicate lands on the candidate side of the
+    cell-probe join: at 100 TB the cell table carries its filterable
+    metadata columns (``keep``) next to the vectors, so the predicate
+    pushes into the probed buckets' scan and candidate cost is
+    (selectivity × probed fraction) of the corpus. Queries resolve
+    against the unfiltered assignment — a query need not satisfy its
+    own filter. Recall caveat shared with every IVF pre-filter: the
+    probed cells are chosen by query-centroid cosine over the FULL
+    index geometry, so a highly selective filter inside unprobed cells
+    needs a larger ``n_probe`` (the ivf_probe_recall_sweep knob), not a
+    different algorithm."""
+    spark = embeddings.sparkSession
+    embeddings = embeddings.where(F.col("embedding").isNotNull())
+    cent_lit = _seed_centroid_literals(embeddings, n_cells)
+    if not cent_lit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double"
+        )
+    assigned = _assign_to_literal_centroids(embeddings, cent_lit, keep=keep)
+    cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
+    pairs = (
+        _probe_candidates(assigned, cent, query_ids, n_probe,
+                          corpus=assigned.where(candidate_filter))
+        .select("query_id", "vec_id", "cosine")
+        .distinct()
+    )
+    return topk_per_group(
+        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("query_id", "vec_id", "cosine")
+
+
 def _assign_to_literal_centroids(
-    embeddings: DataFrame, cent_lit: list[tuple[int, list[float]]]
+    embeddings: DataFrame,
+    cent_lit: list[tuple[int, list[float]]],
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-side max-cosine cell assignment against a broadcast centroid
     matrix — the shared quantizer half of :func:`knn_ivf_flat` and
@@ -359,7 +455,9 @@ def _assign_to_literal_centroids(
     sqrt(list_reduce)) and the row's own norm is computed once, so each
     row pays n_cells dot products instead of n_cells cosines with
     re-derived norms. Ties pick the lowest cell via struct-ordered
-    array_max((cos, -cell)).
+    array_max((cos, -cell)). ``keep`` threads extra per-vector metadata
+    columns (the filtered-search tier's predicate attributes) through
+    the one corpus pass, the pq_encode convention.
     """
     import math
 
@@ -392,7 +490,7 @@ def _assign_to_literal_centroids(
         embeddings.crossJoin(F.broadcast(mat))
         .withColumn("__en", norm(F.col("embedding")))
         .select(
-            "vec_id", "embedding",
+            "vec_id", "embedding", *keep,
             (-F.array_max(choices)["nc"]).cast("int").alias("cell"),
         )
     )
@@ -1757,6 +1855,7 @@ def knn_ivfpq_from_index(
     k: int = 10,
     n_probe: int = 4,
     include_streamed: bool = False,
+    candidate_filter=None,
 ) -> DataFrame:
     """ADC search against a PERSISTED residual IVF-PQ index
     (``sources.sinks.write_ivfpq_index``): centroids and codebook come
@@ -1777,7 +1876,23 @@ def knn_ivfpq_from_index(
     streaming maintenance sink (``streaming.index_sink``), whose
     batch-stamped dirs are likewise cell-partitioned; each side is
     pruned to the probed cells BEFORE the union so the streamed tail
-    never widens the base scan."""
+    never widens the base scan.
+
+    ``candidate_filter`` (a Column predicate over the index's metadata
+    sidecar, written via ``write_ivfpq_index(meta_cols=...)``) restricts
+    candidates BEFORE ADC ranking — filtered vector search served from
+    disk: the sidecar scan is pruned to the same probed cells, the
+    predicate pushes into its parquet scan, and the surviving
+    (vec_id, cell) keys semi-join the codes. Mutually exclusive with
+    ``include_streamed`` (appended codes have no sidecar rows; silently
+    excluding them would be a correctness trap, so the combination
+    raises)."""
+    if candidate_filter is not None and include_streamed:
+        raise ValueError(
+            "candidate_filter with include_streamed is not supported: "
+            "streamed-appended codes carry no metadata sidecar rows and "
+            "would be silently excluded from a filtered search"
+        )
     cb_rows, cent_rows = _index_models(spark, index_path)
     if not cb_rows:  # empty index (empty corpus at write time)
         return spark.createDataFrame(
@@ -1823,6 +1938,16 @@ def knn_ivfpq_from_index(
             .where(F.col("cell").isin(probe_cells))
             .select(*pruned.columns)
         )
+    if candidate_filter is not None:
+        # pruned sidecar scan → predicate pushdown → semi-join the codes
+        # on (vec_id, cell): the code rows never widen past the filter
+        allowed = (
+            spark.read.parquet(f"{index_path}/meta")
+            .where(F.col("cell").isin(probe_cells))
+            .where(candidate_filter)
+            .select("vec_id", "cell")
+        )
+        pruned = pruned.join(allowed, ["vec_id", "cell"], "left_semi")
     codes = pruned.select(
         "vec_id", "cell", F.posexplode("codes").alias("m", "code")
     ).select("vec_id", "cell", "m",
@@ -1847,6 +1972,7 @@ def knn_ivfpq_rerank_from_index(
     rerank_factor: int = 3,
     n_probe: int = 4,
     include_streamed: bool = False,
+    candidate_filter=None,
 ) -> DataFrame:
     """Two-stage ANN served from the PERSISTED index — the production
     composition of :func:`knn_ivfpq_from_index` (stage 1: ADC shortlist
@@ -1860,10 +1986,16 @@ def knn_ivfpq_rerank_from_index(
     k rows per query, ties → lowest vec_id — bit-identical to
     :func:`knn_ivf_pq_rerank` under the same frozen models (pinned in
     tests), because the persisted code bytes and LUT arithmetic
-    round-trip parquet exactly."""
+    round-trip parquet exactly.
+
+    ``candidate_filter`` threads through to the stage-1 shortlist (the
+    sidecar semi-join of :func:`knn_ivfpq_from_index`), so the exact
+    rerank only ever sees predicate-satisfying rows — filtered
+    two-stage search at the same |Q|·k·factor stage-2 cost."""
     short = knn_ivfpq_from_index(
         spark, index_path, queries, k * rerank_factor, n_probe,
         include_streamed=include_streamed,
+        candidate_filter=candidate_filter,
     ).select("query_id", "vec_id")
     e = embeddings.where(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding"

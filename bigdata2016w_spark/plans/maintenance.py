@@ -256,6 +256,114 @@ register(QuerySpec("orders_ivm_nation_revenue", orders_ivm_nation_revenue,
                    _IVM_SQL, doc=orders_ivm_nation_revenue.__doc__))
 
 
+# retraction split: inserts arrive, AND some base rows are deleted —
+# the full delta-algebra case (insert-only above is its special case).
+# Pure key arithmetic so both engines split identically.
+_IVM_INS_PRED = "o_orderkey % 20 IN (11, 19)"
+_IVM_DEL_PRED = "o_orderkey % 20 IN (2, 5)"
+
+
+def nation_revenue_signed_delta(
+    part: DataFrame, dim: DataFrame, bcast_dim: bool = True
+) -> DataFrame:
+    """ΔV under SIGNED multiplicities: ``part`` carries ``__sgn`` ∈
+    {+1, −1} (insert / retraction) next to the order columns; revenue
+    sums sign·price in DECIMAL (a retraction cancels its insertion
+    bit-for-bit) and the count sums the signs. THE single signed-delta
+    definition — shared by the batch retraction query below and the
+    streaming CDC sink (streaming/ivm.apply_cdc_ivm_batch), the
+    nation_revenue_delta convention."""
+    dimc = dim.select("c_custkey", "c_nationkey")
+    d = F.broadcast(dimc) if bcast_dim else dimc
+    return (
+        part.select(
+            "o_custkey",
+            "__sgn",
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             * F.col("__sgn")).alias("sprice"),
+        )
+        .join(d, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("sprice").cast("decimal(18,2)").alias("revenue"),
+            F.sum("__sgn").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def orders_ivm_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS: the nation-revenue
+    join-aggregate view maintained under a delta batch that both INSERTS
+    new orders and DELETES existing base rows — the signed-multiplicity
+    delta algebra (inserts +1, deletes −1) that insert-only IVM
+    (orders_ivm_nation_revenue) special-cases.
+
+    ΔV = groupBy(key) over the SIGNED union of the insert and delete
+    batches: revenue_delta = Σ sign·price (DECIMAL — exact, so a
+    retraction cancels its insertion bit-for-bit), n_delta = Σ sign.
+    Merge is the same full-outer coalesce-sum as the insert-only view,
+    plus the retraction-specific step: keys whose merged count reaches
+    ZERO leave the view (HAVING n > 0) — without it a fully-retracted
+    group would linger as a (key, 0.00, 0) tombstone the from-scratch
+    rebuild never shows. At 100 TB both delta sides are broadcast-joined
+    aggs over just the changed rows; the merge still shuffles only
+    |distinct keys| rows. Oracle: from-scratch recompute over
+    (base − deletes + inserts). No reference analog; extends SURVEY
+    §2.5 toward CDC-fed materialized views."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    is_ins = F.expr(_IVM_INS_PRED)
+    is_del = F.expr(_IVM_DEL_PRED)
+    is_base = ~F.expr(_DELTA_PRED)  # deletes retract rows FROM this set
+
+    v_base = nation_revenue_delta(orders.where(is_base), customer,
+                                  bcast_dim=False)
+    signed = (
+        orders.where(is_ins).withColumn("__sgn", F.lit(1))
+        .unionByName(
+            orders.where(is_base & is_del).withColumn("__sgn", F.lit(-1))
+        )
+    )
+    dv = nation_revenue_signed_delta(signed, customer, bcast_dim=True)
+    b, d = v_base.alias("b"), dv.alias("d")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        b.join(d, F.col("b.c_nationkey") == F.col("d.c_nationkey"),
+               "full_outer")
+        .select(
+            F.coalesce(F.col("b.c_nationkey"), F.col("d.c_nationkey"))
+            .alias("c_nationkey"),
+            (F.coalesce(F.col("b.revenue"), zero)
+             + F.coalesce(F.col("d.revenue"), zero))
+            .cast("decimal(18,2)").cast("double").alias("revenue"),
+            (F.coalesce(F.col("b.n_orders"), F.lit(0))
+             + F.coalesce(F.col("d.n_orders"), F.lit(0)))
+            .alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("c_nationkey")
+    )
+
+
+# from-scratch rebuild over the POST-CHANGE row set: base minus deletes
+# plus inserts = NOT IN the never-inserted slice (7) and NOT IN the
+# deleted slices (2, 5)
+_IVM_RETRACT_SQL = """
+SELECT c_nationkey,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 20 NOT IN (2, 5, 7)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+register(QuerySpec("orders_ivm_retractions", orders_ivm_retractions,
+                   _IVM_RETRACT_SQL,
+                   doc=orders_ivm_retractions.__doc__))
+
+
 # ---------------------------------------------------------------------------
 # Small-file compaction planning
 # ---------------------------------------------------------------------------
@@ -547,3 +655,93 @@ def orders_ivm_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(QuerySpec("orders_ivm_streamed", orders_ivm_streamed, _IVM_SQL,
                    doc=orders_ivm_streamed.__doc__))
+
+
+# ----------------------------------------------------- streamed CDC ivm
+
+_CDC_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _streamed_cdc_view(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+    from bigdata2016w_spark.streaming.ivm import cdc_ivm_view_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    view = _CDC_STREAM_CACHE.get(key)
+    if view is not None:
+        return view
+    root = tempfile.mkdtemp(prefix="bigdata2016w_cdc_stream_")
+    view = f"{root}/view"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # batch 1: the base load as inserts. batch 2: the change batch —
+    # new arrivals as inserts PLUS retractions of base rows as deletes.
+    # The signed merge is commutative, but two real micro-batches are
+    # asserted (the _streamed_ivm_view convention).
+    b1 = orders.where(~F.expr(_DELTA_PRED)).withColumn("op", F.lit("I"))
+    b2 = (
+        orders.where(F.expr(_IVM_INS_PRED)).withColumn("op", F.lit("I"))
+        .unionByName(
+            orders.where((~F.expr(_DELTA_PRED)) & F.expr(_IVM_DEL_PRED))
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    for j, part in ((1, b1), (2, b2)):
+        w = f"{root}/w{j}"
+        part.coalesce(1).write.parquet(w)
+        shutil.copy(next(Path(w).glob("part-*.parquet")),
+                    f"{src_dir}/{j}.parquet")
+    stream = (
+        spark.readStream
+        .schema("o_orderkey bigint, o_custkey bigint, "
+                "o_totalprice double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    cdc_ivm_view_sink(stream, customer, view, f"{root}/ckpt") \
+        .awaitTermination()
+    n_batches = len(_batch_dirs(spark, view))
+    if n_batches != 2:
+        raise AssertionError(
+            f"expected 2 streamed CDC batches, got {n_batches}"
+        )
+    _CDC_STREAM_CACHE[key] = view
+    return view
+
+
+def orders_ivm_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation-revenue view maintained by a CDC STREAM: a base-load
+    micro-batch of inserts, then a change micro-batch mixing inserts
+    and deletes, through streaming/ivm.cdc_ivm_view_sink (signed ΔV per
+    batch → batch-stamped overwrite subdirs) and read back with the
+    merged-count>0 gate. The oracle recomputes the view from scratch
+    over the POST-CHANGE row set (base − deletes + inserts) — the same
+    oracle the batch retraction query proves — so a MATCH certifies the
+    streamed CDC path end to end, including that a retraction cancels
+    its insertion bit-for-bit across micro-batch boundaries. At 100 TB
+    each change batch is a broadcast-joined agg over just the changed
+    rows; the merged view reads keys × batches rows of metadata. No
+    reference analog (extends SURVEY §2.11 streaming toward CDC-fed
+    materialized views)."""
+    from bigdata2016w_spark.streaming.ivm import read_view
+
+    view = _streamed_cdc_view(spark, sf_dir)
+    return (
+        read_view(spark, view, drop_empty=True)
+        .withColumn("revenue", F.col("revenue").cast("double"))
+        .orderBy("c_nationkey")
+    )
+
+
+register(QuerySpec("orders_ivm_cdc_streamed", orders_ivm_cdc_streamed,
+                   _IVM_RETRACT_SQL,
+                   doc=orders_ivm_cdc_streamed.__doc__))

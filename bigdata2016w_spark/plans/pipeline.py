@@ -822,6 +822,83 @@ register(QuerySpec("ann_ivf_flat", ann_ivf_flat, _ANN_IVF_FLAT_SQL,
                        "operators/similarity.knn_ivf_flat."))
 
 
+# metadata-filtered vector search: the candidate predicate of the
+# registered filtered tier ("nearest in-set vectors" — ~20% selectivity
+# on the uniform 10-label synthetic corpus)
+ANN_FILTER_LABELS = (1, 3)
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivf_filtered
+
+    return knn_ivf_filtered(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS,
+        F.col("label").isin(*ANN_FILTER_LABELS), KNN_K,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+
+
+# _ANN_IVF_FLAT_SQL with the label predicate on the CANDIDATE side of
+# the probe join (pre-filter before ranking) — queries and the index
+# geometry stay unfiltered, exactly like the operator
+_ANN_IVF_FILTERED_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+  FROM e0 WHERE vec_id < {_IVF_CELLS}
+),
+ac AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cell,
+         {_cos_sql('e.embedding', 'c.centroid')} AS a_cos
+  FROM e0 e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, label, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY a_cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM e0
+  WHERE vec_id IN ({', '.join(str(i) for i in KNN_QUERY_IDS)})
+),
+pc AS (
+  SELECT q.query_id, q.qe, c.cell,
+         {_cos_sql('q.qe', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c_cos DESC, cell ASC) AS pr
+    FROM pc
+  ) WHERE pr <= {_IVF_PROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('p.qe', 'a.embedding')} AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+  WHERE a.label IN {ANN_FILTER_LABELS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "ann_ivf_filtered", ann_ivf_filtered, _ANN_IVF_FILTERED_SQL,
+    doc="Metadata-filtered IVF vector search (pre-filter on the "
+        "candidate side of the probe join); see "
+        "operators/similarity.knn_ivf_filtered."))
+
+
 def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_lloyd
 
@@ -2368,3 +2445,68 @@ ORDER BY batch, vec_id
 register(QuerySpec("embeddings_semdedup_admission",
                    embeddings_semdedup_admission, _emb_admit_sql(),
                    doc=embeddings_semdedup_admission.__doc__))
+
+
+# ---------------------------------------------- filtered serve path
+#
+# Metadata-filtered ANN served from the PERSISTED index: the codes scan
+# is statically pruned to the probed cells AND semi-joined against the
+# label sidecar ({index}/meta, same cell partitioning) with the
+# predicate pushed into the sidecar's parquet scan — the production
+# "filtered vector search" pattern (in-tenant / in-language top-k) at
+# its disk-bounded cost: selectivity x probed-fraction of the corpus.
+_FILTERED_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _filtered_serve_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _FILTERED_IDX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    idx = tempfile.mkdtemp(prefix="bigdata2016w_filtered_idx_") + "/idx"
+    write_ivfpq_index(
+        load_table(spark, sf_dir, "embeddings"), idx,
+        meta_cols=("label",),
+    )
+    _FILTERED_IDX_CACHE[key] = idx
+    return idx
+
+
+def ann_ivfpq_filtered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata2016w_spark.operators.similarity import knn_ivfpq_from_index
+
+    idx = _filtered_serve_index(spark, sf_dir)
+    queries = _shared_valid_embeddings(spark, sf_dir).where(
+        F.col("vec_id").isin(*KNN_QUERY_IDS)
+    )
+    return knn_ivfpq_from_index(
+        spark, idx, queries, KNN_K, _IVF_PROBE,
+        candidate_filter=F.col("label").isin(*ANN_FILTER_LABELS),
+    )
+
+
+# the full-fit residual-PQ replay with the label predicate applied to
+# the candidate set BEFORE ranking (pre-filter semantics, exactly the
+# operator's sidecar semi-join)
+_ANN_IVFPQ_FILTERED_SQL = f"""
+WITH {_IVF_PQ_RES_CTES}
+SELECT query_id, vec_id, adc_d2 FROM (
+  SELECT a.query_id, a.vec_id, a.adc_d2,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.adc_d2 ASC, a.vec_id ASC) AS rn
+  FROM adc a JOIN embeddings em ON a.vec_id = em.vec_id
+  WHERE em.label IN {ANN_FILTER_LABELS}
+) WHERE rn <= {KNN_K}
+"""
+
+register(QuerySpec(
+    "ann_ivfpq_filtered_serve", ann_ivfpq_filtered_serve,
+    _ANN_IVFPQ_FILTERED_SQL,
+    doc="Metadata-filtered ADC search served from the persisted "
+        "IVF-PQ index via its cell-partitioned label sidecar; see "
+        "operators/similarity.knn_ivfpq_from_index(candidate_filter) "
+        "and sources/sinks.write_ivfpq_index(meta_cols)."))

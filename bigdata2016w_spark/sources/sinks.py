@@ -221,7 +221,8 @@ def write_pq_index(embeddings: DataFrame, path: str,
 
 def write_ivfpq_index(embeddings: DataFrame, path: str,
                       mode: str = "overwrite",
-                      n_cells: int = 16, n_iter: int = 2) -> None:
+                      n_cells: int = 16, n_iter: int = 2,
+                      meta_cols: tuple[str, ...] = ()) -> None:
     """Persist the full residual IVF-PQ index — the production ANN
     artifact that composes both bounds on disk: ``{path}/centroids``
     (the Lloyd coarse quantizer, n_cells rows), ``{path}/codebook``
@@ -233,7 +234,16 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
     enforced by the filesystem, which is what lets a 100 TB embedding
     corpus re-fit NOTHING at query time: both models are train-once
     artifacts here, and queries are one broadcast away from their ADC
-    ranks."""
+    ranks.
+
+    ``meta_cols`` additionally persists ``{path}/meta`` — an attribute
+    SIDECAR (vec_id + the named metadata columns from the input frame),
+    hive-partitioned by the same ``cell`` as the codes — so a
+    metadata-filtered probe (candidate_filter in knn_ivfpq_from_index)
+    prunes BOTH scans to the probed cells and pushes the predicate into
+    the sidecar's parquet scan; candidate cost stays selectivity ×
+    probed-fraction of the corpus. Costs one extra assignment pass at
+    build time, nothing at serve time when unused."""
     from pyspark.sql import functions as F
 
     from bigdata2016w_spark.operators.similarity import (
@@ -266,6 +276,14 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
         spark.createDataFrame(
             [], "vec_id bigint, codes array<tinyint>, cell int"
         ).write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
+        if meta_cols:
+            (
+                e.select("vec_id", *meta_cols)
+                .withColumn("cell", F.lit(0).cast("int"))
+                .limit(0)
+                .write.mode(mode).partitionBy("cell")
+                .parquet(f"{path}/meta")
+            )
         # pop again AFTER the write: a concurrent probe may have
         # re-filled the entry from the half-written index in between
         _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)
@@ -288,6 +306,18 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+    if meta_cols:
+        # the attribute sidecar: same cell partitioning as the codes so
+        # a filtered probe prunes both scans identically (one extra
+        # assignment pass at build time; the codes path's assignment is
+        # inside its own residual/encode chain and stays untouched)
+        (
+            _assign_to_literal_centroids(e, cent_lit, keep=meta_cols)
+            .select("vec_id", *meta_cols, "cell")
+            .repartition("cell")
+            .write.mode(mode).partitionBy("cell")
+            .parquet(f"{path}/meta")
+        )
     # pop again AFTER a successful write: a concurrent probe may have
     # re-filled the entry from the half-written index in between
     _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)

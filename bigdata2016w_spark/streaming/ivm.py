@@ -75,17 +75,72 @@ def ivm_view_sink(
     )
 
 
-def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
+def read_view(
+    spark: SparkSession, view_dir: str, drop_empty: bool = False
+) -> DataFrame:
     """Merge-on-read over the batch-stamped deltas: the maintained view
-    (c_nationkey, revenue, n_orders). Empty before the first commit."""
+    (c_nationkey, revenue, n_orders). Empty before the first commit.
+    ``drop_empty`` (the CDC read) drops groups whose merged count is
+    ≤ 0 — a fully-retracted key leaves the view instead of lingering
+    as a (key, 0.00, 0) tombstone; insert-only views never produce
+    one, so their read is unchanged."""
     dirs = _batch_dirs(spark, view_dir)
     if not dirs:
         return spark.createDataFrame([], _DELTA_SCHEMA)
-    return (
+    merged = (
         spark.read.schema(_DELTA_SCHEMA).parquet(*dirs)
         .groupBy("c_nationkey")
         .agg(
             F.sum("revenue").cast("decimal(18,2)").alias("revenue"),
             F.sum("n_orders").alias("n_orders"),
         )
+    )
+    return merged.where(F.col("n_orders") > 0) if drop_empty else merged
+
+
+def apply_cdc_ivm_batch(
+    batch_df: DataFrame, batch_id: int, dim: DataFrame, view_dir: str
+) -> None:
+    """The CDC (change-data-capture) batch apply: rows carry an ``op``
+    column — 'I' inserts, 'D' deletes — and the batch's ΔV is the
+    SIGNED delta (plans.maintenance.nation_revenue_signed_delta, the
+    same definition the batch retraction query proves against its
+    oracle), so a delete cancels its insert bit-for-bit in DECIMAL.
+    Same batch-stamped overwrite layout as the insert-only sink:
+    replays rewrite their own delta, never double-apply."""
+    from bigdata2016w_spark.plans.maintenance import (
+        nation_revenue_signed_delta,
+    )
+
+    signed = batch_df.withColumn(
+        "__sgn",
+        F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1)),
+    )
+    delta = nation_revenue_signed_delta(signed, dim, bcast_dim=True)
+    delta.write.mode("overwrite").parquet(f"{view_dir}/batch={batch_id}")
+
+
+def cdc_ivm_view_sink(
+    cdc_stream: DataFrame,
+    dim: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the CDC view-maintenance stream (availableNow); the
+    insert-only :func:`ivm_view_sink` is this with every op = 'I'.
+    Read the maintained view back with ``read_view(...,
+    drop_empty=True)`` — groups whose inserts have all been retracted
+    must LEAVE the view, not linger as zero-count tombstones."""
+    spark = cdc_stream.sparkSession
+    _guard_fresh_checkpoint(spark, view_dir, checkpoint_dir, _DELTA_SCHEMA)
+    dim = dim.select("c_custkey", "c_nationkey")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_ivm_batch(batch_df, batch_id, dim, view_dir)
+
+    return (
+        cdc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -258,3 +258,107 @@ def test_ivm_streamed_equals_batch_ivm_totals(spark, sf_dir):
     assert got == want and got
     view = _streamed_ivm_view(spark, sf_dir)
     assert len(_batch_dirs(spark, view)) == 2
+
+
+# ------------------------------------------------- ivm with retractions
+
+def test_ivm_retractions_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_ivm_retractions")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivm_retractions_drops_emptied_group(spark, tmp_path):
+    """The retraction-specific step the sf tables can't exercise: a
+    group whose every row is retracted must LEAVE the view (merged
+    count 0 → dropped), not linger as a (key, 0.00, 0) tombstone; and
+    a retraction must cancel its insertion bit-for-bit in DECIMAL."""
+    from bigdata2016w_spark.plans.maintenance import orders_ivm_retractions
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (2, 1, 100.0),   # base, retracted (k%20=2)
+            (5, 1, 50.0),    # base, retracted (k%20=5) -> nation 10 empties
+            (1, 2, 10.0),    # base, kept
+            (11, 2, 20.0),   # insert
+            (7, 2, 999.0),   # never-arrived slice: in no tier
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = [tuple(r) for r in
+            orders_ivm_retractions(spark, str(tmp_path)).collect()]
+    assert rows == [(20, 30.0, 2)]
+
+
+def test_ivm_cdc_streamed_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_ivm_cdc_streamed")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivm_cdc_streamed_equals_batch_retractions(spark, sf_dir):
+    """The CDC-stream-maintained view must equal the batch retraction
+    query key-for-key (both equal the post-change rebuild via the
+    shared oracle; this pins the two engine surfaces to EACH OTHER),
+    and the streamed corpus really ran as two delta batches."""
+    from bigdata2016w_spark.plans.maintenance import (
+        _streamed_cdc_view,
+        orders_ivm_cdc_streamed,
+        orders_ivm_retractions,
+    )
+    from bigdata2016w_spark.streaming.ingest import _batch_dirs
+
+    got = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+           for r in orders_ivm_cdc_streamed(spark, sf_dir).collect()}
+    want = {r["c_nationkey"]: (r["revenue"], r["n_orders"])
+            for r in orders_ivm_retractions(spark, sf_dir).collect()}
+    assert got == want and got
+    view = _streamed_cdc_view(spark, sf_dir)
+    assert len(_batch_dirs(spark, view)) == 2
+
+
+def test_cdc_read_view_drops_fully_retracted_group(spark, tmp_path):
+    """Crafted CDC stream where one nation's only insert is retracted
+    in a later batch: the drop_empty read must remove the key while
+    the plain read still shows the zero-count tombstone (so the
+    insert-only surface is unchanged)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.ivm import (
+        cdc_ivm_view_sink,
+        read_view,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey int"
+    )
+    schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double, op string"
+    b1 = [(1, 1, 100.0, "I"), (2, 2, 50.0, "I")]
+    b2 = [(1, 1, 100.0, "D"), (3, 2, 25.0, "I")]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        w = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(w))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(next(w.rglob("part-*.parquet")), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    view = str(tmp_path / "view")
+    cdc_ivm_view_sink(stream, dim, view, str(tmp_path / "ckpt")) \
+        .awaitTermination()
+    merged = {r.c_nationkey: (float(r.revenue), r.n_orders)
+              for r in read_view(spark, view).collect()}
+    assert merged == {10: (0.0, 0), 20: (75.0, 2)}
+    live = {r.c_nationkey: (float(r.revenue), r.n_orders)
+            for r in read_view(spark, view, drop_empty=True).collect()}
+    assert live == {20: (75.0, 2)}

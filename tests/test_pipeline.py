@@ -1469,3 +1469,124 @@ def test_index_models_cache_alias_invalidation(spark, sf_dir, tmp_path):
     assert _index_cache_key(spark, path) not in _INDEX_MODELS_CACHE
     _, cents_v2 = _index_models(spark, path)
     assert cents_v1 != cents_v2
+
+
+def test_ann_ivf_filtered_matches_oracle(spark, duck, sf_dir):
+    s = all_specs()["ann_ivf_filtered"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_filtered_search_semantics(spark, sf_dir):
+    """Filtered-search invariants the oracle can't state:
+    (a) every returned candidate satisfies the predicate;
+    (b) probing ALL cells makes filtered IVF equal filtered brute
+        force exactly (pre-filter loses nothing but unprobed cells);
+    (c) at the registered probe depth, recall vs the filtered ground
+        truth stays above the unfiltered tier's working band; and
+    (d) a query whose own label is OUTSIDE the filter still gets
+        results (queries resolve against the unfiltered corpus)."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_bruteforce_filtered,
+        knn_ivf_filtered,
+    )
+    from bigdata2016w_spark.plans.pipeline import ANN_FILTER_LABELS
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label").isin(*ANN_FILTER_LABELS)
+    qids = [0, 1, 2, 3, 4]
+    got = knn_ivf_filtered(emb, qids, pred, 10, n_cells=16, n_probe=4)
+    labels = {
+        r.label for r in got.join(
+            emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels and labels <= set(ANN_FILTER_LABELS)
+
+    truth = knn_bruteforce_filtered(emb, qids, pred, 10)
+    full_probe = knn_ivf_filtered(emb, qids, pred, 10,
+                                  n_cells=16, n_probe=16)
+    assert sorted(map(tuple, full_probe.collect())) == \
+        sorted(map(tuple, truth.collect()))
+
+    t = {(r.query_id, r.vec_id) for r in truth.collect()}
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    assert len(g & t) / len(t) >= 0.5
+
+    # query 0's own label may or may not be in the filter — force the
+    # out-of-filter case explicitly
+    q0_label = emb.where(F.col("vec_id") == 0).collect()[0].label
+    out = [lab for lab in range(10)
+           if lab != q0_label][:2]
+    res = knn_ivf_filtered(emb, [0], F.col("label").isin(*out), 5,
+                           n_cells=16, n_probe=16).collect()
+    assert len(res) == 5
+
+
+def test_ann_ivfpq_filtered_serve_matches_oracle(spark, duck, sf_dir):
+    s = all_specs()["ann_ivfpq_filtered_serve"]
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_filtered_serve_parity_and_pruning(spark, sf_dir, tmp_path):
+    """The filtered serve path must (a) equal the UNfiltered serve
+    path's results re-ranked under a post-hoc exact filter ONLY when
+    that post-filter loses nothing — so instead pin the real contract:
+    filtered-serve == in-plan ADC ranking restricted to the predicate
+    (pre-filter), (b) keep the codes scan statically partition-pruned
+    with the sidecar semi-join present, and (c) raise on the
+    include_streamed combination (silent exclusion trap)."""
+    import contextlib
+    import io
+    import re
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivfpq_from_index,
+    )
+    from bigdata2016w_spark.plans.pipeline import ANN_FILTER_LABELS
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "fidx")
+    write_ivfpq_index(emb.where(F.col("vec_id") < 256), path,
+                      meta_cols=("label",))
+    queries = emb.where(emb.vec_id.isin([0, 1, 2]))
+    pred = F.col("label").isin(*ANN_FILTER_LABELS)
+    got = knn_ivfpq_from_index(spark, path, queries, k=5, n_probe=4,
+                               candidate_filter=pred)
+
+    # (a) parity vs the unfiltered ADC ranking with the same predicate
+    # applied to the FULL candidate list before top-k: take a huge k on
+    # the unfiltered path (no truncation), filter, re-rank, cut to 5
+    full = knn_ivfpq_from_index(spark, path, queries, k=10_000, n_probe=4)
+    lab = emb.select("vec_id", "label")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id"))
+    want = (
+        full.join(lab, "vec_id").where(pred)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "adc_d2")
+    )
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # (b) plan shape: static cell pruning survives the sidecar semi-join
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(
+        r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan)) >= 2, plan[:3000]
+    assert "LeftSemi" in plan
+
+    # (c) the unsupported combination raises
+    with _pytest.raises(ValueError, match="include_streamed"):
+        knn_ivfpq_from_index(spark, path, queries, k=5,
+                             candidate_filter=pred, include_streamed=True)

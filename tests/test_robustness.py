@@ -60,7 +60,9 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "orders_scd2_pit", "lineitem_bucketed_revenue",
     "orders_ivm_streamed", "documents_winnow_admission",
     "events_streamed_sketch_state", "documents_jaccard_admission",
-    "embeddings_semdedup_admission",
+    "embeddings_semdedup_admission", "ann_ivf_filtered",
+    "ann_ivfpq_filtered_serve", "orders_ivm_retractions",
+    "orders_ivm_cdc_streamed",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
