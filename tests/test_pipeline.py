@@ -1590,3 +1590,52 @@ def test_filtered_serve_parity_and_pruning(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="include_streamed"):
         knn_ivfpq_from_index(spark, path, queries, k=5,
                              candidate_filter=pred, include_streamed=True)
+
+
+def test_filtered_rerank_from_index(spark, sf_dir, tmp_path):
+    """candidate_filter threads through the two-stage serve path: the
+    exact rerank sees only predicate-satisfying shortlist rows, so
+    every returned row satisfies the predicate and equals the exact
+    cosine rerank computed over the filtered stage-1 shortlist."""
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        cosine,
+        knn_ivfpq_from_index,
+        knn_ivfpq_rerank_from_index,
+    )
+    from bigdata2016w_spark.operators.topk import topk_per_group
+    from bigdata2016w_spark.plans.pipeline import ANN_FILTER_LABELS
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "fridx")
+    write_ivfpq_index(emb.where(F.col("vec_id") < 256), path,
+                      meta_cols=("label",))
+    queries = emb.where(emb.vec_id.isin([0, 1]))
+    pred = F.col("label").isin(*ANN_FILTER_LABELS)
+    got = knn_ivfpq_rerank_from_index(
+        spark, path, queries, emb, k=5, rerank_factor=3, n_probe=4,
+        candidate_filter=pred,
+    )
+    lab = {r.vec_id: r.label for r in
+           emb.select("vec_id", "label").collect()}
+    rows = got.collect()
+    assert rows and all(lab[r.vec_id] in ANN_FILTER_LABELS for r in rows)
+    # replicate: filtered stage-1 shortlist -> exact cosine -> top-5
+    short = knn_ivfpq_from_index(
+        spark, path, queries, k=15, n_probe=4, candidate_filter=pred,
+    ).select("query_id", "vec_id")
+    e = emb.select("vec_id", "embedding")
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe"))
+    rer = (
+        e.join(short, "vec_id").join(q, "query_id")
+        .select("query_id", "vec_id",
+                cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    )
+    want = topk_per_group(
+        rer, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], 5
+    ).select("query_id", "vec_id", "cosine").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
