@@ -64,12 +64,16 @@ def cosine_with_norms(a, na, b, nb) -> Column:
 
 
 def knn_bruteforce(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+    embeddings: DataFrame, query_ids: list[int], k: int = 10,
+    candidate_filter=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id.
 
     Returns (query_id, vec_id, cosine), k rows per query, self excluded;
     ties broken by vec_id so selection is deterministic.
+    ``candidate_filter`` (optional Column predicate over the metadata
+    columns) restricts the CANDIDATE side before ranking; queries
+    resolve against the unfiltered corpus.
     """
     emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
     q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
@@ -77,9 +81,10 @@ def knn_bruteforce(
         F.col("embedding").alias("q_emb"),
         F.col("__n").alias("__qn"),
     )
+    cand = emb_n if candidate_filter is None else emb_n.where(candidate_filter)
     pairs = (
         broadcast(q)
-        .crossJoin(emb_n)
+        .crossJoin(cand)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -296,12 +301,16 @@ def _ivf_probe_search(
     query_ids: list[int],
     k: int,
     n_probe: int,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared IVF search half (knn_ivf and knn_ivf_flat): probe the
-    best ``n_probe`` cells (:func:`_probe_candidates`), two-stage
-    top-k over the candidates."""
+    """Shared IVF search half (knn_ivf, knn_ivf_flat, knn_ivf_filtered):
+    probe the best ``n_probe`` cells (:func:`_probe_candidates`),
+    two-stage top-k over the candidates. ``corpus`` is the (possibly
+    predicate-restricted) candidate side; queries always come from the
+    unfiltered ``assigned``."""
     pairs = (
-        _probe_candidates(assigned, cent, query_ids, n_probe)
+        _probe_candidates(assigned, cent, query_ids, n_probe,
+                          corpus=corpus)
         .select("query_id", "vec_id", "cosine")
         .distinct()
     )
@@ -352,38 +361,16 @@ def knn_bruteforce_filtered(
     candidate_filter,
     k: int = 10,
 ) -> DataFrame:
-    """Exact FILTERED top-k: each query's k nearest neighbors among only
-    the corpus rows satisfying ``candidate_filter`` (a Column
-    predicate over the embeddings table's metadata columns). Queries
-    resolve against the UNfiltered corpus — a query need not satisfy
-    its own filter. The ground-truth tier for filtered vector search
-    (the metadata-restricted ANN every production retrieval stack
-    needs: "nearest English docs", "nearest in-tenant vectors"); the
-    predicate applies BEFORE ranking, so recall@k is against the true
-    filtered neighborhood, never a post-filtered shortlist that can
-    come up short. One corpus pass, broadcast queries — linear, the
-    knn_bruteforce contract."""
-    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
-    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("__n").alias("__qn"),
-    )
-    pairs = (
-        broadcast(q)
-        .crossJoin(emb_n.where(candidate_filter))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_with_norms(
-                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
-            ).alias("cosine"),
-        )
-    )
-    return topk_per_group(
-        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
-    ).select("query_id", "vec_id", "cosine")
+    """Exact FILTERED top-k: :func:`knn_bruteforce` with its candidate
+    side restricted to rows satisfying ``candidate_filter``. The
+    ground-truth tier for filtered vector search (the
+    metadata-restricted ANN every production retrieval stack needs:
+    "nearest English docs", "nearest in-tenant vectors"); the predicate
+    applies BEFORE ranking, so recall@k is against the true filtered
+    neighborhood, never a post-filtered shortlist that can come up
+    short. One corpus pass, broadcast queries — linear."""
+    return knn_bruteforce(embeddings, query_ids, k,
+                          candidate_filter=candidate_filter)
 
 
 def knn_ivf_filtered(
@@ -422,15 +409,8 @@ def knn_ivf_filtered(
         )
     assigned = _assign_to_literal_centroids(embeddings, cent_lit, keep=keep)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
-    pairs = (
-        _probe_candidates(assigned, cent, query_ids, n_probe,
-                          corpus=assigned.where(candidate_filter))
-        .select("query_id", "vec_id", "cosine")
-        .distinct()
-    )
-    return topk_per_group(
-        pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
-    ).select("query_id", "vec_id", "cosine")
+    return _ivf_probe_search(assigned, cent, query_ids, k, n_probe,
+                             corpus=assigned.where(candidate_filter))
 
 
 def _assign_to_literal_centroids(

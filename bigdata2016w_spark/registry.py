@@ -92,7 +92,7 @@ _WINDOW_FRONT = [
     "graph_triangles", "dedup_exact", "embedding_near_dupes",
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "ann_bruteforce",
-    # --- oldest r09-latest greens, r09 sample order (24) ---
+    # --- oldest r09-latest greens, r09 sample order (20) ---
     "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",
     "orders_price_quantile_sketch", "ann_lsh", "doc_stats",
     "doc_lang_id", "dedup_clusters", "dedup_clusters_star",

@@ -318,9 +318,37 @@ def write_ivfpq_index(embeddings: DataFrame, path: str,
             .write.mode(mode).partitionBy("cell")
             .parquet(f"{path}/meta")
         )
+    else:
+        # a REWRITE without meta_cols must not leave a previous write's
+        # sidecar behind: filtered probes would silently semi-join the
+        # new codes against the OLD corpus's (vec_id, cell) assignments
+        _delete_meta_sidecar(spark, path)
     # pop again AFTER a successful write: a concurrent probe may have
     # re-filled the entry from the half-written index in between
     _INDEX_MODELS_CACHE.pop(_index_cache_key(spark, path), None)
+
+
+def _meta_sidecar_path(spark, index_path: str):
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _delete_meta_sidecar(spark, index_path: str) -> None:
+    p, fs = _meta_sidecar_path(spark, index_path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def index_meta_cols(spark, index_path: str) -> tuple[str, ...]:
+    """The metadata sidecar's attribute columns (empty tuple if the
+    index has no sidecar) — read from the parquet schema, a metadata
+    operation. The sidecar's own layout columns (vec_id + the hive
+    ``cell``) are excluded."""
+    p, fs = _meta_sidecar_path(spark, index_path)
+    if not fs.exists(p):
+        return ()
+    cols = spark.read.parquet(f"{index_path}/meta").columns
+    return tuple(c for c in cols if c not in ("vec_id", "cell"))
 
 
 def _ivfpq_frozen_models(spark, index_path: str):
@@ -414,3 +442,35 @@ def ivfpq_index_append(spark, index_path: str,
         .partitionBy("cell")
         .parquet(f"{index_path}/codes")
     )
+    # a sidecar'd index keeps its ATTRIBUTE rows in lockstep with the
+    # codes: appended vectors must land in {path}/meta too, or every
+    # filtered probe silently excludes them (the semi-join trap the
+    # include_streamed guard raises on). Cells come from the SAME
+    # frozen centroids as the codes, so the (vec_id, cell) keys agree.
+    meta_cols = index_meta_cols(spark, index_path)
+    if meta_cols:
+        from pyspark.sql import functions as F
+
+        from bigdata2016w_spark.operators.similarity import (
+            _assign_to_literal_centroids,
+        )
+
+        missing = [c for c in meta_cols if c not in new_embeddings.columns]
+        if missing:
+            raise ValueError(
+                f"index at {index_path!r} has a metadata sidecar with "
+                f"columns {meta_cols} but the appended frame lacks "
+                f"{missing} — appending without them would silently "
+                "exclude the new vectors from every filtered search"
+            )
+        (
+            _assign_to_literal_centroids(
+                new_embeddings.where(F.col("embedding").isNotNull()),
+                cent_lit, keep=meta_cols,
+            )
+            .select("vec_id", *meta_cols, "cell")
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/meta")
+        )

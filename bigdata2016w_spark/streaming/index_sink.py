@@ -116,6 +116,23 @@ def ivfpq_index_compact(spark: SparkSession, index_path: str) -> int:
     dirs = _batch_dirs(spark, _stream_dir(index_path))
     if not dirs:
         return 0
+    # streamed batch dirs carry NO metadata-sidecar rows — filtered
+    # search over them already raises (knn_ivfpq_from_index's
+    # include_streamed guard). Folding them into the base codes would
+    # strip that guard: the rows become base rows that every filtered
+    # probe silently excludes. Refuse rather than silently corrupt the
+    # filtered tier; the operator appends via sources.sinks
+    # .ivfpq_index_append (which maintains the sidecar) instead.
+    from bigdata2016w_spark.sources.sinks import index_meta_cols
+
+    if index_meta_cols(spark, index_path):
+        raise ValueError(
+            f"index at {index_path!r} has a metadata sidecar: folding "
+            "sidecar-less streamed codes into the base would make them "
+            "invisible to every filtered search. Re-ingest the streamed "
+            "batches through sources.sinks.ivfpq_index_append (which "
+            "appends matching sidecar rows) instead of compacting."
+        )
     # one materialization feeds the count AND the append (the tail the
     # compactor exists to bound shouldn't be scanned twice)
     streamed = read_streamed_codes(spark, index_path).localCheckpoint(

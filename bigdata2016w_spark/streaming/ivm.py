@@ -112,9 +112,19 @@ def apply_cdc_ivm_batch(
         nation_revenue_signed_delta,
     )
 
+    # unknown ops FAIL the batch in-plan rather than silently applying
+    # as inserts — 'U' updates (or corrupted op strings) need an
+    # explicit delete+insert encoding upstream, not a guessed sign
     signed = batch_df.withColumn(
         "__sgn",
-        F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1)),
+        F.when(F.col("op") == "I", F.lit(1))
+        .when(F.col("op") == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(F.concat(
+                F.lit("unsupported CDC op (expected 'I' or 'D'): "),
+                F.coalesce(F.col("op"), F.lit("NULL")),
+            )).cast("int")
+        ),
     )
     delta = nation_revenue_signed_delta(signed, dim, bcast_dim=True)
     delta.write.mode("overwrite").parquet(f"{view_dir}/batch={batch_id}")

@@ -105,7 +105,11 @@ def main() -> int:
             if hash_mode:
                 # the stricter pandas-boundary canonical hash: catches
                 # dtype-representation divergence (Decimal vs float64)
-                # that the typed compare above is blind to
+                # that the typed compare above is blind to. This
+                # deliberately re-executes each query (toPandas after
+                # collect) — the two lenses must each see their own
+                # unshared boundary; --hash is a gate-scale (sf0.01)
+                # tool, not a bench
                 sh = _pandas_canon_hash(sdf.toPandas())
                 dh = _pandas_canon_hash(drel.df())
                 ok = ok and sh == dh

@@ -1639,3 +1639,84 @@ def test_filtered_rerank_from_index(spark, sf_dir, tmp_path):
         rer, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], 5
     ).select("query_id", "vec_id", "cosine").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+
+def test_sidecar_lockstep_guards(spark, sf_dir, tmp_path):
+    """The three silent-exclusion traps around the metadata sidecar:
+    (a) ivfpq_index_append on a sidecar'd index appends matching meta
+        rows (appended vectors stay visible to filtered search) and
+        raises if the appended frame lacks the sidecar columns;
+    (b) compacting streamed (sidecar-less) codes into a sidecar'd
+        index raises instead of making those rows invisible;
+    (c) rewriting an index WITHOUT meta_cols removes the stale sidecar."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bigdata2016w_spark.operators.similarity import (
+        knn_ivfpq_from_index,
+    )
+    from bigdata2016w_spark.plans.pipeline import ANN_FILTER_LABELS
+    from bigdata2016w_spark.sources.catalog import load_table
+    from bigdata2016w_spark.sources.sinks import (
+        index_meta_cols,
+        ivfpq_index_append,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sidx")
+    write_ivfpq_index(emb.where(F.col("vec_id") < 200), path,
+                      meta_cols=("label",))
+    assert index_meta_cols(spark, path) == ("label",)
+
+    # (a) append WITH the meta column: the new vectors are reachable
+    # through the filtered probe
+    batch = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 260))
+    ivfpq_index_append(spark, path, batch)
+    pred = F.col("label").isin(*ANN_FILTER_LABELS)
+    queries = emb.where(emb.vec_id.isin([0, 1, 2]))
+    got = knn_ivfpq_from_index(spark, path, queries, k=300, n_probe=16,
+                               candidate_filter=pred)
+    appended_match = {
+        r.vec_id for r in batch.where(pred).select("vec_id").collect()
+    }
+    assert appended_match & {r.vec_id for r in got.collect()}
+    # append WITHOUT the meta column raises
+    with _pytest.raises(ValueError, match="sidecar"):
+        ivfpq_index_append(
+            spark, path,
+            emb.where(F.col("vec_id") >= 260).select("vec_id", "embedding"),
+        )
+
+    # (b) streamed-fold into a sidecar'd index raises
+    import os
+    import shutil
+    from pathlib import Path
+
+    from bigdata2016w_spark.streaming.index_sink import (
+        ivfpq_append_sink,
+        ivfpq_index_compact,
+    )
+
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    w = tmp_path / "w0"
+    emb.where(F.col("vec_id") >= 300).select("vec_id", "embedding") \
+        .coalesce(1).write.parquet(str(w))
+    shutil.copy(next(w.rglob("part-*.parquet")), sdir / "0.parquet")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(str(sdir))
+    )
+    ivfpq_append_sink(stream, path, str(tmp_path / "ckpt")) \
+        .awaitTermination()
+    with _pytest.raises(ValueError, match="sidecar"):
+        ivfpq_index_compact(spark, path)
+
+    # (c) a meta-less rewrite removes the stale sidecar
+    path2 = str(tmp_path / "sidx2")
+    write_ivfpq_index(emb.where(F.col("vec_id") < 100), path2,
+                      meta_cols=("label",))
+    assert index_meta_cols(spark, path2) == ("label",)
+    write_ivfpq_index(emb.where(F.col("vec_id") < 100), path2)
+    assert index_meta_cols(spark, path2) == ()
