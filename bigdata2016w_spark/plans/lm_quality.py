@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdata2016w_spark.functions.tokenizer import tokenize, tokenize_sql
+from bigdata2016w_spark.operators.dedup import portable_hash60
 from bigdata2016w_spark.registry import QuerySpec, register
 from bigdata2016w_spark.sources.catalog import load_table
 
@@ -268,6 +269,163 @@ WHERE n_chars > 0
 ORDER BY priority ASC, doc_id ASC
 LIMIT {SAMPLE_K}
 """
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram models)
+# ---------------------------------------------------------------------------
+
+# hashed-feature space size. DSIR's whole point at 100 TB: the two
+# n-gram models live in a FIXED B-bucket table regardless of corpus
+# vocabulary, so the model join is always broadcastable and the model
+# estimation never materializes an open vocabulary.
+DSIR_BUCKETS = 512
+DSIR_K = 40
+# the in-domain "target" sample the raw pool is scored against
+DSIR_TARGET_PRED = "lang = 'en'"
+
+
+def dsir_importance_select(
+    docs: DataFrame, buckets: int = DSIR_BUCKETS, k: int = DSIR_K
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every
+    out-of-domain document by how target-like its hashed-unigram
+    distribution is, and keep the top ``k``.
+
+    Both feature models are bag-of-hashed-unigrams with Laplace
+    smoothing over ``buckets`` buckets: p(b) = (c_b+1)/(N+B), estimated
+    once for the target sample (``DSIR_TARGET_PRED``) and once for the
+    full raw pool. A document's importance is
+    Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] — per-token terms
+    quantized to integer micro-nats BEFORE the per-doc sum (the
+    doc_lm_score convention) so the sum is order-independent and
+    bit-identical across partitionings and engines. Selection is the
+    deterministic variant: top-k by length-normalized importance
+    (doc_id tiebreak); the paper's Gumbel-top-k is this plus seeded
+    noise on the same scores.
+
+    100-TB shape: each model is a hash aggregate with map-side combine
+    whose output is bounded by B=512 rows — never by vocabulary — over
+    a scan pruned to (text, lang); the exploded token stream is never
+    materialized (re-deriving it per consumer is cheaper at corpus
+    scale than checkpointing tokens ≫ docs). The score join broadcasts
+    the B-row model table onto the token stream; selection is
+    TakeOrderedAndProject. Nothing scales with vocabulary or corpus
+    size except the linear scans.
+    No reference analog; extends the LLM-pipeline surface with the
+    standard pretraining data-selection recipe."""
+    tok = (
+        docs.select(
+            "doc_id",
+            F.expr(DSIR_TARGET_PRED).alias("is_t"),
+            tokenize("text").alias("t"),
+        )
+        .where(F.size("t") > 0)
+        .select("doc_id", "is_t", F.explode("t").alias("w"))
+    )
+    tokb = tok.select(
+        "doc_id", "is_t",
+        F.pmod(portable_hash60(F.col("w"), "dsir"), F.lit(buckets))
+        .alias("b"),
+    )
+    raw = tokb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = tokb.where("is_t").groupBy("b").agg(F.count("*").alias("ct"))
+    n_r = raw.agg(F.sum("cr").alias("n_r"))
+    n_t = tgt.agg(F.sum("ct").alias("n_t"))
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(n_r)
+        .crossJoin(n_t)
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        .cast("double")
+                        / (F.col("n_t") + buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("n_r") + buckets).cast("double")
+                    )
+                )
+                * LM_QUANT
+            )
+            .cast("bigint")
+            .alias("du"),
+        )
+    )
+    scored = (
+        tokb.where(~F.col("is_t"))
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("du").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s").cast("double") / F.col("n_tokens") / LM_QUANT, 6
+            ).alias("logratio_per_tok"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("logratio_per_tok"), F.asc("doc_id")
+    ).limit(k)
+    w = Window.orderBy(F.desc("logratio_per_tok"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def documents_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_select(load_table(spark, sf_dir, "documents"))
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {DSIR_TARGET_PRED} AS is_t, {_TOK} AS t
+  FROM documents WHERE len({_TOK}) > 0
+),
+tokb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT
+           % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, is_t, unnest(t) AS w FROM toks)
+),
+raw AS (SELECT b, count(*) AS cr FROM tokb GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM tokb WHERE is_t GROUP BY b),
+nr AS (SELECT sum(cr) AS n_r FROM raw),
+nt AS (SELECT sum(ct) AS n_t FROM tgt),
+model AS (
+  SELECT b,
+         CAST(round((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                        / CAST(n_t + {DSIR_BUCKETS} AS DOUBLE))
+                     - ln(CAST(cr + 1 AS DOUBLE)
+                          / CAST(n_r + {DSIR_BUCKETS} AS DOUBLE)))
+                    * {LM_QUANT}) AS BIGINT) AS du
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nr CROSS JOIN nt
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(du) AS s
+  FROM tokb JOIN model USING (b)
+  WHERE NOT is_t GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         round(CAST(s AS DOUBLE) / n_tokens / {LM_QUANT}, 6)
+           AS logratio_per_tok
+  FROM scored
+)
+SELECT doc_id, n_tokens, logratio_per_tok,
+       CAST(row_number() OVER (ORDER BY logratio_per_tok DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM ranked
+ORDER BY logratio_per_tok DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+register(QuerySpec("documents_dsir_selection", documents_dsir_selection,
+                   _DSIR_SQL, doc=dsir_importance_select.__doc__))
+
 
 register(QuerySpec("doc_lm_score", doc_lm_score, _LM_SQL,
                    doc=unigram_lm_scores.__doc__))

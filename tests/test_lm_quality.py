@@ -87,9 +87,33 @@ def test_weighted_sample_is_deterministic(spark, sf_dir):
 
 def test_lm_quality_oracles(spark, sf_dir, duck):
     for name in ["doc_lm_score", "vocab_coverage", "doc_tfidf_terms",
-                 "documents_weighted_sample", "doc_bpe_token_stats"]:
+                 "documents_weighted_sample", "doc_bpe_token_stats",
+                 "documents_dsir_selection"]:
         spec = all_specs()[name]
         compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR semantics pinned on a crafted pool: the target sample speaks
+    'alpha beta', one candidate mimics it, one shares nothing, one is
+    mixed — selection must order them mimic > mixed > disjoint, never
+    include target docs, and rank 1..k densely."""
+    from bigdata2016w_spark.plans.lm_quality import dsir_importance_select
+
+    rows = []
+    for i in range(6):  # target: in-domain English sample
+        rows.append((i, "alpha beta alpha beta gamma", "en", "t", 27))
+    rows.append((10, "alpha beta alpha gamma beta", "de", "c", 27))
+    rows.append((11, "alpha beta zulu yankee xray", "de", "c", 27))
+    rows.append((12, "zulu yankee xray whiskey victor", "de", "c", 31))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = dsir_importance_select(docs, buckets=64, k=3).collect()
+    assert [r.doc_id for r in got] == [10, 11, 12]
+    assert [r.rank for r in got] == [1, 2, 3]
+    # importance strictly decreases with target-likeness here
+    scores = [r.logratio_per_tok for r in got]
+    assert scores[0] > scores[1] > scores[2]
 
 
 def test_bpe_pieces_known_values(spark):

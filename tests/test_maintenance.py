@@ -362,3 +362,62 @@ def test_cdc_read_view_drops_fully_retracted_group(spark, tmp_path):
     live = {r.c_nationkey: (float(r.revenue), r.n_orders)
             for r in read_view(spark, view, drop_empty=True).collect()}
     assert live == {20: (75.0, 2)}
+
+
+# ------------------------------------------------------- join-view IVM
+
+def test_ivm_join_delta_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_ivm_join_delta")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_ivm_join_delta_terms_partition_the_new_view(spark, sf_dir):
+    """Bilinear-delta invariants the output oracle can't state directly:
+    over the UNFILTERED delta (the registered query bounds output by
+    price), base ∪ ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS must equal the
+    from-scratch R_new ⋈ S_new exactly, with the four terms pairwise
+    disjoint — o_orderkey is the view key (each order joins exactly one
+    customer), so count(union) == distinct-count(union) == count(full)
+    proves completeness AND disjointness at once."""
+    from bigdata2016w_spark.plans.maintenance import (
+        _JIVM_CUST_PRED,
+        _JIVM_ORD_PRED,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    o_new = orders.where(F.expr(_JIVM_ORD_PRED))
+    o_old = orders.where(~F.expr(_JIVM_ORD_PRED))
+    c_new = cust.where(F.expr(_JIVM_CUST_PRED))
+    c_old = cust.where(~F.expr(_JIVM_CUST_PRED))
+
+    def j(o, c):
+        return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey")
+
+    union = (j(o_new, c_old).unionByName(j(o_old, c_new))
+             .unionByName(j(o_new, c_new)).unionByName(j(o_old, c_old)))
+    nf = j(orders, cust).count()
+    assert union.count() == nf
+    assert union.distinct().count() == nf
+    # both deltas are real (non-degenerate split at every SF)
+    assert 0 < o_new.count() < orders.count()
+    assert 0 < c_new.count() < cust.count()
+
+
+def test_ivm_join_delta_sources_are_exact(spark, sf_dir):
+    """Every emitted row's provenance tag must agree with the split
+    predicates re-evaluated on the row itself."""
+    from bigdata2016w_spark.plans.maintenance import (
+        orders_ivm_join_delta,
+    )
+
+    got = orders_ivm_join_delta(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        onew = r.o_orderkey % 10 in (3, 7)
+        cnew = r.c_custkey % 8 == 5
+        want = ("both" if onew and cnew
+                else "order" if onew else "customer")
+        assert (onew or cnew) and r.delta_source == want
