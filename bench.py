@@ -108,6 +108,9 @@ ISOLATED_QUERIES = (
     # ~2.1 s warm at sf0.1; the join-IVM sibling is sub-second but
     # rides the same artifact refresh
     "documents_dsir_selection", "orders_ivm_join_delta",
+    # r12-new: first-in-registry consumer of the shared Jaccard pair
+    # cache, so it pays the build in-suite; the twin shows serve cost
+    "documents_leakage_safe_split",
 )
 
 

@@ -372,6 +372,9 @@ def dsir_importance_select(
     top = scored.orderBy(
         F.desc("logratio_per_tok"), F.asc("doc_id")
     ).limit(k)
+    # global window over the ALREADY-limited k rows (TakeOrderedAndProject
+    # bounds it first) — the repo's bounded-frame convention, never a
+    # corpus-wide single-partition sort
     w = Window.orderBy(F.desc("logratio_per_tok"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 

@@ -458,6 +458,132 @@ register(QuerySpec("orders_ivm_join_delta", orders_ivm_join_delta,
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution: read a drifted lake directory through one contract
+# ---------------------------------------------------------------------------
+#
+# Three physical generations of the same logical table, carved
+# deterministically from orders (o_orderkey % 3) and written once per
+# (session, sf_dir) under a temp root:
+#   v1 (%3=0): o_orderkey, o_custkey as INT32, o_totalprice
+#   v2 (%3=1): + o_orderpriority (custkey still INT32)
+#   v3 (%3=2): o_custkey widened to BIGINT, + o_orderstatus
+# mergeSchema cannot read this directory at all (int32/int64 conflict);
+# sources/catalog.read_conformed reads it through the declared v3+
+# contract. The oracle replays the generation split statically.
+_EVOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _evolving_orders_root(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _EVOLVE_CACHE.get(key)
+    if root is not None:
+        return root
+    root = tempfile.mkdtemp(prefix="bigdata2016w_evolve_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    gen = F.col("o_orderkey") % 3
+    orders.where(gen == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").cast(T.IntegerType()).alias("o_custkey"),
+        "o_totalprice",
+    ).write.parquet(f"{root}/batch=v1")
+    orders.where(gen == 1).select(
+        "o_orderkey",
+        F.col("o_custkey").cast(T.IntegerType()).alias("o_custkey"),
+        "o_totalprice", "o_orderpriority",
+    ).write.parquet(f"{root}/batch=v2")
+    orders.where(gen == 2).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus",
+    ).write.parquet(f"{root}/batch=v3")
+    _EVOLVE_CACHE[key] = root
+    return root
+
+
+def orders_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read three schema generations of the orders table — a column
+    added in v2, an int widened and another column added in v3 —
+    through ONE declared contract via sources/catalog.read_conformed,
+    then aggregate across all generations.
+
+    This is the read path a drifted 100-TB lake actually needs:
+    ``mergeSchema`` hard-fails on the int32→int64 widening (a merge
+    conflict, not a merge), so the contract must be declared, not
+    inferred. Conformance: pre-v2 rows surface o_orderpriority as the
+    declared default '__pre_v2__' (typed, not NULL-punned), pre-v3 rows
+    surface o_orderstatus as NULL; the int32 custkey widens losslessly.
+    The aggregate proves all three generations land in one plan:
+    per-priority order counts, DECIMAL-exact revenue (DOUBLE at the
+    boundary), the widened custkey summed as BIGINT, and the count of
+    v3-only 'F'-status rows. One plan-level union — pruning and
+    pushdown reach each generation's scan. Oracle: replays the
+    generation split statically from the base table."""
+    from pyspark.sql import types as T
+
+    from bigdata2016w_spark.sources.catalog import read_conformed
+
+    root = _evolving_orders_root(spark, sf_dir)
+    target = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_orderstatus", T.StringType()),
+    ])
+    df = read_conformed(
+        spark,
+        [f"{root}/batch=v1", f"{root}/batch=v2", f"{root}/batch=v3"],
+        target,
+        defaults={"o_orderpriority": "__pre_v2__"},
+    )
+    return (
+        df.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").alias("revenue"),
+            F.sum("o_custkey").alias("custkey_sum"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_status_f"),
+        )
+        .orderBy("priority")
+    )
+
+
+_EVOLVE_SQL = """
+WITH conformed AS (
+  SELECT o_orderkey,
+         o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CASE WHEN o_orderkey % 3 = 0 THEN '__pre_v2__'
+              ELSE o_orderpriority END AS priority,
+         CASE WHEN o_orderkey % 3 = 2 THEN o_orderstatus
+              ELSE NULL END AS status
+  FROM orders
+)
+SELECT priority, count(*) AS n_orders,
+       CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       CAST(sum(CASE WHEN status = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_f
+FROM conformed GROUP BY priority ORDER BY priority
+"""
+
+register(QuerySpec("orders_schema_evolution_read",
+                   orders_schema_evolution_read, _EVOLVE_SQL,
+                   doc=orders_schema_evolution_read.__doc__))
+
+
+# ---------------------------------------------------------------------------
 # Small-file compaction planning
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ from bigdata2016w_spark.operators.dedup import (
     jaccard_near_dupes,
     mh_affine,
     minhash_lsh_near_dupes,
+    portable_hash60,
     shingle_sets,
     simhash_near_dupes,
 )
@@ -683,6 +684,94 @@ WHERE rn = 1
 
 register(QuerySpec("dedup_keep_best", dedup_keep_best, _keep_best_sql(),
                    doc=dedup_keep_best.__doc__))
+
+
+# test split = 20% of CLUSTERS (hash buckets 8,9 of 10); train = rest
+_SPLIT_TEST_BUCKETS = (8, 9)
+
+
+def documents_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-aware train/test split: the split key is the near-dup
+    CLUSTER, never the document, so two near-duplicate documents can
+    never land on opposite sides of the split — the train/test leakage
+    mode that inflates held-out metrics in LLM pretraining evals
+    (the reason public pipelines split after dedup clustering, and the
+    within-corpus complement of contamination_check's corpus-vs-benchmark
+    test).
+
+    Every doc resolves to a cluster representative (its connected
+    component over the shared Jaccard pair set; singletons are their own
+    rep), and the rep — not the doc — hashes into train/test through the
+    portable 60-bit family (buckets 8,9 of 10 → 20% test). Output is the
+    full per-doc assignment, so the no-straddle property is
+    row-checkable by the oracle rather than asserted.
+
+    100-TB shape: reuses the session-cached PPJoin pair set and the
+    O(log n) connected components; the split itself adds one broadcast-
+    sized left join (components table ≪ corpus: only docs in ≥1 dup
+    pair) plus a map-side hash — no new shuffle of the corpus. Oracle:
+    recursive-CTE components + the same md5 bucket arithmetic."""
+    from bigdata2016w_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("rep")
+    )
+    assigned = docs.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", "doc_id").alias("cluster_rep")
+    )
+    bucket = F.pmod(
+        portable_hash60(F.col("cluster_rep").cast("string"), "SPLIT"),
+        F.lit(10),
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(bucket.isin(*_SPLIT_TEST_BUCKETS), "test")
+        .otherwise("train").alias("split"),
+    ).orderBy("doc_id")
+
+
+_SPLIT_SQL = f"""
+WITH RECURSIVE {_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, other) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s2.b FROM reach r JOIN sym s2 ON r.other = s2.a
+),
+cc AS (
+  SELECT node AS doc_id, least(node, min(other)) AS cluster_rep
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_rep, d.doc_id) AS cluster_rep,
+       CASE WHEN {_phash_sql('SPLIT',
+                             'CAST(coalesce(cc.cluster_rep, d.doc_id)'
+                             ' AS VARCHAR)')} % 10 IN (8, 9)
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+ORDER BY d.doc_id
+"""
+
+register(QuerySpec("documents_leakage_safe_split",
+                   documents_leakage_safe_split, _SPLIT_SQL,
+                   doc=documents_leakage_safe_split.__doc__))
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,25 +65,28 @@ _SPEC_MODULES = [
 # module import order). Rotation history for rounds 6-11 lives in
 # docs/window_history.md; the comments here describe only the LIVE window.
 #
-# ROUND 12 window (9 + 23 + 18 = 50): lead with the two IVM queries
+# ROUND 12 window (11 + 23 + 16 = 50): lead with the two IVM queries
 # (r11's only reds — hash-flagged on raw DECIMAL output, now CAST to
-# DOUBLE at the boundary) plus the seven r12-new queries
+# DOUBLE at the boundary) plus the eight r12-new queries
 # (embeddings_semdedup_admission — the last streaming surface certified
 # end-to-end — the filtered-vector-search pair, the retraction-delta
-# IVM in batch and streamed-CDC form, the bilinear join-view IVM, and
-# DSIR importance selection), then the 23 remaining r08-latest greens
-# in r08 sample order, then 18 fillers from the oldest r09-latest
-# greens in r09 sample order. The 5 rows-only no-oracle queries
+# IVM in batch and streamed-CDC form, the bilinear join-view IVM, DSIR
+# importance selection, the schema-evolution conform-read, and the
+# dedup-cluster-keyed leakage-safe split), then the 23 remaining
+# r08-latest greens in r08 sample order, then 16 fillers from the
+# oldest r09-latest greens in r09 sample order. The 5 rows-only
+# no-oracle queries
 # (ann_ivf, sgd_scores, sgd_ensemble, sgd_auc, bpe_merge_table) stay
 # BEHIND the window — an oracle slot spent on a rows-only check is
 # wasted.
 _WINDOW_FRONT = [
-    # --- needs a green driver row (2 hash-fixed + 7 r12-new) ---
+    # --- needs a green driver row (2 hash-fixed + 9 r12-new) ---
     "orders_ivm_streamed", "orders_ivm_nation_revenue",
     "embeddings_semdedup_admission", "ann_ivf_filtered",
     "ann_ivfpq_filtered_serve", "orders_ivm_retractions",
     "orders_ivm_cdc_streamed", "orders_ivm_join_delta",
-    "documents_dsir_selection",
+    "documents_dsir_selection", "orders_schema_evolution_read",
+    "documents_leakage_safe_split",
     # --- the 23 remaining r08-latest greens, r08 sample order ---
     "orders_upsert", "orders_scd2", "orders_snapshot_diff",
     "doc_repetition_stats", "contamination_check", "dup_span_fraction",
@@ -94,14 +97,14 @@ _WINDOW_FRONT = [
     "graph_triangles", "dedup_exact", "embedding_near_dupes",
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "ann_bruteforce",
-    # --- oldest r09-latest greens, r09 sample order (20) ---
+    # --- oldest r09-latest greens, r09 sample order (16) ---
     "ann_ivf_pq_residual", "ann_ivf_pq_rerank", "graph_lpa_communities",
     "orders_price_quantile_sketch", "ann_lsh", "doc_stats",
     "doc_lang_id", "dedup_clusters", "dedup_clusters_star",
     "embedding_label_centroids", "embedding_nearest_centroid",
     "embedding_hard_negatives", "q4_priority_late_exists",
     "q21_waiting_supplier", "q10_returned_revenue",
-    "q12_priority_shipping", "q14_promo_revenue", "q16_supplier_count",
+    "q12_priority_shipping",
 ]
 
 

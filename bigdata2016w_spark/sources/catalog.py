@@ -95,6 +95,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_conformed(
+    spark: SparkSession,
+    batch_dirs: list[str],
+    schema: T.StructType,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution-safe batch reader: conform every parquet batch
+    dir to one DECLARED target schema, then concatenate.
+
+    A year of ingest batches rarely shares one physical schema — columns
+    get added, ints get widened. Spark's ``mergeSchema`` handles
+    additions but hard-fails on type widening (int32 vs int64 is a merge
+    CONFLICT), and yields the union of whatever is on disk rather than a
+    declared contract. This reader makes the contract explicit: each
+    batch is read with its embedded schema, missing columns materialize
+    as typed defaults (NULL unless ``defaults`` says otherwise), present
+    columns cast to the declared type, and the conformed batches
+    concatenate by name.
+
+    100-TB shape: the union is plan-level (no shuffle, no driver data);
+    column pruning and predicate pushdown reach EACH batch's parquet
+    scan through the union; casts/defaults are JVM column expressions.
+    The reference has no schema story at all (positional
+    ``line.split('|')`` recovery, assignment5/Q1.scala:39-41) — this is
+    its modern replacement for a lake whose layout drifted over time."""
+    if not batch_dirs:
+        raise ValueError("read_conformed needs at least one batch dir")
+    defaults = defaults or {}
+    out = None
+    for d in batch_dirs:
+        df = spark.read.parquet(d)
+        have = set(df.columns)
+        part = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(defaults.get(f.name)).cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def table_row_count(sf_dir: str, name: str) -> int:
     """Exact row count from parquet FOOTER metadata — a catalog-stats
     lookup, not a Spark job. Operators that size themselves to the input

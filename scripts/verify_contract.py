@@ -38,7 +38,9 @@ QUADRATIC = {"dedup_jaccard", "corpus_curation", "dedup_clusters",
              "documents_jaccard_admission",
              # static 4-plane twin of the adaptive embedding gate — exact
              # only at gate scale (same reason as embedding_near_dupes)
-             "embeddings_semdedup_admission"}
+             "embeddings_semdedup_admission",
+             # recursive-CTE components over the O(n²) pair join
+             "documents_leakage_safe_split"}
 
 
 def _pandas_canon_hash(pdf) -> str:

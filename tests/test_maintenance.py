@@ -421,3 +421,51 @@ def test_ivm_join_delta_sources_are_exact(spark, sf_dir):
         want = ("both" if onew and cnew
                 else "order" if onew else "customer")
         assert (onew or cnew) and r.delta_source == want
+
+
+# ---------------------------------------------------- schema evolution
+
+def test_schema_evolution_matches_oracle(spark, duck, sf_dir):
+    s = _spec("orders_schema_evolution_read")
+    compare_spark_duckdb(s.fn(spark, sf_dir), duck, s.oracle)
+
+
+def test_read_conformed_semantics_and_pushdown(spark, tmp_path):
+    """Crafted two-generation directory: added column fills with the
+    typed default, int32 widens to the declared bigint, and a
+    post-conform filter's pushdown reaches BOTH generations' scans
+    through the union. Also pins the motivation: mergeSchema refuses
+    this directory outright (int/long is a merge conflict)."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from bigdata2016w_spark.sources.catalog import read_conformed
+
+    spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]) \
+        .selectExpr("k", "CAST(v AS INT) AS v") \
+        .write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame([(3, 30, "x")], ["k", "v", "tag"]) \
+        .selectExpr("k", "CAST(v AS BIGINT) AS v", "tag") \
+        .write.parquet(str(tmp_path / "b2"))
+
+    target = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    dirs = [str(tmp_path / "b1"), str(tmp_path / "b2")]
+    df = read_conformed(spark, dirs, target, defaults={"tag": "legacy"})
+    assert df.schema == target
+    got = sorted((r.k, r.v, r.tag) for r in df.collect())
+    assert got == [(1, 10, "legacy"), (2, 20, "legacy"), (3, 30, "x")]
+
+    # pushdown reaches each generation's scan through the union
+    plan = df.where(F.col("k") > 1)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert plan.count("GreaterThan(k,1)") == 2
+
+    # the directory that motivates the reader: mergeSchema can't read it
+    with pytest.raises(Exception, match="[Mm]erg|SCHEMA|[Cc]onflict"):
+        spark.read.option("mergeSchema", True).parquet(*dirs).collect()

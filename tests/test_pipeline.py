@@ -1720,3 +1720,78 @@ def test_sidecar_lockstep_guards(spark, sf_dir, tmp_path):
     assert index_meta_cols(spark, path2) == ("label",)
     write_ivfpq_index(emb.where(F.col("vec_id") < 100), path2)
     assert index_meta_cols(spark, path2) == ()
+
+
+# ------------------------------------------------- leakage-safe split
+
+def test_leakage_safe_split_matches_oracle(spark, sf_dir, duck):
+    spec = all_specs()["documents_leakage_safe_split"]
+    compare_spark_duckdb(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """The property the split exists for: a near-dup cluster NEVER
+    straddles train/test; every doc is assigned exactly once; both
+    splits are non-empty at this SF."""
+    from collections import defaultdict
+
+    from bigdata2016w_spark.plans.pipeline import (
+        documents_leakage_safe_split,
+    )
+
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    rows = documents_leakage_safe_split(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs == len({r.doc_id for r in rows})
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r.cluster_rep].add(r.split)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    splits = {r.split for r in rows}
+    assert splits == {"train", "test"}
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Crafted corpus: two near-duplicate docs whose doc_ids would hash
+    to OPPOSITE splits if split doc-wise — cluster-keyed splitting must
+    put them on the same side (the leakage the operator prevents)."""
+    import tempfile
+
+    from bigdata2016w_spark.plans.pipeline import (
+        documents_leakage_safe_split,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight")
+    # find two ids whose doc-wise buckets differ (one test, one train)
+    import hashlib
+
+    def bucket(i):
+        h = int(hashlib.md5(f"SPLIT:{i}".encode()).hexdigest()[:15], 16)
+        return h % 10
+
+    a = next(i for i in range(100) if bucket(i) in (8, 9))
+    b = next(i for i in range(100) if bucket(i) not in (8, 9))
+    rows = [
+        (a, base, "en", "s", len(base)),
+        (b, base + " extra", "en", "s", len(base) + 6),
+        (50 + max(a, b), "completely different unrelated text about "
+         "spark catalyst optimizer internals and shuffle hash joins",
+         "en", "s", 90),
+    ]
+    tmp = tempfile.mkdtemp(prefix="bigdata2016w_split_test_")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    try:
+        got = {r.doc_id: r.split
+               for r in documents_leakage_safe_split(spark, tmp).collect()}
+        assert got[a] == got[b]  # the pair lands together...
+        # ...on the side keyed by the cluster rep min(a, b)
+        want = "test" if bucket(min(a, b)) in (8, 9) else "train"
+        assert got[a] == want
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
