@@ -185,6 +185,25 @@ def _decade_measure(spark, base_n: int) -> None:
         row["lsh_pairs_per_doc"] = n_lsh / n
         row["lsh_wall"] = time.perf_counter() - t0
 
+        # DSIR: the claim is linear-in-corpus with a CONSTANT B-bucket
+        # model (no vocabulary blowup), so the decade pin is wall-per-doc
+        # flatness — the per-doc cost of the two model scans + score join
+        # must not grow with N. ~40% of docs tagged target.
+        from bigdata2016w_spark.plans.lm_quality import (
+            dsir_importance_select,
+        )
+
+        t0 = time.perf_counter()
+        d_docs = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 < 2, "en").otherwise("xx"),
+        )
+        n_sel = dsir_importance_select(d_docs, k=25).count()
+        wall = time.perf_counter() - t0
+        assert n_sel == 25
+        row["dsir_wall_ms_per_kdoc"] = wall * 1_000_000 / n / 1000
+        row["dsir_wall"] = wall
+
         stats[n] = row
         # docs is a plain parquet-read frame (no persisted blocks to
         # free); its temp dir is removed in the finally below
@@ -201,6 +220,13 @@ def _decade_measure(spark, base_n: int) -> None:
         verdict = "FLAT" if r <= 1.1 else "DRIFTING"
         print(f"decade ratio {k}: {lo[k]:.4f} @ {base_n} -> "
               f"{hi[k]:.4f} @ {base_n * 10} ({r:.2f}x — {verdict})")
+    # wall-per-doc pin (looser gate: fixed-overhead amortization makes
+    # the decade point FASTER per doc; >1.5x would mean super-linear)
+    k = "dsir_wall_ms_per_kdoc"
+    r = hi[k] / max(lo[k], 1e-9)
+    verdict = "LINEAR" if r <= 1.5 else "SUPER-LINEAR"
+    print(f"decade ratio {k}: {lo[k]:.2f} @ {base_n} -> "
+          f"{hi[k]:.2f} @ {base_n * 10} ({r:.2f}x — {verdict})")
 
 
 def main() -> None:
