@@ -111,6 +111,9 @@ ISOLATED_QUERIES = (
     # r12-new: first-in-registry consumer of the shared Jaccard pair
     # cache, so it pays the build in-suite; the twin shows serve cost
     "documents_leakage_safe_split",
+    # r12: flagged in-suite (~1s abs) after the window reorder changed
+    # its neighbors; the twin adjudicates plan vs contention
+    "orders_ivm_nation_revenue",
 )
 
 
