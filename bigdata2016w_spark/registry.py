@@ -79,6 +79,11 @@ _SPEC_MODULES = [
 # (ann_ivf, sgd_scores, sgd_ensemble, sgd_auc, bpe_merge_table) stay
 # BEHIND the window — an oracle slot spent on a rows-only check is
 # wasted.
+#
+# ROUND 13 rotation plan: lead with any r12 reds, then the r09-latest
+# greens not covered by the r12 window (the ~21 displaced by the r12
+# additions plus the rest of the r09 tier), fillers from oldest
+# r10-latest greens.
 _WINDOW_FRONT = [
     # --- needs a green driver row (2 hash-fixed + 9 r12-new) ---
     "orders_ivm_streamed", "orders_ivm_nation_revenue",
