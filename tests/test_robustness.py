@@ -62,7 +62,9 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
     "events_streamed_sketch_state", "documents_jaccard_admission",
     "embeddings_semdedup_admission", "ann_ivf_filtered",
     "ann_ivfpq_filtered_serve", "orders_ivm_retractions",
-    "orders_ivm_cdc_streamed",
+    "orders_ivm_cdc_streamed", "orders_ivm_join_delta",
+    "documents_dsir_selection", "orders_schema_evolution_read",
+    "documents_leakage_safe_split",
 ])
 def test_queries_survive_empty_tables(name, spark, empty_sf):
     from bigdata2016w_spark.registry import all_specs
