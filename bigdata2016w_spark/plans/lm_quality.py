@@ -284,36 +284,11 @@ DSIR_K = 40
 DSIR_TARGET_PRED = "lang = 'en'"
 
 
-def dsir_importance_select(
-    docs: DataFrame, buckets: int = DSIR_BUCKETS, k: int = DSIR_K
-) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every
-    out-of-domain document by how target-like its hashed-unigram
-    distribution is, and keep the top ``k``.
-
-    Both feature models are bag-of-hashed-unigrams with Laplace
-    smoothing over ``buckets`` buckets: p(b) = (c_b+1)/(N+B), estimated
-    once for the target sample (``DSIR_TARGET_PRED``) and once for the
-    full raw pool. A document's importance is
-    Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] — per-token terms
-    quantized to integer micro-nats BEFORE the per-doc sum (the
-    doc_lm_score convention) so the sum is order-independent and
-    bit-identical across partitionings and engines. Selection is the
-    deterministic variant: top-k by length-normalized importance
-    (doc_id tiebreak); the paper's Gumbel-top-k is this plus seeded
-    noise on the same scores.
-
-    100-TB shape: each model is a hash aggregate with map-side combine
-    whose output is bounded by B=512 rows — never by vocabulary — over
-    a scan pruned to (text, lang); the exploded token stream is never
-    materialized (re-deriving it per consumer is cheaper at corpus
-    scale than checkpointing tokens ≫ docs). The score join broadcasts
-    the B-row model table onto the token stream; selection is
-    TakeOrderedAndProject. Nothing scales with vocabulary or corpus
-    size except the linear scans.
-    No reference analog; extends the LLM-pipeline surface with the
-    standard pretraining data-selection recipe."""
+def _dsir_scores(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Shared DSIR scoring core: (doc_id, n_tokens, s) for every
+    out-of-target doc, where s = Σ per-token micro-nat log-ratio under
+    the hashed-unigram target/raw models. Both selection variants
+    (deterministic top-k, Gumbel-top-k sampling) rank these scores."""
     tok = (
         docs.select(
             "doc_id",
@@ -356,18 +331,50 @@ def dsir_importance_select(
             .alias("du"),
         )
     )
-    scored = (
+    return (
         tokb.where(~F.col("is_t"))
         .join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("du").alias("s"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(
-                F.col("s").cast("double") / F.col("n_tokens") / LM_QUANT, 6
-            ).alias("logratio_per_tok"),
-        )
+    )
+
+
+def dsir_importance_select(
+    docs: DataFrame, buckets: int = DSIR_BUCKETS, k: int = DSIR_K
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every
+    out-of-domain document by how target-like its hashed-unigram
+    distribution is, and keep the top ``k``.
+
+    Both feature models are bag-of-hashed-unigrams with Laplace
+    smoothing over ``buckets`` buckets: p(b) = (c_b+1)/(N+B), estimated
+    once for the target sample (``DSIR_TARGET_PRED``) and once for the
+    full raw pool. A document's importance is
+    Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] — per-token terms
+    quantized to integer micro-nats BEFORE the per-doc sum (the
+    doc_lm_score convention) so the sum is order-independent and
+    bit-identical across partitionings and engines. Selection is the
+    deterministic variant: top-k by length-normalized importance
+    (doc_id tiebreak); the paper's Gumbel-top-k is this plus seeded
+    noise on the same scores.
+
+    100-TB shape: each model is a hash aggregate with map-side combine
+    whose output is bounded by B=512 rows — never by vocabulary — over
+    a scan pruned to (text, lang); the exploded token stream is never
+    materialized (re-deriving it per consumer is cheaper at corpus
+    scale than checkpointing tokens ≫ docs). The score join broadcasts
+    the B-row model table onto the token stream; selection is
+    TakeOrderedAndProject. Nothing scales with vocabulary or corpus
+    size except the linear scans.
+    No reference analog; extends the LLM-pipeline surface with the
+    standard pretraining data-selection recipe."""
+    scored = _dsir_scores(docs, buckets).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / F.col("n_tokens") / LM_QUANT, 6
+        ).alias("logratio_per_tok"),
     )
     top = scored.orderBy(
         F.desc("logratio_per_tok"), F.asc("doc_id")
@@ -428,6 +435,43 @@ LIMIT {DSIR_K}
 
 register(QuerySpec("documents_dsir_selection", documents_dsir_selection,
                    _DSIR_SQL, doc=dsir_importance_select.__doc__))
+
+
+def dsir_gumbel_sample(
+    docs: DataFrame, buckets: int = DSIR_BUCKETS, k: int = DSIR_K
+) -> DataFrame:
+    """DSIR's actual RESAMPLING step (the paper's Gumbel-top-k):
+    sampling k docs without replacement with P ∝ w(x) is exactly
+    top-k over [log w(x) + Gumbel noise]. The noise is the
+    deterministic per-key variant of the repo's sampling convention —
+    g = −ln(−ln(u)) with u from the 31-bit LCG over doc_id
+    (plans/sampling.hash_bucket family) — so the "sample" is
+    reproducible across runs, partitionings, and engines, and a DuckDB
+    oracle can replay it; a fresh draw is a seed change, not an RNG.
+
+    Deterministic top-k (documents_dsir_selection) is this with the
+    noise term removed — highest-importance-first; the Gumbel form
+    trades a little selection quality for diversity, the trade the
+    paper measures. Same scale shape as the deterministic variant:
+    the B-bucket model broadcast, one scored scan,
+    TakeOrderedAndProject. NOT yet registered — r13 window material
+    (oracle is the _WSAMPLE_SQL LCG pattern + _DSIR_SQL scoring)."""
+    scored = _dsir_scores(docs, buckets)
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * 1103515245 + 12345
+    ) % 2147483648
+    u = (h.cast("double") + 0.5) / 2147483648.0
+    key = F.col("s").cast("double") / LM_QUANT - F.log(-F.log(u))
+    top = (
+        scored.select(
+            "doc_id", "n_tokens", F.round(key, 6).alias("gumbel_key")
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    # bounded-frame global window (over the already-limited k rows)
+    w = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 register(QuerySpec("doc_lm_score", doc_lm_score, _LM_SQL,

@@ -158,3 +158,38 @@ def test_heavy_hitters_exact_on_spread_out_key(spark):
     got = {r.token: r.n_occurrences
            for r in token_heavy_hitters(docs, threshold=64).collect()}
     assert got == {"spread": 64}
+
+
+def test_dsir_gumbel_replicates_python_fold(spark, sf_dir):
+    """Gumbel-top-k keys pinned bitwise: recompute every selected key in
+    pure Python from the shared scoring core's (doc_id, s) — the same
+    LCG uniform, the same -ln(-ln(u)), the same rounding — and from the
+    selection semantics (k highest keys, doc_id tiebreak, dense rank).
+    Also: a fresh call returns the identical sample (deterministic),
+    and the deterministic top-k and the Gumbel sample rank the same
+    underlying scores (shared _dsir_scores)."""
+    import math
+
+    from bigdata2016w_spark.plans.lm_quality import (
+        LM_QUANT,
+        _dsir_scores,
+        dsir_gumbel_sample,
+    )
+    from bigdata2016w_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = dsir_gumbel_sample(docs, k=15).collect()
+    again = dsir_gumbel_sample(docs, k=15).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+    def key(doc_id, s):
+        h = ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+        u = (float(h) + 0.5) / 2147483648.0
+        return round(s / LM_QUANT - math.log(-math.log(u)), 6)
+
+    scores = {r.doc_id: float(r.s)
+              for r in _dsir_scores(docs).collect()}
+    want = sorted(((key(d, s), d) for d, s in scores.items()),
+                  key=lambda t: (-t[0], t[1]))[:15]
+    assert [(r.gumbel_key, r.doc_id) for r in got] == want
