@@ -287,6 +287,70 @@ def encode_pq_fn(
     return encode
 
 
+def lsh_bucket_fn(
+    planes: list[list[float]],
+    out_cols: list[str],
+    alias: str = "bucket",
+):
+    """mapInPandas body appending the sign-bit hyperplane bucket:
+    ``Σ (1<<i) where dot(x, plane_i) > 0`` with left-fold dots. Exact
+    replay of the ``when(dot > 0, 1<<i).otherwise(0)`` expression
+    chain: a NaN dot sets the bit (Spark comparisons rank NaN greatest,
+    so ``NaN > 0`` is true), while a NULL/malformed row's dots are NULL
+    and every ``otherwise(0)`` fires — bucket 0."""
+    P = np.array(planes, dtype=np.float64)
+    dim = P.shape[1]
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X, bad = _stack(pdf["embedding"], dim)
+            bits = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(P.shape[0]):
+                d = _leftfold_dot(X, P[i])
+                hit = ((d > 0) | np.isnan(d)) & ~bad
+                bits += np.where(hit, 1 << i, 0)
+            out = pdf[out_cols].copy()
+            out[alias] = bits.astype(np.int32)
+            yield out
+
+    return bucket
+
+
+def lsh_bucket_tables_fn(
+    tables: list[tuple[int, list[list[float]]]],
+    out_cols: list[str],
+):
+    """mapInPandas body for the multi-table blocker: each input row
+    expands to one output row per (t, planes) table, carrying that
+    table's sign-bit bucket — the fused form of the former per-table
+    bucket array + explode."""
+    mats = [(int(t), np.array(p, dtype=np.float64)) for t, p in tables]
+    dim = mats[0][1].shape[1]
+
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X, bad = _stack(pdf["embedding"], dim)
+            outs = []
+            for t, P in mats:
+                bits = np.zeros(n, dtype=np.int64)
+                for i in range(P.shape[0]):
+                    d = _leftfold_dot(X, P[i])
+                    hit = ((d > 0) | np.isnan(d)) & ~bad
+                    bits += np.where(hit, 1 << i, 0)
+                out = pdf[out_cols].copy()
+                out["t"] = np.int32(t)
+                out["bucket"] = bits.astype(np.int32)
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
+
+    return buckets
+
+
 def pair_cosine_fn(
     a_col: str,
     b_col: str,

@@ -173,6 +173,27 @@ def lsh_bucket(col, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_bucketed(
+    df: DataFrame,
+    planes: list[list[float]],
+    cols: list[str],
+    alias: str = "bucket",
+) -> DataFrame:
+    """``cols`` + the sign-bit ``bucket`` column, computed by the
+    Arrow/NumPy kernel (r12, guide §4.2) instead of the interpreted
+    per-plane HOF dot chain of :func:`lsh_bucket` — exact replay of its
+    when/otherwise semantics (NaN dot sets the bit, NULL dot does not).
+    ``cols`` must include ``embedding``; the pass is map-side-only."""
+    from bigdata2016w_spark.operators.np_kernels import lsh_bucket_fn
+
+    src = df.select(*cols)
+    schema = T.StructType(
+        [src.schema[c] for c in cols]
+        + [T.StructField(alias, T.IntegerType())]
+    )
+    return src.mapInPandas(lsh_bucket_fn(planes, cols, alias), schema)
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -184,7 +205,7 @@ def knn_lsh(
     differ in exactly one sign bit (multi-probe — recall insurance against
     boundary flips), ranked by exact cosine within candidates."""
     planes = _planes(dim, num_planes)
-    emb_b = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    emb_b = _lsh_bucketed(embeddings, planes, ["vec_id", "embedding"])
     q = emb_b.where(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -198,17 +219,20 @@ def knn_lsh(
             )
         ).alias("bucket"),
     )
-    pairs = (
+    joined = (
         broadcast(q)
         .join(emb_b, "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
-        .distinct()
+        .select("query_id", "vec_id", "q_emb", "embedding")
     )
+    schema = T.StructType(
+        [joined.schema[c] for c in ("query_id", "vec_id")]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    pairs = joined.mapInPandas(
+        np_pair_cosine_fn("q_emb", "embedding", ["query_id", "vec_id"]),
+        schema,
+    ).distinct()
     return topk_per_group(
         pairs, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k
     ).select("query_id", "vec_id", "cosine")
@@ -670,39 +694,44 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.4,
     sc = embeddings.sparkSession.sparkContext
     if embeddings.rdd.getNumPartitions() < sc.defaultParallelism:
         embeddings = embeddings.repartition(sc.defaultParallelism)
-    emb_b = (
-        embeddings.withColumn("__n", norm(F.col("embedding")))
-        .withColumn(
-            "__tb",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(
-                            F.col("embedding"),
-                            _planes(dim, num_planes, seed=LSH_SEED + t),
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ])
-            ),
-        )
-        .select(
-            "vec_id", "embedding", "__n",
-            F.col("__tb.t").alias("t"), F.col("__tb.bucket").alias("bucket"),
-        )
+    # per-table sign buckets + the table explode, fused into one
+    # Arrow/NumPy pass (r12, guide §4.2); the verification cosine runs
+    # in the pair kernel — same bits as the precomputed-norm HOF form
+    from bigdata2016w_spark.operators.np_kernels import (
+        lsh_bucket_tables_fn,
     )
-    return (
+
+    tables = [
+        (t, _planes(dim, num_planes, seed=LSH_SEED + t))
+        for t in range(n_tables)
+    ]
+    src = embeddings.select("vec_id", "embedding")
+    emb_b = src.mapInPandas(
+        lsh_bucket_tables_fn(tables, ["vec_id", "embedding"]),
+        T.StructType(
+            [src.schema[c] for c in ("vec_id", "embedding")]
+            + [T.StructField("t", T.IntegerType()),
+               T.StructField("bucket", T.IntegerType())]
+        ),
+    )
+    joined = (
         emb_b.alias("x")
         .join(emb_b.alias("y"), ["t", "bucket"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            cosine_with_norms(
-                F.col("x.embedding"), F.col("x.__n"),
-                F.col("y.embedding"), F.col("y.__n"),
-            ).alias("cosine"),
+            F.col("x.embedding").alias("a_emb"),
+            F.col("y.embedding").alias("b_emb"),
+        )
+    )
+    schema = T.StructType(
+        [joined.schema[c] for c in ("vec_a", "vec_b")]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+    return (
+        joined.mapInPandas(
+            np_pair_cosine_fn("a_emb", "b_emb", ["vec_a", "vec_b"]), schema
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
@@ -2084,39 +2113,38 @@ def embedding_cross_near_dupes(
             n_index = index.count()
         num_planes = adaptive_num_planes(max(n_index, 1))
     planes = _planes(dim, num_planes)
-    ix = (
-        index.withColumn("__n", norm(F.col("embedding")))
-        .withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-        .select(
-            F.col("vec_id").alias("index_id"),
-            F.col("embedding").alias("i_emb"),
-            F.col("__n").alias("i_n"),
-            "bucket",
-        )
+    # sign buckets via the Arrow/NumPy kernel; verification cosine via
+    # the pair kernel (r12, guide §4.2) — bit-equal to the former
+    # HOF bucket chain + precomputed-norm cosine
+    ix = _lsh_bucketed(index, planes, ["vec_id", "embedding"]).select(
+        F.col("vec_id").alias("index_id"),
+        F.col("embedding").alias("i_emb"),
+        "bucket",
     )
-    pb = (
-        probe.withColumn("__n", norm(F.col("embedding")))
-        .withColumn("__b", lsh_bucket(F.col("embedding"), planes))
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("p_emb"),
-            F.col("__n").alias("p_n"),
-            F.explode(
-                F.array(
-                    F.col("__b"),
-                    *[F.col("__b").bitwiseXOR(F.lit(1 << i))
-                      for i in range(num_planes)],
-                )
-            ).alias("bucket"),
-        )
+    pb = _lsh_bucketed(
+        probe, planes, ["vec_id", "embedding"], alias="__b"
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.explode(
+            F.array(
+                F.col("__b"),
+                *[F.col("__b").bitwiseXOR(F.lit(1 << i))
+                  for i in range(num_planes)],
+            )
+        ).alias("bucket"),
+    )
+    joined = pb.join(ix, "bucket").select(
+        "probe_id", "index_id", "p_emb", "i_emb"
+    )
+    schema = T.StructType(
+        [joined.schema[c] for c in ("probe_id", "index_id")]
+        + [T.StructField("cosine", T.DoubleType())]
     )
     return (
-        pb.join(ix, "bucket")
-        .select(
-            "probe_id", "index_id",
-            cosine_with_norms(
-                F.col("p_emb"), F.col("p_n"), F.col("i_emb"), F.col("i_n")
-            ).alias("cosine"),
+        joined.mapInPandas(
+            np_pair_cosine_fn("p_emb", "i_emb", ["probe_id", "index_id"]),
+            schema,
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
