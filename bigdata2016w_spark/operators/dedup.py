@@ -339,22 +339,29 @@ def simhash_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
-    h = portable_hash60(F.col("w"), "sim") if portable else F.xxhash64("w")
+    # r12: the per-bit expressions are built as SQL strings (ONE parse
+    # each) instead of ~8 Py4J column calls per bit — the 60-bit chain
+    # cost ~2 s of driver-side socket round-trips per plan build.
+    # Identical expression trees, so values are unchanged.
+    h_sql = (
+        "CAST(conv(substring(md5(concat('sim:', w)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+        if portable else "xxhash64(w)"
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum((shiftright({h_sql}, {i}) & 1) * 2 - 1) AS v{i}"
+            )
             for i in range(nbits)
         ]
     )
-    sim = None
-    for i in range(nbits):
-        bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return votes.select("doc_id", sim.alias("simhash"))
+    sim_sql = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nbits)
+    )
+    return votes.select("doc_id", F.expr(f"({sim_sql}) AS simhash"))
 
 
 def simhash_near_dupes(

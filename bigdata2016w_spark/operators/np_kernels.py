@@ -287,6 +287,47 @@ def encode_pq_fn(
     return encode
 
 
+def skipgram_pairs_fn(window: int):
+    """mapInPandas body: (t array<string>) → (center, context) rows for
+    every ordered token pair within ±``window`` positions — the
+    word2vec positive-pair generator. Replaces the interpreted
+    sequence/transform/filter HOF expression (2·window element_at calls
+    per token); the pair multiset is identical and order is irrelevant
+    (the consumer is a groupBy count). Vectorized per batch: all tokens
+    concatenate into one array with a doc-id vector, and each offset d
+    is two shifted-slice selections guarded by same-doc masks."""
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = [np.asarray(t, dtype=object)
+                    for t in pdf["t"].to_numpy(dtype=object)]
+            lens = np.array([len(t) for t in toks])
+            if lens.sum() == 0:
+                continue
+            arr = np.concatenate([t for t in toks if len(t)])
+            doc = np.repeat(np.arange(len(toks)), lens)
+            cs, xs = [], []
+            for d in range(1, window + 1):
+                if d >= len(arr):
+                    break
+                same = doc[d:] == doc[:-d]
+                left, right = arr[:-d][same], arr[d:][same]
+                cs.append(left)
+                xs.append(right)
+                cs.append(right)
+                xs.append(left)
+            if not cs:
+                continue
+            yield pd.DataFrame({
+                "center": np.concatenate(cs),
+                "context": np.concatenate(xs),
+            })
+
+    return pairs
+
+
 def lsh_bucket_fn(
     planes: list[list[float]],
     out_cols: list[str],

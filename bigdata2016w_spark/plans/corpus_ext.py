@@ -859,18 +859,18 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokenize("text").alias("t")).where(F.size("t") >= 2)
-    offsets = [d for d in range(-SG_WINDOW, SG_WINDOW + 1) if d != 0]
-    pair_expr = (
-        "flatten(transform(sequence(1, size(t)), i -> "
-        "filter(transform(array(" + ", ".join(str(d) for d in offsets)
-        + "), d -> if(i + d >= 1 and i + d <= size(t),"
-        " struct(element_at(t, i) as center,"
-        " element_at(t, i + d) as context), null)),"
-        " x -> x is not null)))"
-    )
+    # r12 (guide §4.2): the ±window pair generator runs in an
+    # Arrow/NumPy kernel instead of the interpreted
+    # sequence/transform/filter HOF chain (2·window element_at calls
+    # per token); identical pair multiset, tokenization stays JVM-side
+    from bigdata2016w_spark.operators.np_kernels import skipgram_pairs_fn
+
     pos = (
-        toks.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy("p.center", "p.context")
+        toks.mapInPandas(
+            skipgram_pairs_fn(SG_WINDOW),
+            "center string, context string",
+        )
+        .groupBy("center", "context")
         .agg(F.count("*").alias("cnt"))
     )
     centers = pos.groupBy("center").agg(F.sum("cnt").alias("ct"))

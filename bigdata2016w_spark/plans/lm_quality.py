@@ -303,33 +303,41 @@ def _dsir_scores(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
         F.pmod(portable_hash60(F.col("w"), "dsir"), F.lit(buckets))
         .alias("b"),
     )
-    raw = tokb.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = tokb.where("is_t").groupBy("b").agg(F.count("*").alias("ct"))
-    n_r = raw.agg(F.sum("cr").alias("n_r"))
-    n_t = tgt.agg(F.sum("ct").alias("n_t"))
-    model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(n_r)
-        .crossJoin(n_t)
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        .cast("double")
-                        / (F.col("n_t") + buckets).cast("double")
-                    )
-                    - F.log(
-                        (F.col("cr") + 1).cast("double")
-                        / (F.col("n_r") + buckets).cast("double")
-                    )
+    # r12 (guide §2.3/§2.4): raw and target bucket counts fuse into ONE
+    # aggregation over one token pass (count_if(is_t) ≡ the former
+    # left-joined target count with coalesce-to-0 — a bucket with no
+    # target tokens contributes ct = 0 either way), and the two scalar
+    # totals ride in a single 1-row broadcast. Cuts the tokenize+hash
+    # token-stream derivations from 3 to 2 (model + scoring); values
+    # are bit-identical.
+    counts = tokb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count_if(F.col("is_t")).alias("ct"),
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    # nullif replays the pre-fusion edge case exactly: with
+                    # zero target tokens the old per-target aggregate was
+                    # empty, its sum NULL, and every du NULL-poisoned
+                    / (F.nullif(F.col("n_t"), F.lit(0)) + buckets)
+                    .cast("double")
                 )
-                * LM_QUANT
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("n_r") + buckets).cast("double")
+                )
             )
-            .cast("bigint")
-            .alias("du"),
+            * LM_QUANT
         )
+        .cast("bigint")
+        .alias("du"),
     )
     return (
         tokb.where(~F.col("is_t"))
