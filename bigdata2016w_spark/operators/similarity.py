@@ -401,7 +401,11 @@ def knn_ivf_flat(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
         )
-    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
+    # checkpoint: the assignment kernel output feeds both the query
+    # side and the candidate side of the probe join (r12)
+    assigned = _assign_to_literal_centroids(
+        embeddings, cent_lit
+    ).localCheckpoint(eager=False)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 
@@ -458,7 +462,11 @@ def knn_ivf_filtered(
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
         )
-    assigned = _assign_to_literal_centroids(embeddings, cent_lit, keep=keep)
+    # checkpoint: queries resolve against the unfiltered assignment and
+    # candidates against the filtered view — one kernel pass, not two
+    assigned = _assign_to_literal_centroids(
+        embeddings, cent_lit, keep=keep
+    ).localCheckpoint(eager=False)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe,
                              corpus=assigned.where(candidate_filter))
@@ -626,7 +634,10 @@ def knn_ivf_lloyd(
            else embeddings.select("vec_id", "embedding")
            .localCheckpoint(eager=True))
     cent_lit = _lloyd_centroid_literals(emb, cent_lit, n_iter, dim)
-    assigned = _assign_to_literal_centroids(emb, cent_lit)
+    # checkpoint: the final assignment feeds both probe-join sides (r12)
+    assigned = _assign_to_literal_centroids(
+        emb, cent_lit
+    ).localCheckpoint(eager=False)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     return _ivf_probe_search(assigned, cent, query_ids, k, n_probe)
 
@@ -2179,7 +2190,13 @@ def ivf_probe_recall_sweep(
             [], "n_probe int, n_queries bigint, total_hits bigint,"
                 " avg_recall double"
         )
-    assigned = _assign_to_literal_centroids(embeddings, cent_lit)
+    # checkpoint: the assignment kernel feeds both the query side and
+    # the candidate side of the probe join (r12, the semdedup
+    # shared-intermediate convention); the ground truth below likewise
+    # feeds the hit join and the |Q| aggregate
+    assigned = _assign_to_literal_centroids(
+        embeddings, cent_lit
+    ).localCheckpoint(eager=False)
     cent = spark.createDataFrame(cent_lit, "cell int, centroid array<double>")
     cands = _probe_candidates(assigned, cent, query_ids, max_p)
     thresholds = spark.createDataFrame(
@@ -2195,7 +2212,7 @@ def ivf_probe_recall_sweep(
 
     truth = knn_bruteforce(embeddings, query_ids, k).select(
         "query_id", "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     hits = ranked.join(truth, ["query_id", "vec_id"]).groupBy(
         "n_probe"
     ).agg(F.count("*").alias("total_hits"))

@@ -1876,9 +1876,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata2016w_spark.operators.similarity import knn_ivf_flat
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # checkpoint the ground truth: it feeds BOTH the hit join and the
+    # per-query base, and uncheckpointed the whole brute-force subplan
+    # executed once per consumer (r12; the semdedup shared-intermediate
+    # convention — rows are identical, the subtree just runs once)
     bf = knn_bruteforce(emb, KNN_QUERY_IDS, KNN_K).select(
         "query_id", "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     iv = knn_ivf_flat(emb, KNN_QUERY_IDS, KNN_K).select("query_id", "vec_id")
     hits = bf.join(iv, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_hits")
