@@ -114,6 +114,19 @@ ISOLATED_QUERIES = (
     # r12: flagged in-suite (~1s abs) after the window reorder changed
     # its neighbors; the twin adjudicates plan vs contention
     "orders_ivm_nation_revenue",
+    # r12 optimization round: the host-generation drift visible in the
+    # final artifact (uniform ~1.3x on untouched no-join queries) pushed
+    # these two over the policy line — twins make the next drift episode
+    # attributable
+    "doc_repetition_stats", "doc_tfidf_terms",
+    # r12: the slowest of the three end-of-round exclusive runs (the
+    # ±20% host-window swing documented in OPTIMIZATION_r12.md) pushed
+    # these two over the line — the policy absorbs the band
+    "lineitem_unpivot", "sgd_auc",
+    # r12: four more ~1 s quiet-host lines that cross 1.5 s only inside
+    # the slow host windows — the band the twins exist to adjudicate
+    "q11_important_stock", "orders_replica_reconcile",
+    "orders_scd2_pit", "q17_small_quantity_revenue",
 )
 
 
