@@ -363,10 +363,14 @@ def main() -> None:
     )
     # The driver tail-captures stdout and parses the LAST line; a
     # one-line dump of every query overflowed that capture three
-    # rounds running (BENCH_r03..r05: "parsed": null). Print the full
-    # payload first for humans, then a COMPACT machine line last:
-    # suite_wall + the slowest 16 suite timings + the isolated
-    # re-runs + the PPJoin cost counters (~1 KB).
+    # rounds running (BENCH_r03..r05: "parsed": null), and the r11
+    # compact line STILL outgrew the capture once the isolated block
+    # passed ~60 entries (BENCH_r11: head cut off, prev_bench_ok
+    # false in r12's PERF diff). Print the full payload first for
+    # humans, then a COMPACT machine line last: suite_wall + the
+    # slowest 16 suite timings + the serve split + the tripwire flags
+    # + the PPJoin cost counters (~1 KB). The isolated re-runs live in
+    # the full payload and the committed BENCH_LOCAL.json only.
     print(json.dumps(payload))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:16])
     compact = {
@@ -376,7 +380,7 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "queries_full": "BENCH_LOCAL.json",
-        "isolated": isolated,
+        "isolated_full": "BENCH_LOCAL.json",
         "ann_serve": ann_serve,
         "regressions": regressions,
         "ppjoin": ppjoin_metrics,

@@ -42,12 +42,25 @@ exactly —
 - Tie/NULL/NaN ordering replays struct-ordered ``array_max((cos,
   -cell))`` / ``array_min((d2, code))``: iterate cells/codes ascending
   with a strict comparison; NaN ranks greatest (so the lowest
-  NaN-cosine cell wins); and a malformed row — NULL, wrong length, or
-  NULL-element vector — has every cosine NULL-poisoned by the fold, so
-  ALL its struct entries tie and the lowest cell wins, which is where
-  the kernel's NaN-poisoned row also lands. Pair cosines against a
-  malformed vector surface as NULL (never NaN), matching the
+  NaN-cosine cell wins); and a malformed row — NULL, or wrong
+  length — has every cosine NULL-poisoned by the fold, so ALL its
+  struct entries tie and the lowest cell wins, which is where the
+  kernel's NaN-poisoned row also lands. Pair cosines against a NULL
+  or wrong-length vector surface as NULL (never NaN), matching the
   expression twin's NULL fold.
+
+NULL *elements* inside a well-formed-length vector are the one input
+class where the kernels and the expression twins diverge, and they are
+excluded by contract rather than replayed: Arrow converts a NULL list
+element to NaN before any pandas kernel can see it
+(``pa.array([[1.0, None]]).to_pandas() → array([1., nan])``), so a
+NULL element is indistinguishable from a genuine NaN here — the
+kernels apply NaN semantics (LSH bit set, NaN pair cosine, ANSI cast
+raise in encode) where the expression folds would NULL-poison. Every
+registered query path therefore feeds the kernels through
+``validated_embeddings``, whose guard raises on NULL elements at
+validation time (tests pin both the guard and this divergence note),
+so the divergence is unreachable from declared queries.
 """
 
 from __future__ import annotations
@@ -153,6 +166,16 @@ def _encode_batch(
                 raise ArithmeticError(
                     "[CAST_INVALID_INPUT] NaN PQ distance term cannot "
                     "cast to BIGINT (ANSI semantics)"
+                )
+            # ANSI double→bigint cast raises on overflow; np.rint(...)
+            # .astype(int64) would wrap silently and return wrong
+            # distances for large-magnitude embeddings, so mirror the
+            # NaN check with an explicit bound (2^63 is the first
+            # double not representable as int64)
+            if (np.abs(terms) >= 9.223372036854776e18).any():
+                raise ArithmeticError(
+                    "[CAST_OVERFLOW] PQ distance term exceeds BIGINT "
+                    "range (ANSI cast semantics)"
                 )
             d2 = np.cumsum(np.rint(terms).astype(np.int64), axis=1)[:, -1]
             if idx == 0:
@@ -423,6 +446,15 @@ def pair_cosine_fn(
             res = np.full(n, np.nan)
             valid = lens[:, 0] >= 0
             for d in np.unique(lens[valid, 0]):
+                if d == 0:
+                    # a well-formed zero-length pair has 0.0 norms: the
+                    # expression twin's empty fold raises ANSI
+                    # DIVIDE_BY_ZERO; cumsum over zero columns would
+                    # IndexError in the worker instead
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-length embedding in pair "
+                        "cosine (ANSI division semantics)"
+                    )
                 idx = np.where(lens[:, 0] == d)[0]
                 A = np.stack(
                     [np.asarray(av[i], dtype=np.float64) for i in idx])

@@ -1099,7 +1099,14 @@ def pq_encode(
     fetch convention every caller already follows via
     _pq_codebook_literal) and ships in the kernel closure; all M rows
     of a vector are still emitted by the producing task, so downstream
-    per-vector partial aggs keep combining map-side."""
+    per-vector partial aggs keep combining map-side.
+
+    NOTE: the codebook fetch is a ``collect()`` that runs EAGERLY when
+    this function is called — building the returned DataFrame triggers
+    Spark jobs for the codebook subtree, and a codebook error surfaces
+    here rather than at the consumer's action (unlike the lazy
+    broadcast join it replaced). Don't build these plans
+    speculatively."""
     cb_rows = [
         (int(r["m"]), int(r["code"]), [float(x) for x in r["cv"]])
         for r in codebook.collect()
@@ -1521,20 +1528,34 @@ def _ivf_residual_frame(
 
 
 def _guard_embedding_dim(dim: int, col: str = "embedding"):
-    """In-plan per-row length check for an embedding column: pass NULL
-    through (callers drop it), raise on any other length mismatch. The
-    NULL case rides inside the when condition, not only an upstream
-    filter, because Catalyst may collapse the projection with a consumer
-    and evaluate it on pre-filter rows (same note as _pq_subvectors)."""
+    """In-plan per-row validity check for an embedding column: pass NULL
+    through (callers drop it), raise on a length mismatch OR a NULL
+    element. The NULL case rides inside the when condition, not only an
+    upstream filter, because Catalyst may collapse the projection with a
+    consumer and evaluate it on pre-filter rows (same note as
+    _pq_subvectors).
+
+    The NULL-element raise is the kernel contract (np_kernels module
+    doc): Arrow turns a NULL list element into NaN before a pandas
+    kernel can see it, so NULL elements are indistinguishable from NaN
+    past this point — they must be rejected here, at validation time,
+    for the kernels' NULL/NaN parity claims to hold downstream."""
     return F.when(
-        F.col(col).isNull() | (F.size(col) == dim),
+        F.col(col).isNull()
+        | (
+            (F.size(col) == dim)
+            & ~F.exists(col, lambda x: x.isNull())
+        ),
         F.col(col),
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("embedding length "),
                 F.size(col).cast("string"),
-                F.lit(f" does not match the PQ geometry (dim = {dim})"),
+                F.lit(
+                    f" does not match the PQ geometry (dim = {dim}) "
+                    "or the vector carries NULL elements"
+                ),
             )
         )
     )

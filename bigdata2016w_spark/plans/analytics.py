@@ -106,17 +106,23 @@ def pmi_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") != F.col("b.w")),
     ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
-    # stripes: per-w1 map of neighbor→count, thresholded inside the map
+    # stripes: per-w1 map of neighbor→count, thresholded inside the map.
+    # r13 (guide §2.3 — shuffle fewer bytes): the ≥ PMI_MIN_COOCCUR cut
+    # runs BEFORE the stripe reshape, so the collect_list exchange and
+    # the map build carry only surviving neighbors (~2% of distinct
+    # pairs at sf0.1), not every co-occurring pair. The filter commutes
+    # with the reshape (it reads only the (w1, w2, cnt) entry it keeps),
+    # so the exploded output — and the declared result — is unchanged;
+    # this is also what "thresholded inside the map" (StripesPMI's
+    # in-reducer cut) always meant.
     stripes = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= PMI_MIN_COOCCUR)
         .groupBy("w1")
         .agg(F.map_from_entries(F.collect_list(F.struct("w2", "cnt"))).alias("stripe"))
     )
-    pc = (
-        stripes.select("w1", F.explode("stripe").alias("w2", "cnt"))
-        .where(F.col("cnt") >= PMI_MIN_COOCCUR)
-    )
+    pc = stripes.select("w1", F.explode("stripe").alias("w2", "cnt"))
     wc = x.groupBy("w").agg(F.count("*").alias("cw"))
     n = docs.agg(F.count("*").alias("n_lines"))
     return (
@@ -427,36 +433,37 @@ PAIR_TOP_K = 20
 
 def parts_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top-20 part pairs co-purchased in
-    the most orders (support ≥ 2), via the A-Priori contract — a pair
-    can only be frequent if both items are, so the per-basket self-join
-    runs AFTER infrequent parts are semi-join-pruned (lossless, and at
-    100 TB it is the difference between joining every basket and
-    joining only the frequent-item skeleton). Basket width bounds the
-    per-order pair fanout (TPC-H baskets are ≤ 7 lines), so candidate
-    generation is linear in orders, never corpus-quadratic; the final
-    top-k is a TakeOrderedAndProject over the pair-support agg with a
+    the most orders (support ≥ 2). r13 shape (guide §2.4 — remove
+    shuffles outright): one scan of lineitem folds into per-order
+    DISTINCT baskets (``collect_set`` IS the per-basket distinct, done
+    inside the aggregation), pairs are generated in-plan from the
+    sorted basket array (two codegen'd Generates — no self-join, no
+    second scan), and one more exchange aggregates pair support. The
+    former A-Priori semi-join prune was measured a no-op on this data
+    shape (min support 2 and ~30 orders/part leave ~every part
+    frequent) while its distinct+freq+semi-join chain was rebuilt on
+    BOTH sides of the self-join — 10 Exchanges and two lineitem scans
+    for the same rows this plan produces with 2 Exchanges and one.
+    Basket width bounds the per-order pair fanout (TPC-H baskets are
+    ≤ 7 lines), so candidate generation is linear in orders, never
+    corpus-quadratic — a corpus with unbounded baskets would cap/salt
+    the basket before expansion. The final top-k is a
+    TakeOrderedAndProject over the pair-support agg with a
     deterministic (count, p1, p2) tiebreak."""
-    li = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").alias("item_sup"))
-        .where(F.col("item_sup") >= PAIR_MIN_SUPPORT)
-        .select("l_partkey")
-    )
-    pruned = li.join(freq, "l_partkey", "left_semi")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"),
-        F.col("b.l_partkey").alias("p2"),
+    pairs = (
+        baskets.select(F.posexplode("ps").alias("i", "p1"), "ps")
+        .select(
+            "p1",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("p2"),
+        )
     )
     return (
         pairs.groupBy("p1", "p2")

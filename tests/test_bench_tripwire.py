@@ -96,16 +96,31 @@ def test_isolated_block_covers_every_slow_suite_query():
     """Isolated-block POLICY lint (r11): any query whose committed
     suite-mode time exceeds 1.5 s must have an isolated best-of-3 twin
     in bench.ISOLATED_QUERIES, so interference adjudication never lags
-    a round (corpus_curation r9, corpus_curation_semdedup r10). Checked
-    against the committed BENCH_LOCAL.json artifact."""
+    a round (corpus_curation r9, corpus_curation_semdedup r10).
+
+    Lints the COMMITTED artifact (``git show HEAD:BENCH_LOCAL.json``),
+    not the working tree: a verification harness that runs bench before
+    pytest overwrites the working-tree file with numbers from ITS host
+    window, and this policy lint then failed on an artifact the test
+    run itself mutated two rounds straight (r11, r12 — both adjudicated
+    as harness coupling, not engine bugs). The policy is about what the
+    repo SHIPS, so the committed file is the right subject; fall back
+    to the working tree only when git is unavailable."""
     import json
+    import subprocess
     from pathlib import Path
 
     from bench import ISOLATED_QUERIES
 
-    art = json.loads(
-        (Path(__file__).parent.parent / "BENCH_LOCAL.json").read_text()
-    )
+    repo = Path(__file__).parent.parent
+    try:
+        text = subprocess.run(
+            ["git", "-C", str(repo), "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        text = (repo / "BENCH_LOCAL.json").read_text()
+    art = json.loads(text)
     slow = {n for n, t in art["queries"].items() if t > 1.5}
     missing = slow - set(ISOLATED_QUERIES)
     assert not missing, (

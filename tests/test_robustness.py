@@ -343,3 +343,55 @@ def test_sketch_ops_dirty_inputs_parity(spark, tmp_path):
              for r in all_specs()["winnow_dup_candidates"]
              .fn(spark, str(d)).collect()}
     assert (3, 5) in pairs and (3, 4) in pairs
+
+
+# ---- r13: kernel-contract guards (ADVICE items on np_kernels) ----------
+# Arrow converts a NULL list element to NaN before any pandas kernel can
+# see it, so NULL-element vectors MUST be rejected at validation time for
+# the kernels' NULL/NaN parity claims to hold (np_kernels module doc).
+
+
+def test_validated_embeddings_raises_on_null_element(spark):
+    from pyspark.errors import PySparkException
+
+    from bigdata2016w_spark.operators.similarity import validated_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]),
+         (2, [1.0, None] + [0.0] * 62)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PySparkException, match="NULL elements"):
+        validated_embeddings(df)  # eager localCheckpoint evaluates guard
+
+
+def test_validated_embeddings_still_drops_null_rows(spark):
+    from bigdata2016w_spark.operators.similarity import validated_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    assert validated_embeddings(df).count() == 1
+
+
+def test_pair_cosine_kernel_zero_length_raises_divide_by_zero():
+    import pandas as pd
+    from bigdata2016w_spark.operators.np_kernels import pair_cosine_fn
+
+    fn = pair_cosine_fn("a", "b", ["id"])
+    pdf = pd.DataFrame({"id": [1], "a": [[]], "b": [[]]})
+    with pytest.raises(ArithmeticError, match="DIVIDE_BY_ZERO"):
+        list(fn(iter([pdf])))
+
+
+def test_encode_kernel_overflow_raises_instead_of_wrapping():
+    import pandas as pd
+    from bigdata2016w_spark.operators.np_kernels import encode_pq_fn
+
+    # |x - cw|^2 * 2^24 > 2^63 --> the ANSI bigint cast must raise, not
+    # wrap to a negative distance
+    fn = encode_pq_fn([(0, 0, [0.0, 0.0])], n_subspaces=1, dim=2)
+    pdf = pd.DataFrame({"vec_id": [7], "embedding": [[1e12, 0.0]]})
+    with pytest.raises(ArithmeticError, match="CAST_OVERFLOW"):
+        list(fn(iter([pdf])))
