@@ -668,12 +668,18 @@ def test_ivm_broadcasts_delta_side_dim(spark, sf_dir):
 
 
 def test_cooccurrence_takes_ordered_after_pair_agg(spark, sf_dir):
+    """r13 shape: one lineitem scan folds into per-order baskets
+    (collect_set IS the per-basket distinct), pairs expand in-plan from
+    the sorted basket array — no self-join, no semi-join prune, two
+    exchanges total (basket agg + pair agg)."""
     from bigdata2016w_spark.plans.analytics import parts_cooccurrence_topk
 
     plan = _formatted_plan(parts_cooccurrence_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert "LeftSemi" in plan          # the A-Priori prune is in the plan
+    assert "Join" not in plan          # basket expansion replaced the join
     assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2     # tree + detail of ONE scan
+    assert "collect_set" in plan
 
 
 def test_hll_rollup_two_level_merge_is_partial_aggs(spark, sf_dir):
